@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine query: a Spark plan plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names and rounding MUST match between the two — the
+  * driver's compare sorts columns by name and hashes values.
+  *
+  * Queries end with a total ORDER BY and round any reassociation-sensitive
+  * double aggregate to a fixed scale, so Spark's partial-aggregation order
+  * vs DuckDB's scan order cannot flip a bit (SURVEY §7.4.2).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(sql))
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, None)
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.DepositOps
+import graft.sources.Tables
+
+/** The reference's operator surface O1–O11 (SURVEY §2.1) as oracle-checked
+  * batch queries over `events` (`user_id` ≈ wallet_id, `value` ≈ amount,
+  * `ts` ≈ event time — SURVEY §2.3.4).
+  *
+  * Two detector parameterizations are registered: `check` with the
+  * reference's exact constants (120 s / 10,000 —
+  * /root/reference/detector/detector.go:16-17), and `check_tuned`
+  * (1 day / 300) so the flag booleans actually vary on the synthetic data.
+  */
+object CoreQueries {
+  private val TunedWindowSec  = 86400L
+  private val TunedThreshold  = 300.0
+
+  // Shared oracle CTEs: validated deposits and the rolling window sum.
+  private def depositsCte =
+    "d AS (SELECT user_id AS wallet_id, ts, event_id AS seq, value AS amount " +
+      "FROM events WHERE value > 0)"
+  private def winCte(windowSec: Long) =
+    s"w AS (SELECT wallet_id, seq, ROUND(SUM(amount) OVER (" +
+      s"PARTITION BY wallet_id ORDER BY epoch_us(ts) " +
+      s"RANGE BETWEEN ${windowSec * 1000000L} PRECEDING AND CURRENT ROW), 2) " +
+      "AS win_sum FROM d)"
+  private def checkSql(windowSec: Long, threshold: Double) =
+    s"WITH $depositsCte, ${winCte(windowSec)}, " +
+      "b AS (SELECT wallet_id, ROUND(SUM(amount), 2) AS balance FROM d GROUP BY wallet_id), " +
+      s"f AS (SELECT wallet_id, arg_max(win_sum >= $threshold, seq) AS flagged FROM w GROUP BY wallet_id) " +
+      "SELECT b.wallet_id, b.balance, COALESCE(f.flagged, FALSE) AS above_threshold " +
+      "FROM b LEFT JOIN f USING (wallet_id) ORDER BY wallet_id"
+
+  val all: Seq[Q] = Seq(
+    // Flagship — O1+O3/O9+O4+O5+O7+O10 in one plan (SURVEY §7.1).
+    Q("check", checkSql(DepositOps.RollingPeriodSec, DepositOps.MaxAmount)) {
+      (s, d) => DepositOps.checkAll(Tables.events(s, d))
+    },
+
+    Q("check_tuned", checkSql(TunedWindowSec, TunedThreshold)) { (s, d) =>
+      DepositOps.checkAll(Tables.events(s, d), TunedWindowSec, TunedThreshold)
+    },
+
+    // O1 — ingest validation + projection (service.go:87-91).
+    Q("o1_validated_deposits",
+      s"WITH $depositsCte SELECT wallet_id, seq, amount FROM d ORDER BY seq") {
+      (s, d) =>
+        DepositOps.deposits(Tables.events(s, d))
+          .select(col("wallet_id"), col("seq"), col("amount"))
+          .orderBy(col("seq"))
+    },
+
+    // O2 — negate-amount projection, the withdraw branch (service.go:98-103).
+    Q("o2_negate",
+      s"WITH $depositsCte SELECT wallet_id, seq, -amount AS amount FROM d ORDER BY seq") {
+      (s, d) =>
+        DepositOps.negated(DepositOps.deposits(Tables.events(s, d)))
+          .select(col("wallet_id"), col("seq"), col("amount"))
+          .orderBy(col("seq"))
+    },
+
+    // O3 — per-key append aggregation = deposit history (collector.go:17-29).
+    Q("o3_history",
+      s"WITH $depositsCte SELECT wallet_id, list(amount ORDER BY amount) AS amounts, " +
+        "COUNT(*) AS n_deposits FROM d GROUP BY wallet_id ORDER BY wallet_id") {
+      (s, d) =>
+        DepositOps.history(DepositOps.deposits(Tables.events(s, d)))
+          .orderBy(col("wallet_id"))
+    },
+
+    // O4 — rolling-window running sum, event-time batch analog
+    // (detector.go:50-64; SURVEY §2.3.4).
+    Q("o4_rolling_sum",
+      s"WITH $depositsCte, ${winCte(DepositOps.RollingPeriodSec)} " +
+        "SELECT wallet_id, seq, win_sum FROM w ORDER BY wallet_id, seq") {
+      (s, d) =>
+        DepositOps.rollingSum(DepositOps.deposits(Tables.events(s, d)))
+          .select(col("wallet_id"), col("seq"), col("win_sum"))
+          .orderBy(col("wallet_id"), col("seq"))
+    },
+
+    // O5+O6 — per-deposit detector verdict (every deposit emits exactly one
+    // flag/unflag event — detector.go:66-71, SURVEY §2.3.2).
+    Q("o6_flag_events",
+      s"WITH $depositsCte, ${winCte(TunedWindowSec)} " +
+        s"SELECT wallet_id, seq, NOT (win_sum >= $TunedThreshold) AS flag_removed " +
+        "FROM w ORDER BY wallet_id, seq") {
+      (s, d) =>
+        DepositOps.flagEvents(DepositOps.deposits(Tables.events(s, d)),
+            TunedWindowSec, TunedThreshold)
+          .orderBy(col("wallet_id"), col("seq"))
+    },
+
+    // O7 — last-write-wins flag state (flagger.go:40-57).
+    Q("o7_lww_flag",
+      s"WITH $depositsCte, ${winCte(TunedWindowSec)} " +
+        s"SELECT wallet_id, arg_max(win_sum >= $TunedThreshold, seq) AS flagged " +
+        "FROM w GROUP BY wallet_id ORDER BY wallet_id") {
+      (s, d) =>
+        DepositOps.lwwFlag(DepositOps.flagEvents(
+            DepositOps.deposits(Tables.events(s, d)), TunedWindowSec, TunedThreshold))
+          .orderBy(col("wallet_id"))
+    },
+
+    // O9 — balance via higher-order fold over the collected history array
+    // (service.go:136-140); `balances` inside `check` is the incremental form.
+    Q("o9_balance_from_history",
+      s"WITH $depositsCte SELECT wallet_id, ROUND(SUM(amount), 2) AS balance " +
+        "FROM d GROUP BY wallet_id ORDER BY wallet_id") {
+      (s, d) =>
+        DepositOps.balanceFromHistory(
+            DepositOps.history(DepositOps.deposits(Tables.events(s, d))))
+          .orderBy(col("wallet_id"))
+    },
+
+    // O11 — manual flag injector unioned with detector output before the LWW
+    // upsert (cmd/flag-wallet/main.go:26-33): wallets 0–4 get a manual FLAG
+    // with a sequence number after every organic event, so LWW keeps them
+    // flagged regardless of the detector's verdict.
+    Q("o11_manual_union",
+      s"WITH $depositsCte, ${winCte(TunedWindowSec)}, " +
+        s"det AS (SELECT wallet_id, seq, NOT (win_sum >= $TunedThreshold) AS flag_removed FROM w), " +
+        "man AS (SELECT CAST(x AS BIGINT) AS wallet_id, CAST(1000000000000 AS BIGINT) AS seq, " +
+        "FALSE AS flag_removed FROM (VALUES (0),(1),(2),(3),(4)) AS t(x)), " +
+        "u AS (SELECT * FROM det UNION ALL SELECT * FROM man) " +
+        "SELECT wallet_id, NOT arg_max(flag_removed, seq) AS flagged " +
+        "FROM u GROUP BY wallet_id ORDER BY wallet_id") {
+      (s, d) =>
+        val det = DepositOps.flagEvents(
+          DepositOps.deposits(Tables.events(s, d)), TunedWindowSec, TunedThreshold)
+        val man = s.range(0, 5).select(
+          col("id").as("wallet_id"),
+          lit(1000000000000L).as("seq"),
+          lit(false).as("flag_removed"))
+        DepositOps.lwwFlag(DepositOps.withManualFlags(det, man))
+          .orderBy(col("wallet_id"))
+    }
+  )
+}
