@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All query packs, one per engine area. */
   def packs: Seq[Q] =
-    CoreQueries.all
+    CoreQueries.all ++ RelationalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational operators beyond the reference's surface
+  * (SURVEY §2.2 gap list): as-of join, range join, top-k. All are
+  * compositions of Catalyst built-ins — no custom planner nodes needed
+  * (SURVEY §7.3) — chosen for their scale shape, not just correctness.
+  */
+object Relational {
+
+  /** As-of join (match each left row to the latest right row with
+    * `right.time <= left.time`, same key), composed as union + running
+    * `last(..., ignoreNulls)` window instead of a non-equi join.
+    *
+    * Scale shape: ONE shuffle on the key and a per-partition sort —
+    * O(n log n) with no pair explosion, vs the O(n·m) worst case of a
+    * range-join formulation. This is the classic event-ordering trick
+    * (e.g. Flink/KDB as-of semantics) expressed in pure DataFrame ops.
+    *
+    * Inputs must both carry `keyCol` and long `timeCol`. Right rows should
+    * be unique per (key, time) — pre-aggregate if not, or ties are broken
+    * by sort order of `payload`.
+    *
+    * @param payloadCol right-side column carried onto matching left rows
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, payloadCol: String): DataFrame = {
+    require(!left.columns.contains(payloadCol),
+      s"left already has a column named $payloadCol")
+    val l = left.withColumn("__kind", lit(1))
+    val r = right.select(
+      col(keyCol), col(timeCol), col(payloadCol).as("__p"), lit(0).as("__kind"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Right rows (kind 0) sort before left rows at equal time: `<=` semantics;
+    // ties among right rows resolve to the greatest payload.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("__kind"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(payloadCol, last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__kind") === 1)
+      .drop("__kind", "__p")
+  }
+
+  /** Range join: pairs (a, b) with equal key and `b.time` in
+    * `(a.time, a.time + windowLen]`. The equi-key conjunct keeps this a
+    * hash/sort-merge join with the band predicate applied post-match —
+    * at scale the key shuffle bounds the pair space to within-key. */
+  def rangeJoin(df: DataFrame, keyCol: String, timeCol: String,
+                idCol: String, windowLen: Long): DataFrame = {
+    val a = df.select(col(keyCol), col(timeCol).as("a_t"), col(idCol).as("a_id"))
+    val b = df.select(col(keyCol), col(timeCol).as("b_t"), col(idCol).as("b_id"))
+    a.join(b, Seq(keyCol))
+      .where(col("b_t") > col("a_t") && col("b_t") <= col("a_t") + windowLen)
+  }
+
+  /** Deterministic grouped top-k: `row_number` over (partition, ordering +
+    * tie-break) — partial top-k is pushed map-side by Spark's
+    * `WindowGroupLimit` optimization, so only k rows per key survive the
+    * shuffle. */
+  def topKPerGroup(df: DataFrame, partition: Seq[Column],
+                   ordering: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(ordering: _*)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+}

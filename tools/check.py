@@ -55,8 +55,9 @@ def main():
         elif len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_bad += 1
-        elif sorted(got) != sorted(exp):
-            diffs = [(g, e) for g, e in zip(sorted(got), sorted(exp)) if g != e]
+        elif sorted(got, key=repr) != sorted(exp, key=repr):
+            diffs = [(g, e) for g, e in
+                     zip(sorted(got, key=repr), sorted(exp, key=repr)) if g != e]
             print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[0]}")
             n_bad += 1
         else:
