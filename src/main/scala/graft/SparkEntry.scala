@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All query packs, one per engine area. */
   def packs: Seq[Q] =
-    CoreQueries.all ++ RelationalQueries.all
+    CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

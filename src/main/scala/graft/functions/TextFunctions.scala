@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks for the LLM-data-pipeline
+  * operators (dedup, language ID, quality scoring, fingerprinting). All are
+  * pure `org.apache.spark.sql.functions` compositions — codegen'd, no UDFs —
+  * and every primitive has an exact DuckDB-SQL equivalent so the pipelines
+  * built from them stay oracle-checkable (hashes are md5 hex strings, which
+  * both engines produce identically).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed text. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles ("w1 w2 w3") — the unit for MinHash /
+    * Jaccard near-dup detection. Empty array when fewer than n tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+    array_distinct(when(size(t) >= n, grams).otherwise(array()))
+  }
+
+  /** Lowercased, punctuation-stripped, whitespace-collapsed text — the
+    * canonical form for exact-after-normalization dedup. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Keyed md5 of a string: `md5(key || '|' || s)` — the family of
+    * independent hash functions behind MinHash (one per key). Hex output
+    * compares lexicographically == numerically (fixed width, lowercase). */
+  def keyedMd5(key: Column, s: Column): Column =
+    md5(concat(key.cast("string"), lit("|"), s).cast("binary"))
+
+  /** MinHash signature: for each of k hash functions, the minimum keyed-md5
+    * over the shingle set. Returns array<string> of length k (nulls when the
+    * shingle set is empty). */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => keyedMd5(i, s))))
+
+  /** LSH band digests: split the k-row signature into `bands` bands of
+    * `rows` rows and hash each band. Returns array<struct<band_idx,band_hash>>
+    * ready to posexplode into the bucket-join. */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      struct(
+        lit(j).as("band_idx"),
+        md5(concat_ws("|", slice(signature, j * rows + 1, rows)).cast("binary"))
+          .as("band_hash"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two distinct-element arrays. Integer-count
+    * division — bit-identical in any engine. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Polynomial rolling hash (mod 1e9+7, base 31) over the characters of a
+    * string — the classic document-fingerprint primitive, expressed as a
+    * sequential fold so any engine reproduces it exactly. */
+  def rollingHash(s: Column): Column =
+    when(length(s) > 0,
+      aggregate(sequence(lit(1), length(s)), lit(0L),
+        (acc, i) => pmod(acc * 31 + ascii(s.substr(i, lit(1))), lit(1000000007L))))
+      .otherwise(lit(0L))
+
+  /** Hamming distance between two equal-length bit strings ('0'/'1'). */
+  def hammingDistance(a: Column, b: Column, bits: Int): Column =
+    aggregate(sequence(lit(1), lit(bits)), lit(0),
+      (acc, i) => acc +
+        when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
+
+  /** Language marker-word sets for the n-gram-heuristic language ID.
+    * Priority order = tie-break order. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and|of|to|in|is|that|it|for)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu|den|mit)\\b",
+    "fr" -> "\\b(le|la|les|et|est|pas|une|pour|que|dans)\\b",
+    "es" -> "\\b(el|los|las|y|es|no|una|por|con|para)\\b")
+
+  /** Marker-hit count for one language pattern (non-overlapping matches). */
+  def langScore(text: Column, pattern: String): Column =
+    regexp_count(lower(text), lit(pattern)).cast("long")
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (the
+  * training-data-pipeline core): exact, MinHash+LSH, length-banded n-gram
+  * Jaccard, SimHash, and embedding-cosine near-dup. Each DuckDB oracle
+  * mirrors the Spark pipeline hash-for-hash (md5 hex), so candidate
+  * generation and verification agree exactly across engines.
+  */
+object DedupQueries {
+
+  /** Shared oracle CTEs: whitespace tokens → distinct 3-gram shingles. */
+  private val shinglesCte =
+    "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+      "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks)"
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup by content hash.
+    Q("dedup_exact",
+      "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("text_hash"))
+    },
+
+    // MinHash (k=12) + LSH (4 bands × 3 rows) near-dup pairs, exact-Jaccard
+    // verified at tau=0.5. The oracle replays the identical pipeline: same
+    // keyed-md5 hash family, same banding, same verify.
+    Q("dedup_minhash_lsh",
+      s"WITH $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, " +
+        "md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s))::DOUBLE / " +
+        "len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard " +
+        "FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b) " +
+        "SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY id_a, id_b") {
+      (s, d) =>
+        Dedup.minhashLshPairs(Tables.documents(s, d), k = 12, bands = 4,
+            rows = 3, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Exact n-gram Jaccard over length-banded candidates (|n_chars diff| <=
+    // 10). The Spark plan generates candidates with the explode-bucket trick
+    // (equi join); the oracle's theta join yields the same pair set.
+    Q("dedup_ngram_jaccard",
+      s"WITH $shinglesCte, " +
+        "dd AS (SELECT sh.doc_id, sh.s, documents.n_chars FROM sh JOIN documents USING (doc_id)), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+        "FROM dd a JOIN dd b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10) " +
+        "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3 ORDER BY id_a, id_b") {
+      (s, d) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), maxDiff = 10,
+            threshold = 0.3)
+          .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash-64 over 3-gram shingles: 4×16-bit band candidates, Hamming <= 8.
+    Q("dedup_simhash",
+      s"WITH $shinglesCte, " +
+        "th AS (SELECT doc_id, md5(unnest(s)) AS h FROM sh), " +
+        "hx AS (SELECT doc_id, p, ascii(substr(h, CAST(p // 4 AS INT) + 1, 1)) AS c FROM th, range(0, 64) r(p)), " +
+        "bt AS (SELECT doc_id, p, CAST(FLOOR((CASE WHEN c <= 57 THEN c - 48 ELSE c - 87 END) " +
+        "/ POWER(2, 3 - (p % 4))) AS BIGINT) % 2 AS bit FROM hx), " +
+        "bits AS (SELECT doc_id, p, CASE WHEN SUM(2 * bit - 1) >= 0 THEN '1' ELSE '0' END AS ch " +
+        "FROM bt GROUP BY doc_id, p), " +
+        "sig AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash FROM bits GROUP BY doc_id), " +
+        "banded AS (SELECT doc_id, simhash, j, substr(simhash, CAST(j * 16 + 1 AS INT), 16) AS band " +
+        "FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb " +
+        "FROM banded a JOIN banded b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id), " +
+        "hd AS (SELECT id_a, id_b, CAST(list_sum(list_transform(range(1, 65), " +
+        "i -> CASE WHEN substr(sa, CAST(i AS INT), 1) != substr(sb, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming FROM cand) " +
+        "SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 8 ORDER BY id_a, id_b") {
+      (s, d) =>
+        Dedup.simhashPairs(
+            Dedup.simhashSignatures(s, Tables.documents(s, d)), maxHamming = 8)
+          .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Embedding-cosine near-dup over sign-bucket LSH candidates.
+    Q("dedup_embedding_cosine", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        s"eb AS (SELECT vec_id, v, $bucket AS bucket, " +
+        "sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm FROM e), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) " +
+        "/ (a.nrm * b.nrm), 6) AS cosine " +
+        "FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3 ORDER BY id_a, id_b"
+    }) { (s, d) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.3,
+          bucketBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+}

@@ -20,37 +20,44 @@ object RelationalQueries {
   val all: Seq[Q] = Seq(
 
     // TPC-H Q1 shape: the canonical scan→filter→partial/final agg pipeline.
+    // Money aggregates sum in scaled-integer space: each product is an exact
+    // 2/4/6-decimal rational, so ROUND(x*10^s)::BIGINT recovers it exactly in
+    // both engines and the integer sum is order-independent — double sums of
+    // products would be association-order-sensitive at the last bit.
     Q("q1_pricing_summary",
       "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
-        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
-        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
-        "ROUND(AVG(l_quantity), 6) AS avg_qty, " +
-        "ROUND(AVG(l_extendedprice), 6) AS avg_price, " +
-        "ROUND(AVG(l_discount), 6) AS avg_disc, " +
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price, " +
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price, " +
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge, " +
+        "SUM(l_quantity) / COUNT(*) AS avg_qty, " +
+        "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price, " +
+        "SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_disc, " +
         "COUNT(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus") {
       (s, d) =>
-        val disc  = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val disc   = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val charge = disc * (lit(1) + col("l_tax"))
+        def cents(c: org.apache.spark.sql.Column, scale: Double) =
+          sum(round(c * scale).cast("long")) / scale
         Tables.lineitem(s, d)
           .filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(disc), 2).as("sum_disc_price"),
-            round(sum(disc * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-            round(avg(col("l_quantity")), 6).as("avg_qty"),
-            round(avg(col("l_extendedprice")), 6).as("avg_price"),
-            round(avg(col("l_discount")), 6).as("avg_disc"),
+            cents(col("l_extendedprice"), 100.0).as("sum_base_price"),
+            cents(disc, 10000.0).as("sum_disc_price"),
+            cents(charge, 1000000.0).as("sum_charge"),
+            (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (cents(col("l_extendedprice"), 100.0) / count(lit(1))).as("avg_price"),
+            (cents(col("l_discount"), 100.0) / count(lit(1))).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
     // TPC-H Q3 shape: fact⋈fact⋈broadcast-dim, grouped revenue, top-k.
     Q("q3_shipping_priority",
-      "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+      "SELECT l_orderkey, SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue, " +
         "o_orderdate::DATE AS o_orderdate, o_orderpriority " +
         "FROM customer, orders, lineitem " +
         "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey " +
@@ -66,8 +73,8 @@ object RelationalQueries {
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
             col("o_orderpriority"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")) / 10000.0).as("revenue"))
           .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
             col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -311,7 +318,7 @@ object RelationalQueries {
 
     // TPC-H Q5 shape: 6-way join (3 broadcast dims), regional revenue.
     Q("q5_regional_revenue",
-      "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      "SELECT n_name, SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue " +
         "FROM customer, orders, lineitem, supplier, nation, region " +
         "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
         "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
@@ -333,8 +340,8 @@ object RelationalQueries {
           .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")) / 10000.0).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
     }
   )

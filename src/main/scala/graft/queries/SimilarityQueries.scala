@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table: exact brute-force cosine
+  * top-k (baseline) and sign-bucket LSH top-k (the scale path). Oracles
+  * mirror the arithmetic exactly (double-widened dot products, round-6
+  * cosine, id tie-break).
+  */
+object SimilarityQueries {
+
+  private val normsCte =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, len(v) + 1), " +
+      "i -> v[i] * v[i]))) AS nrm FROM e)"
+
+  val all: Seq[Q] = Seq(
+
+    // Exact top-5 cosine neighbors for query vectors vec_id < 10.
+    Q("sim_topk_bruteforce",
+      s"WITH $normsCte, " +
+        "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "scored AS (SELECT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS cosine FROM q, n c WHERE c.vec_id != qid), " +
+        "r AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+        "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 5 ORDER BY qid, rank") {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy(col("qid"), col("rank"))
+    },
+
+    // LSH-bucketed top-3: candidates restricted to the query's sign bucket.
+    Q("sim_lsh_topk", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"WITH $normsCte, " +
+        s"nb AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n), " +
+        "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < 10), " +
+        "scored AS (SELECT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS cosine FROM q JOIN nb c USING (bucket) WHERE c.vec_id != qid), " +
+        "r AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+        "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 3 ORDER BY qid, rank"
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+          bucketBits = 4)
+        .orderBy(col("qid"), col("rank"))
+    }
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents`: language ID (marker-word
+  * heuristic), quality scoring, token counting (whitespace + BPE-ish regex),
+  * and document fingerprinting (normalized md5 + polynomial rolling hash).
+  * All per-row narrow transforms — no shuffle at all at any scale — and
+  * every computation is mirrored exactly in the DuckDB oracle SQL.
+  */
+object TextQueries {
+
+  private val enPat = langMarkers.toMap.apply("en")
+
+  val all: Seq[Q] = Seq(
+
+    // Language ID: marker-word hit counts per language, argmax with a fixed
+    // priority tie-break (en > de > fr > es > und).
+    Q("text_langid", {
+      val scores = langMarkers.map { case (l, p) =>
+        s"len(regexp_extract_all(lower(text), '$p'))::BIGINT AS s_$l"
+      }.mkString(", ")
+      s"WITH s AS (SELECT doc_id, $scores FROM documents) " +
+        "SELECT doc_id, s_en, s_de, s_fr, s_es, " +
+        "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' " +
+        "WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' " +
+        "WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' " +
+        "WHEN s_es > 0 THEN 'es' ELSE 'und' END AS predicted " +
+        "FROM s ORDER BY doc_id"
+    }) { (s, d) =>
+      val withScores = langMarkers.foldLeft(Tables.documents(s, d)) {
+        case (df, (l, p)) => df.withColumn(s"s_$l", langScore(col("text"), p))
+      }
+      withScores.select(col("doc_id"), col("s_en"), col("s_de"), col("s_fr"),
+          col("s_es"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+              col("s_de") > 0, "de")
+            .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+            .when(col("s_es") > 0, "es")
+            .otherwise("und").as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: token stats, stopword ratio, punctuation ratio, and a
+    // weighted composite — the classic pre-training corpus filter features.
+    Q("text_quality",
+      "WITH f AS (SELECT doc_id, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens, " +
+        "length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_nonspace, " +
+        s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
+        "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct, " +
+        "length(text)::BIGINT AS n_len FROM documents) " +
+        "SELECT doc_id, n_tokens, " +
+        "n_nonspace / n_tokens::DOUBLE AS avg_token_len, " +
+        "stop_hits / n_tokens::DOUBLE AS stopword_ratio, " +
+        "n_punct / n_len::DOUBLE AS punct_ratio, " +
+        "0.4 * (stop_hits / n_tokens::DOUBLE) " +
+        "+ 0.3 * LEAST(1.0, n_tokens / 100.0) " +
+        "+ 0.3 * (1.0 - n_punct / n_len::DOUBLE) AS quality " +
+        "FROM f ORDER BY doc_id") { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
+        langScore(col("text"), enPat).as("stop_hits"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_len"))
+      // No rounding: per-row scalar math over identical inputs is
+      // bit-identical across engines, while round() at a decimal boundary
+      // (e.g. a composite landing exactly on .xxxx5) is NOT portable.
+      t.select(col("doc_id"), col("n_tokens"),
+          (col("n_nonspace") / col("n_tokens").cast("double")).as("avg_token_len"),
+          (col("stop_hits") / col("n_tokens").cast("double")).as("stopword_ratio"),
+          (col("n_punct") / col("n_len").cast("double")).as("punct_ratio"),
+          (lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0))
+            + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_len").cast("double")))
+            .as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting: whitespace tokens vs a BPE-ish regex segmentation.
+    Q("text_token_count",
+      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS ws_tokens, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens, " +
+        "length(text)::BIGINT AS n_len FROM documents ORDER BY doc_id") { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ws_tokens"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+            .cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Fingerprinting: md5 of the normalized text + a polynomial rolling hash
+    // (mod 1e9+7), both engine-portable.
+    Q("text_fingerprint",
+      "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT doc_id, md5(norm) AS norm_md5, " +
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(norm) + 1), " +
+        "i -> ascii(substr(norm, CAST(i AS INT), 1))::BIGINT)), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS rolling " +
+        "FROM n ORDER BY doc_id") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("norm", normText(col("text")))
+        .select(col("doc_id"),
+          md5(col("norm").cast("binary")).as("norm_md5"),
+          rollingHash(col("norm")).as("rolling"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
