@@ -14,7 +14,8 @@ object SparkEntry {
   /** All query packs, one per engine area. */
   def packs: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

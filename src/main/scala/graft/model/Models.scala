@@ -23,7 +23,8 @@ final case class FlagValue(flagged: Boolean, rollingPeriodStartUnix: Long)
 /** A deposit with its processing timestamp — the shape the streaming layer
   * consumes (the reference's Deposit has no time field; Goka uses wall clock,
   * /root/reference/detector/detector.go:57). */
-final case class TimedDeposit(walletId: String, amount: Double, tsUnix: Long)
+final case class TimedDeposit(walletId: String, amount: Double, tsUnix: Long,
+                              seq: Long = 0L)
 
 /** Wire shape of a flag event keyed by wallet (detector output + the manual
   * CLI injector, /root/reference/cmd/flag-wallet/main.go:26-33). */
