@@ -24,14 +24,16 @@ object Similarity {
 
   private def prep(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v"))) // once per vector, not per pair
 
   /** Exact top-k neighbors (by cosine) for each query vector. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = prep(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val q = prep(queries).select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
     val c = prep(emb)
     val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -44,14 +46,14 @@ object Similarity {
   def lshBucketTopK(emb: DataFrame, queries: DataFrame, k: Int,
                     bucketBits: Int = 4): DataFrame = {
     val q = prep(queries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         signBucket(col("v"), bucketBits).as("bucket"))
     val c = prep(emb)
       .withColumn("bucket", signBucket(col("v"), bucketBits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -55,7 +55,10 @@ object DedupQueries {
     // (equi join); the oracle's theta join yields the same pair set.
     Q("dedup_ngram_jaccard",
       s"WITH $shinglesCte, " +
-        "dd AS (SELECT sh.doc_id, sh.s, documents.n_chars FROM sh JOIN documents USING (doc_id)), " +
+        // Shingles are digested to 16-hex md5 prefixes (mirrors the Spark
+        // pipeline's cheap fixed-width set elements).
+        "hsh AS (SELECT doc_id, list_transform(s, x -> substr(md5(x), 1, 16)) AS s FROM sh), " +
+        "dd AS (SELECT hsh.doc_id, hsh.s, documents.n_chars FROM hsh JOIN documents USING (doc_id)), " +
         "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "len(list_intersect(a.s, b.s))::DOUBLE / " +
         "len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +

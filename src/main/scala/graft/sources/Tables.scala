@@ -36,8 +36,15 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings arrive as one small parquet file = ONE input
+    * partition, which would serialize the md5/shingle/vector compute that
+    * dominates the dedup and similarity pipelines. Spread rows across the
+    * executor threads up front — at real scale the source is already
+    * many-way partitioned and this is a no-op choice. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   /** Register every table as a temp view so `spark.sql` text queries work. */
   def registerAll(spark: SparkSession, dir: String): Unit =
