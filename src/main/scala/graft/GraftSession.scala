@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory for the graft engine — the configuration a
+  * deployment should start from, local or cluster.
+  *
+  *  - AQE on: runtime re-planning (skew-join splitting, partition
+  *    coalescing, dynamic broadcast) is the main defense at 100 TB where
+  *    static stats lie.
+  *  - RocksDB state store: the streaming processors' per-key state
+  *    (SURVEY §1.5) must spill past heap at production key counts.
+  *  - UTC + micros parquet timestamps: oracle-stable instants everywhere.
+  *  - shuffle partitions default to cluster parallelism, not Spark's 200.
+  */
+object GraftSession {
+
+  def builder(appName: String, master: Option[String] = None,
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    master.foreach(b.master)
+    shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
+    b
+  }
+
+  /** Local session sized for this machine. */
+  def local(appName: String): SparkSession = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val spark = builder(appName, Some(s"local[$cores]"), Some(cores))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

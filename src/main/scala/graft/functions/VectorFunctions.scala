@@ -14,8 +14,17 @@ object VectorFunctions {
   /** Widen an array<float> column to array<double>. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
+  /** Dot product of two equal-length double arrays — resolves to the native
+    * codegen'd [[graft.plans.DotProduct]] expression (registered by
+    * [[GraftFunctions.register]]; [[graft.sources.Tables.load]] does this
+    * automatically). Same left-to-right accumulation as [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** Pure higher-order-function dot product (no custom expression) — the
+    * portable reference implementation; interpreted, so slower on hot
+    * paths. Kept for tests and registry-free callers. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Remaining SURVEY §2.2 categories: event-time tumbling/sliding windows,
+  * session windows (batch `session_window`), JSON extraction, the string
+  * scalar library, exact percentiles, table generators (posexplode), and
+  * the SQL-text layer with a scalar subquery. */
+object ExtrasQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Tumbling event-time window (6 h), the batch form of the streaming
+    // `window()` aggregation; start emitted as epoch seconds.
+    Q("q_tumbling_window",
+      "SELECT (epoch_us(ts) // 21600000000) * 21600 AS ws, event_type, " +
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS total " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_seconds(col("w.start")).as("ws"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
+    // Sliding window (6 h window, 3 h slide): every event lands in 2 windows.
+    Q("q_sliding_window",
+      "SELECT ws, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total FROM " +
+        "(SELECT ((epoch_us(ts) // 1000000 - k * 10800) // 21600) * 21600 + k * 10800 AS ws, " +
+        "event_type, value FROM events, range(0, 2) r(k)) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_seconds(col("w.start")).as("ws"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
+    // Session window (30-min gap) per wallet — batch `session_window`;
+    // oracle = gaps-and-islands (sessions merge while gap <= 30 min,
+    // matching Spark's touching-windows-merge semantics).
+    Q("q_session_window",
+      "WITH e AS (SELECT user_id AS wallet_id, epoch_us(ts) AS us, value FROM events), " +
+        "m AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL " +
+        "OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY wallet_id ORDER BY us)), " +
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY wallet_id ORDER BY us " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT wallet_id, MIN(us) // 1000000 AS session_start, COUNT(*) AS n, " +
+        "ROUND(SUM(value), 2) AS total FROM g GROUP BY wallet_id, sid " +
+        "ORDER BY wallet_id, session_start") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id").as("wallet_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("wallet_id"), unix_seconds(col("w.start")).as("session_start"),
+          col("n"), col("total"))
+        .orderBy(col("wallet_id"), col("session_start"))
+    },
+
+    // JSON extraction from the events.props payload column.
+    Q("q_json_extract",
+      "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k " +
+        "FROM events ORDER BY event_id") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+
+    // String scalar library over customer names.
+    Q("q_string_library",
+      "SELECT c_custkey, upper(c_name) AS up, substr(c_name, 1, 8) AS pre, " +
+        "replace(c_name, 'Customer', 'C') AS rep, reverse(c_name) AS rev, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS pad, " +
+        "length(c_name)::BIGINT AS len, " +
+        "levenshtein(c_name, 'Customer#000000001')::BIGINT AS dist " +
+        "FROM customer ORDER BY c_custkey") { (s, d) =>
+      Tables.customer(s, d).select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          expr("replace(c_name, 'Customer', 'C')").as("rep"),
+          reverse(col("c_name")).as("rev"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("pad"),
+          length(col("c_name")).cast("long").as("len"),
+          levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("dist"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Exact percentiles (linear interpolation in both engines).
+    Q("q_percentiles",
+      "SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25, " +
+        "ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med, " +
+        "ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75 " +
+        "FROM orders GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("q25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("q75"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Table generator: positional token explode (UDTF category).
+    Q("q_posexplode_tokens",
+      "SELECT doc_id, i - 1 AS pos, t[i] AS token FROM " +
+        "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE doc_id < 20) x " +
+        "JOIN range(1, 1000) r(i) ON i <= len(t) ORDER BY doc_id, pos") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // SQL-text layer: the same engine through spark.sql over registered
+    // views, with an uncorrelated scalar subquery.
+    Q("q_sql_scalar_subquery",
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT 1.9 * avg(o_totalprice) FROM orders) " +
+        "ORDER BY o_orderkey") { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT 1.9 * avg(o_totalprice) FROM orders) " +
+        "ORDER BY o_orderkey")
+    }
+  )
+}

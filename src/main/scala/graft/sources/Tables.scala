@@ -16,8 +16,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // idempotent
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -46,7 +48,15 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
-  /** Register every table as a temp view so `spark.sql` text queries work. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view so `spark.sql` text queries work.
+    * Goes through the specialized loaders (events needs the TIMESTAMP(NANOS)
+    * handling; documents/embeddings get their parallelism spread). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "events" -> events, "documents" -> documents, "embeddings" -> embeddings)
+    names.foreach { n =>
+      loaders.getOrElse(n, (s: SparkSession, d: String) => load(s, d, n))(spark, dir)
+        .createOrReplaceTempView(n)
+    }
+  }
 }
