@@ -15,7 +15,7 @@ object SparkEntry {
   def packs: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      StreamQueries.all ++ ExtrasQueries.all
+      StreamQueries.all ++ ExtrasQueries.all ++ StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

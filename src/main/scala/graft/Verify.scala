@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // Write micros (not INT96) so any parquet reader sees the same instants.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // transformWithState state needs multiple column families.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Statistical aggregates, pivot, conditional aggregation, array stats,
+  * correlated subqueries, cross join, and the salted-aggregation skew
+  * guard (same oracle as the unsalted form — salting must not change the
+  * answer). */
+object StatsQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[Q] = Seq(
+
+    // Moments & correlation (both engines use online one-pass updates;
+    // round(6) absorbs merge-order ulps).
+    Q("q_stats_agg",
+      "SELECT l_returnflag, ROUND(stddev_samp(l_quantity), 6) AS sd_qty, " +
+        "ROUND(var_samp(l_quantity), 6) AS var_qty, " +
+        "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
+        "ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Pivot: event types to columns (fixed value list => fixed schema).
+    Q("q_pivot", {
+      val cols = EventTypes.map(t =>
+        s"COUNT(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")
+      s"SELECT date_trunc('day', ts)::DATE AS day, $cols " +
+        "FROM events GROUP BY 1 ORDER BY 1"
+    }) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .pivot("event_type", EventTypes)
+        .count()
+        .na.fill(0L, EventTypes)
+        .orderBy(col("day"))
+    },
+
+    // Conditional aggregation: FILTER / CASE-sum per wallet.
+    Q("q_conditional_agg",
+      "SELECT user_id AS wallet_id, " +
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, " +
+        "ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_total, " +
+        "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id").as("wallet_id"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          round(sum(when(col("event_type") === "purchase", col("value"))), 2)
+            .as("purchase_total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("wallet_id"))
+    },
+
+    // Array statistics per embedding — vec_dot (the native expression) in
+    // an oracle-checked query.
+    Q("q_array_stats",
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        "SELECT vec_id, list_min(v) AS vmin, list_max(v) AS vmax, " +
+        "ROUND(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), 6) AS sq_norm, " +
+        "len(v) AS dim FROM e ORDER BY vec_id") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          array_min(col("v")).as("vmin"),
+          array_max(col("v")).as("vmax"),
+          round(VectorFunctions.dot(col("v"), col("v")), 6).as("sq_norm"),
+          size(col("v")).cast("long").as("dim"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Correlated EXISTS through the SQL layer.
+    Q("q_exists_correlated",
+      "SELECT c_custkey FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 500000) " +
+        "ORDER BY c_custkey") { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("SELECT c_custkey FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 500000) " +
+        "ORDER BY c_custkey")
+    },
+
+    // Cross join (explicit cartesian, tiny dims only).
+    Q("q_cross_join",
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name") {
+      (s, d) =>
+        Tables.region(s, d).crossJoin(Tables.nation(s, d))
+          .select(col("r_name"), col("n_name"))
+          .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Salted two-phase aggregation — the hot-key skew guard: partial sums
+    // over (key, salt), final merge over key. MUST equal the plain
+    // aggregation, so it shares o9's oracle shape.
+    Q("o9_balance_salted",
+      "SELECT user_id AS wallet_id, ROUND(SUM(value), 2) AS balance " +
+        "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dep = graft.operators.DepositOps.deposits(Tables.events(s, d))
+      val salted = dep.withColumn("salt", pmod(hash(col("seq")), lit(8)))
+        .groupBy(col("wallet_id"), col("salt"))
+        .agg(sum(col("amount")).as("partial"))
+      salted.groupBy(col("wallet_id"))
+        .agg(round(sum(col("partial")), 2).as("balance"))
+        .orderBy(col("wallet_id"))
+    }
+  )
+}

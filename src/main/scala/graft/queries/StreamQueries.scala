@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.model.TimedDeposit
 import graft.sources.Tables
-import graft.streaming.{DepositStreams, DetectorLogic}
+import graft.streaming.{DepositStreams, DetectorLogic, DetectorProcessor}
 
 /** The REAL Structured Streaming pipeline (MemoryStream → detector →
   * flagger + collector, two chained streaming queries exactly like the
@@ -24,7 +24,8 @@ import graft.streaming.{DepositStreams, DetectorLogic}
 object StreamQueries {
 
   private def streamCheck(s: SparkSession, dir: String, windowSec: Long,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          useTws: Boolean = false): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
 
@@ -43,7 +44,10 @@ object StreamQueries {
     // Hop 1: deposits → detector → flag events (append, like flag_wallet).
     val in1 = MemoryStream[TimedDeposit]
     val detName = unique
-    val q1 = DepositStreams.detector(s, in1.toDS(), windowSec, threshold)
+    val detected =
+      if (useTws) DetectorProcessor.detect(s, in1.toDS(), windowSec, threshold)
+      else DepositStreams.detector(s, in1.toDS(), windowSec, threshold)
+    val q1 = detected
       .writeStream.format("memory").queryName(detName).outputMode("append").start()
     in1.addData(deposits.toSeq)
     q1.processAllAvailable(); q1.stop()
@@ -115,6 +119,12 @@ object StreamQueries {
     // Tuned so verdicts vary on the synthetic feed (1-day window, 300).
     Q("stream_check_tuned", checkSql(86400L, 300.0)) {
       (s, d) => streamCheck(s, d, 86400L, 300.0)
+    },
+    // Same tuned pipeline through the Spark 4 transformWithState detector
+    // (StatefulProcessor + RocksDB state store) — must match the same
+    // oracle as the flatMapGroupsWithState form.
+    Q("stream_check_tws", checkSql(86400L, 300.0)) {
+      (s, d) => streamCheck(s, d, 86400L, 300.0, useTws = true)
     }
   )
 }

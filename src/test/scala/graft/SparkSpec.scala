@@ -9,6 +9,10 @@ trait SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // transformWithState needs multiple column families => RocksDB provider
+    // (also the production choice, see GraftSession).
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

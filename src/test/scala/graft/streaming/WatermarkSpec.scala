@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Event-time + watermark behavior (SURVEY §2.2: absent from the
+  * reference, added in the engine): windowed aggregation that finalizes
+  * on watermark advance and drops too-late events, and
+  * dropDuplicatesWithinWatermark for at-least-once sources. */
+class WatermarkSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private val n = new AtomicInteger(100)
+  private def freshName = s"wm_${n.incrementAndGet()}"
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("windowed agg emits finalized windows; too-late events are dropped") {
+    val input = MemoryStream[(Timestamp, Double)]
+    val name = freshName
+    val agg = input.toDF().toDF("ts", "amount")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "2 minutes"))
+      .agg(sum(col("amount")).as("total"))
+      .select(unix_seconds(col("window.start")).as("ws"), col("total"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    // Window [0,120): two deposits.
+    input.addData(Seq((ts(10), 100.0), (ts(50), 200.0)))
+    q.processAllAvailable()
+    // Advance event time far enough that watermark (max - 1 min) passes
+    // 120 → the first window finalizes and emits.
+    input.addData(Seq((ts(400), 5.0)))
+    q.processAllAvailable()
+    // This event is 100s late — behind the watermark — and must be dropped.
+    input.addData(Seq((ts(60), 999.0)))
+    q.processAllAvailable()
+    // Close the second window too.
+    input.addData(Seq((ts(800), 1.0)))
+    q.processAllAvailable()
+    val rows = spark.table(name).as[(Long, Double)].collect().toMap
+    q.stop()
+    assert(rows(0L) == 300.0)     // 100+200, no late 999
+    assert(rows(400L / 120 * 120) == 5.0)
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes re-delivered events") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val name = freshName
+    val deduped = input.toDF().toDF("ts", "event_id", "amount")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    input.addData(Seq((ts(10), "e1", 5.0), (ts(20), "e2", 7.0)))
+    q.processAllAvailable()
+    // At-least-once redelivery of e1 within the watermark horizon.
+    input.addData(Seq((ts(30), "e1", 5.0), (ts(40), "e3", 9.0)))
+    q.processAllAvailable()
+    val got = spark.table(name).select(col("event_id")).as[String].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq("e1", "e2", "e3"))
+  }
+
+  test("transformWithState detector matches the flatMapGroupsWithState detector") {
+    val rnd = new scala.util.Random(13)
+    var t = 1000L
+    val deposits = (1 to 30).map { i =>
+      t += rnd.nextInt(100)
+      graft.model.TimedDeposit(s"w${i % 3}", rnd.nextInt(7000).toDouble, t, i.toLong)
+    }
+    def run(f: (org.apache.spark.sql.SparkSession,
+                org.apache.spark.sql.Dataset[graft.model.TimedDeposit]) =>
+                org.apache.spark.sql.Dataset[graft.model.KeyedFlagEvent]): Seq[(String, Boolean, Long)] = {
+      val input = MemoryStream[graft.model.TimedDeposit]
+      val name = freshName
+      val q = f(spark, input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      input.addData(deposits)
+      q.processAllAvailable()
+      val out = spark.table(name).as[graft.model.KeyedFlagEvent].collect()
+        .map(e => (e.walletId, e.flagRemoved, e.seq)).sortBy(_._3).toSeq
+      q.stop()
+      out
+    }
+    val viaTws  = run(DetectorProcessor.detect(_, _))
+    val viaFmgs = run(DepositStreams.detector(_, _))
+    assert(viaTws == viaFmgs)
+    assert(viaTws.size == deposits.size)
+  }
+}
