@@ -1,0 +1,64 @@
+package graft.service
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Drives the HTTP surface end-to-end: the FIXTURES.md §B scenarios
+  * through real POST/GET requests against the running service. */
+class DepositServiceSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val svc = new DepositService(spark)
+  private lazy val base = s"http://localhost:${svc.boundPort}"
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base/deposit"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def check(wallet: String): String =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base/check/$wallet")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  test("deposit -> check round trip flags at cumulative >= 10,000") {
+    assert(post("""{"wallet_id":"alice","amount":2000,"ts_unix":1000}""").statusCode() == 200)
+    assert(post("""{"wallet_id":"alice","amount":9000,"ts_unix":1060}""").statusCode() == 200)
+    assert(check("alice") ==
+      """{"wallet_id":"alice","balance":11000.0,"above_threshold":true}""")
+  }
+
+  test("amount <= 0 rejected with 422 (service.go:87-91)") {
+    assert(post("""{"wallet_id":"bob","amount":-5}""").statusCode() == 422)
+    assert(post("""{"wallet_id":"bob","amount":0}""").statusCode() == 422)
+    // Nothing was ingested.
+    assert(check("bob") ==
+      """{"wallet_id":"bob","balance":0.0,"above_threshold":false}""")
+  }
+
+  test("unknown wallet returns zero values with HTTP 200 (SURVEY §2.3.6)") {
+    assert(check("ghost") ==
+      """{"wallet_id":"ghost","balance":0.0,"above_threshold":false}""")
+  }
+
+  test("reset-discard quirk over HTTP: deposit 130 s later is not counted") {
+    assert(post("""{"wallet_id":"carol","amount":9000,"ts_unix":5000}""").statusCode() == 200)
+    assert(post("""{"wallet_id":"carol","amount":9000,"ts_unix":5130}""").statusCode() == 200)
+    // Balance keeps both; the counter reset means no flag.
+    assert(check("carol") ==
+      """{"wallet_id":"carol","balance":18000.0,"above_threshold":false}""")
+  }
+
+  test("malformed body and wrong method get clean errors") {
+    assert(post("""not json at all""").statusCode() == 500)
+    assert(post("""{"amount": 5}""").statusCode() == 400)
+    val resp = client.send(HttpRequest.newBuilder(URI.create(s"$base/deposit")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 405)
+  }
+
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally if (test.name.contains("malformed")) svc.stop()
+}
