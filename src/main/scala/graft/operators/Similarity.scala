@@ -41,6 +41,47 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** IVF (inverted-file) top-k: vectors are assigned to their nearest
+    * centroid's cell; a query probes only its `nProbe` nearest cells. The
+    * cell id is the shuffle key — the IVF counterpart of [[lshBucketTopK]]'s
+    * sign bucket, with better-balanced cells on clustered data.
+    *
+    * Centroids here are the first `nCells` vectors (deterministic, so the
+    * DuckDB oracle can replay the assignment bit-for-bit); production would
+    * k-means-train them — the plumbing (assign → invert → probe → rescore)
+    * is identical and that is what this operator exercises.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val n = prep(emb).withColumn("n2", dot(col("v"), col("v")))
+    val cents = n.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    // Squared L2 distance to each centroid; rank 1 = home cell, <= nProbe =
+    // probe set. Ties break on centroid id (distances are bit-identical
+    // across engines, so the tie-break is portable).
+    def cellRank(vs: DataFrame) = vs.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        col("n2") + col("cn2") - lit(2) * dot(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+    val cells = cellRank(n).where(col("rn") === 1)
+      .select(col("vec_id").as("nid"), col("cid"), col("v").as("nv"),
+        sqrt(col("n2")).as("nn"))
+    val probes = cellRank(n.join(queries.select(col("vec_id")), "vec_id"))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid"), col("v").as("qv"),
+        sqrt(col("n2")).as("qn"))
+    val scored = probes.join(cells, "cid")
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: only candidates sharing the query's sign bucket are
     * scored. Recall < 1 by construction; bucketBits trades recall for cost. */
   def lshBucketTopK(emb: DataFrame, queries: DataFrame, k: Int,

@@ -211,6 +211,36 @@ object RelationalQueries {
           .orderBy(col("l_partkey"))
     },
 
+    // Multiset EXCEPT ALL: per-occurrence difference (keeps duplicates).
+    Q("q_except_all",
+      "SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01' " +
+        "EXCEPT ALL " +
+        "SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-05-01' " +
+        "ORDER BY l_partkey") {
+      (s, d) =>
+        val li = Tables.lineitem(s, d)
+        def in(y0: String, y1: String) =
+          li.filter(col("l_shipdate") >= lit(y0) && col("l_shipdate") < lit(y1))
+            .select(col("l_partkey"))
+        in("1995-01-01", "1995-03-01").exceptAll(in("1995-03-01", "1995-05-01"))
+          .orderBy(col("l_partkey"))
+    },
+
+    // Multiset INTERSECT ALL.
+    Q("q_intersect_all",
+      "SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01' " +
+        "INTERSECT ALL " +
+        "SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-05-01' " +
+        "ORDER BY l_partkey") {
+      (s, d) =>
+        val li = Tables.lineitem(s, d)
+        def in(y0: String, y1: String) =
+          li.filter(col("l_shipdate") >= lit(y0) && col("l_shipdate") < lit(y1))
+            .select(col("l_partkey"))
+        in("1995-01-01", "1995-03-01").intersectAll(in("1995-03-01", "1995-05-01"))
+          .orderBy(col("l_partkey"))
+    },
+
     // Exact distinct aggregates (expand + two-phase agg under the hood).
     Q("q_distinct_agg",
       "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, " +

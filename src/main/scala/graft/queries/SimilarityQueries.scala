@@ -53,6 +53,32 @@ object SimilarityQueries {
       Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
           bucketBits = 4)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // IVF top-3: nearest-centroid cells (centroids = first 16 vectors,
+    // deterministic so the oracle replays assignment exactly), 2-cell probe.
+    Q("sim_ivf_topk",
+      s"WITH $normsCte, " +
+        "c AS (SELECT vec_id AS cid, v AS cv, nrm * nrm AS cn2 FROM n WHERE vec_id < 16), " +
+        "a AS (SELECT n.vec_id, c.cid, nrm * nrm + cn2 - 2 * list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> v[i] * cv[i])) AS dist FROM n, c), " +
+        "ranked AS (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM a), " +
+        "cell AS (SELECT r.vec_id AS nid, r.cid, n.v AS nv, n.nrm AS nn " +
+        "FROM ranked r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1), " +
+        "probe AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn " +
+        "FROM ranked r JOIN n ON n.vec_id = r.vec_id WHERE r.rn <= 2 AND r.vec_id < 10), " +
+        "scored AS (SELECT qid, nid, ROUND(list_sum(list_transform(" +
+        "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
+        "FROM probe JOIN cell USING (cid) WHERE nid != qid), " +
+        "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+        "SELECT qid, rank, nid, cosine FROM r2 WHERE rank <= 3 ORDER BY qid, rank") {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+            nCells = 16, nProbe = 2)
+          .orderBy(col("qid"), col("rank"))
     }
   )
 }

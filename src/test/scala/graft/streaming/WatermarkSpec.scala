@@ -67,6 +67,31 @@ class WatermarkSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq("e1", "e2", "e3"))
   }
 
+  test("stream-stream interval join: purchase matches signup within 5 minutes") {
+    val purchases = MemoryStream[(Timestamp, String, Double)]
+    val signups = MemoryStream[(Timestamp, String)]
+    val name = freshName
+    val p = purchases.toDF().toDF("pts", "puser", "amount")
+      .withWatermark("pts", "10 minutes")
+    val sg = signups.toDF().toDF("sts", "suser")
+      .withWatermark("sts", "10 minutes")
+    val joined = p.join(sg,
+      expr("puser = suser AND pts >= sts AND pts <= sts + interval 5 minutes"),
+      "inner")
+      .select(col("puser"), col("amount"), unix_seconds(col("sts")).as("signup_at"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    signups.addData(Seq((ts(100), "u1"), (ts(100), "u2")))
+    purchases.addData(Seq(
+      (ts(160), "u1", 42.0),   // within 5 min of u1's signup -> match
+      (ts(500), "u1", 77.0),   // 400 s after signup -> no match
+      (ts(200), "u3", 99.0)))  // no signup at all -> no match
+    q.processAllAvailable()
+    val got = spark.table(name).as[(String, Double, Long)].collect().toSet
+    q.stop()
+    assert(got == Set(("u1", 42.0, 100L)))
+  }
+
   test("transformWithState detector matches the flatMapGroupsWithState detector") {
     val rnd = new scala.util.Random(13)
     var t = 1000L
