@@ -15,7 +15,8 @@ object SparkEntry {
   def packs: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      StreamQueries.all ++ ExtrasQueries.all ++ StatsQueries.all
+      StreamQueries.all ++ ExtrasQueries.all ++ StatsQueries.all ++
+      TpchMoreQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
