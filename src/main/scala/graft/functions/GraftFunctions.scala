@@ -10,7 +10,14 @@ import graft.plans.DotProduct
 object GraftFunctions {
 
   /** Idempotently register graft's native functions on a session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) {
+      registry.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      spark.udf.register("balance_stats",
+        org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
+    }
+  }
 }

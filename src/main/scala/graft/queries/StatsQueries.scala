@@ -101,6 +101,29 @@ object StatsQueries {
           .orderBy(col("r_name"), col("n_name"))
     },
 
+    // Custom typed UDAF (Aggregator): one-pass count/sum/min/max per wallet.
+    Q("q_custom_udaf",
+      "SELECT user_id AS wallet_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total, " +
+        "MIN(value) AS vmin, MAX(value) AS vmax " +
+        "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dep = graft.operators.DepositOps.deposits(Tables.events(s, d))
+      dep.groupBy(col("wallet_id"))
+        .agg(call_function("balance_stats", col("amount")).as("st"))
+        .select(col("wallet_id"), col("st.n").as("n"),
+          round(col("st.sum"), 2).as("total"),
+          col("st.min").as("vmin"), col("st.max").as("vmax"))
+        .orderBy(col("wallet_id"))
+    },
+
+    // Distinct projection (dropDuplicates shape).
+    Q("q_distinct_pairs",
+      "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source") {
+      (s, d) =>
+        Tables.documents(s, d).select(col("lang"), col("source"))
+          .dropDuplicates("lang", "source")
+          .orderBy(col("lang"), col("source"))
+    },
+
     // Salted two-phase aggregation — the hot-key skew guard: partial sums
     // over (key, salt), final merge over key. MUST equal the plain
     // aggregation, so it shares o9's oracle shape.
