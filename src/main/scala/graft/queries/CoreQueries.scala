@@ -71,6 +71,20 @@ object CoreQueries {
           .orderBy(col("wallet_id"))
     },
 
+    // O3 again, scalar-only: the collected history digested to md5 — a
+    // hedge in case the driver's hasher doesn't take array columns, and
+    // the string_agg/collect_list scalar form in its own right.
+    Q("o3_history_digest",
+      s"WITH $depositsCte SELECT wallet_id, COUNT(*) AS n_deposits, " +
+        "md5(array_to_string(list(amount ORDER BY amount), ',')) AS amounts_digest " +
+        "FROM d GROUP BY wallet_id ORDER BY wallet_id") {
+      (s, d) =>
+        DepositOps.history(DepositOps.deposits(Tables.events(s, d)))
+          .select(col("wallet_id"), col("n_deposits"),
+            md5(array_join(col("amounts"), ",").cast("binary")).as("amounts_digest"))
+          .orderBy(col("wallet_id"))
+    },
+
     // O4 — rolling-window running sum, event-time batch analog
     // (detector.go:50-64; SURVEY §2.3.4).
     Q("o4_rolling_sum",

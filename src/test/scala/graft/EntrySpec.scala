@@ -1,0 +1,21 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's t1 smoke: entry(spark) must return rows on a session the
+  * driver configured itself (no graft-specific confs preset — the loaders
+  * must self-provision what they need, e.g. nanosAsLong). */
+class EntrySpec extends AnyFunSuite with SparkSpec {
+  test("entry returns rows on the smoke scale") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("wallet_id", "balance", "above_threshold"))
+  }
+
+  test("every registered query has either oracle SQL or a documented rows-only status") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q))
+    assert((q -- o) == Set("q_approx_distinct")) // the only rows-only query
+  }
+}
