@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Capstone compositions: the operators assembled into the actual
+  * training-data-pipeline shapes — a corpus cleaning pass (quality gate →
+  * language gate → near-dup removal) and a corpus summary. These are what
+  * a user of the engine runs at 100 TB; each stage is one of the
+  * already-oracle-checked operators, and the composition is oracle-checked
+  * end-to-end too. */
+object PipelineQueries {
+
+  private val enPat = langMarkers.toMap.apply("en")
+
+  val all: Seq[Q] = Seq(
+
+    // Clean-corpus pass: docs surviving (1) stopword-ratio quality gate,
+    // (2) marker-language gate, (3) near-dup removal (keep-lowest-id rule
+    // over MinHash+LSH verified pairs — drop every id_b).
+    Q("pipeline_clean_corpus",
+      "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+        "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks), " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
+        "FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "dup AS (SELECT DISTINCT id_b FROM cand JOIN sh sa ON sa.doc_id = id_a " +
+        "JOIN sh sb ON sb.doc_id = id_b " +
+        "WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5), " +
+        "q AS (SELECT doc_id, " +
+        s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents) " +
+        "SELECT d.doc_id FROM documents d JOIN q USING (doc_id) " +
+        "WHERE q.stop_hits / q.n_tokens::DOUBLE >= 0.05 AND q.n_tokens >= 20 " +
+        "AND d.doc_id NOT IN (SELECT id_b FROM dup) ORDER BY d.doc_id") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dupIds = Dedup.minhashLshPairs(docs, k = 12, bands = 4, rows = 3,
+          threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs
+        .withColumn("stop_hits", langScore(col("text"), enPat))
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .where(col("stop_hits") / col("n_tokens").cast("double") >= 0.05 &&
+          col("n_tokens") >= 20)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus summary: one row of dataset-level statistics.
+    Q("pipeline_corpus_stats",
+      "SELECT COUNT(*) AS n_docs, " +
+        "SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens, " +
+        "SUM(n_chars) AS total_chars, " +
+        "COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources, " +
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
+        "FROM documents") { (s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }
+  )
+}
