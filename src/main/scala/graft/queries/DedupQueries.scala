@@ -93,6 +93,32 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Connected components over the MinHash near-dup graph: canonical
+    // keeper per duplicate cluster (handles chained pairs a~b~c).
+    Q("dedup_components",
+      s"WITH RECURSIVE $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
+        "FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "p AS (SELECT id_a, id_b FROM cand JOIN sh sa ON sa.doc_id = id_a " +
+        "JOIN sh sb ON sb.doc_id = id_b " +
+        "WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach AS (SELECT id AS a, id AS b FROM nodes " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
+        "SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a ORDER BY doc_id") {
+      (s, d) =>
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), k = 12,
+          bands = 4, rows = 3, threshold = 0.5)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("comp"))
+          .orderBy(col("doc_id"))
+    },
+
     // Embedding-cosine near-dup over sign-bucket LSH candidates.
     Q("dedup_embedding_cosine", {
       val bucket = (1 to 4).map(i =>
