@@ -122,6 +122,44 @@ object ExtrasQueries {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // LIKE predicates (prefix pushes down as StringStartsWith).
+    Q("q_like_prefix",
+      "SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_name LIKE 'Customer#00000001%' AND c_name NOT LIKE '%9' " +
+        "ORDER BY c_custkey") { (s, d) =>
+      Tables.customer(s, d)
+        .where(col("c_name").like("Customer#00000001%") &&
+          !col("c_name").like("%9"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Regexp capture-group extraction from the JSON-ish props string.
+    Q("q_regexp_extract",
+      "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .orderBy(col("event_id"))
+    },
+
+    // CSV source under the correctness contract: spill a projection to CSV,
+    // read it back, aggregate — must equal the same aggregate straight off
+    // parquet (which is what the oracle computes).
+    Q("q_csv_source",
+      "SELECT user_id AS wallet_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total " +
+        "FROM events GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val path = s"/tmp/graft_csv_${java.util.UUID.randomUUID().toString.take(8)}"
+      Tables.events(s, d).select(col("user_id"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("user_id LONG, value DOUBLE").csv(path)
+        .groupBy(col("user_id").as("wallet_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("wallet_id"))
+    },
+
     // SQL-text layer: the same engine through spark.sql over registered
     // views, with an uncorrelated scalar subquery.
     Q("q_sql_scalar_subquery",
