@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -34,6 +34,39 @@ object Similarity {
     val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
+  /** The query bucket plus every bucket at Hamming distance 1 (one sign
+    * plane flipped) — multi-probe LSH's probe set. Vectors near a
+    * hyperplane land on either side; probing the flipped buckets recovers
+    * them at bits+1 × the candidate cost instead of halving the bits. */
+  def multiProbeBuckets(bucket: Column, bits: Int): Column =
+    array(bucket +: (1 to bits).map { i =>
+      val flipped = when(substring(bucket, i, 1) === "1", "0").otherwise("1")
+      concat(substring(bucket, 1, i - 1), flipped,
+        substring(bucket, i + 1, bits - i))
+    }: _*)
+
+  /** Multi-probe LSH top-k: like [[lshBucketTopK]] but each query fans out
+    * to its bucket and all 1-bit neighbors before scoring. */
+  def lshMultiProbeTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                        bucketBits: Int = 4): DataFrame = {
+    val q = prep(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(multiProbeBuckets(signBucket(col("v"), bucketBits), bucketBits))
+          .as("bucket"))
+    val c = prep(emb)
+      .withColumn("bucket", signBucket(col("v"), bucketBits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+      .distinct() // a candidate can only match one bucket, but stay safe
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

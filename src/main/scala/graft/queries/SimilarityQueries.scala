@@ -55,6 +55,32 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Multi-probe LSH top-3: query bucket + all 1-bit-flip neighbors.
+    Q("sim_lsh_multiprobe", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      // Probe i=0 keeps the bucket; i=1..4 flips bit i.
+      val probes = "list_transform(range(0, 5), i -> CASE WHEN i = 0 THEN bucket " +
+        "ELSE substr(bucket, 1, CAST(i - 1 AS INT)) || " +
+        "(CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1' THEN '0' ELSE '1' END) || " +
+        "substr(bucket, CAST(i + 1 AS INT), CAST(4 - i AS INT)) END)"
+      s"WITH $normsCte, " +
+        s"nb AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n), " +
+        s"q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, unnest($probes) AS bucket " +
+        "FROM nb WHERE vec_id < 10), " +
+        "scored AS (SELECT DISTINCT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS cosine FROM q JOIN nb c USING (bucket) WHERE c.vec_id != qid), " +
+        "r AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+        "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 3 ORDER BY qid, rank"
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+          bucketBits = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // IVF top-3: nearest-centroid cells (centroids = first 16 vectors,
     // deterministic so the oracle replays assignment exactly), 2-cell probe.
     Q("sim_ivf_topk",
