@@ -26,6 +26,15 @@ object Similarity {
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v"))) // once per vector, not per pair
 
+  /** Deterministic rank-and-keep over scored (qid, nid, cosine) rows. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
   /** Exact top-k neighbors (by cosine) for each query vector. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = prep(queries).select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -34,11 +43,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** The query bucket plus every bucket at Hamming distance 1 (one sign
@@ -67,11 +72,7 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
       .distinct() // a candidate can only match one bucket, but stay safe
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) top-k: vectors are assigned to their nearest
@@ -108,11 +109,7 @@ object Similarity {
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed top-k: only candidates sharing the query's sign bucket are
@@ -128,10 +125,6 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+    rankTopK(scored, k)
   }
 }

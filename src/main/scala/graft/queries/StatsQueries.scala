@@ -137,6 +137,17 @@ object StatsQueries {
       salted.groupBy(col("wallet_id"))
         .agg(round(sum(col("partial")), 2).as("balance"))
         .orderBy(col("wallet_id"))
+    },
+
+    // Sketch-based percentiles: the 100-TB path where exact percentiles
+    // would sort every group. Rows-only (sketch differs from DuckDB);
+    // exactness is covered by q_percentiles.
+    Q.noOracle("q_approx_percentile") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("quartiles"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }

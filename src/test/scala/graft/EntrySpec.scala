@@ -16,6 +16,7 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert((q -- o) == Set("q_approx_distinct")) // the only rows-only query
+    // The sketch-based aggregates are the only rows-only queries.
+    assert((q -- o) == Set("q_approx_distinct", "q_approx_percentile"))
   }
 }
