@@ -67,6 +67,31 @@ class WatermarkSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq("e1", "e2", "e3"))
   }
 
+  test("streaming session window merges events within the gap and closes on watermark") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val name = freshName
+    val agg = input.toDF().toDF("ts", "user", "amount")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+      .select(col("user"), unix_seconds(col("w.start")).as("start"),
+        col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // Two events 100 s apart merge into one session; a third 1000 s later
+    // opens a second session.
+    input.addData(Seq((ts(100), "u1", 1.0), (ts(200), "u1", 2.0),
+      (ts(1200), "u1", 4.0)))
+    q.processAllAvailable()
+    // Advance the watermark far past both sessions to finalize them.
+    input.addData(Seq((ts(9000), "u2", 0.5)))
+    q.processAllAvailable()
+    val rows = spark.table(name).as[(String, Long, Long, Double)]
+      .collect().filter(_._1 == "u1").sortBy(_._2).toSeq
+    q.stop()
+    assert(rows == Seq(("u1", 100L, 2L, 3.0), ("u1", 1200L, 1L, 4.0)))
+  }
+
   test("stream-stream interval join: purchase matches signup within 5 minutes") {
     val purchases = MemoryStream[(Timestamp, String, Double)]
     val signups = MemoryStream[(Timestamp, String)]
