@@ -57,9 +57,15 @@ object TextFunctions {
     }: _*)
 
   /** Exact Jaccard similarity of two distinct-element arrays. Integer-count
-    * division — bit-identical in any engine. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    * division — bit-identical in any engine. Two EMPTY sets score 0 (not a
+    * divide-by-zero: ANSI mode throws on 0/0, and degenerate short docs all
+    * band-collide, so the guard is load-bearing); the oracle's NULL for the
+    * same case is threshold-filtered identically. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+  }
 
   /** Polynomial rolling hash (mod 1e9+7, base 31) over the characters of a
     * string — the classic document-fingerprint primitive, expressed as a
