@@ -73,11 +73,16 @@ object TextQueries {
       // No rounding: per-row scalar math over identical inputs is
       // bit-identical across engines, while round() at a decimal boundary
       // (e.g. a composite landing exactly on .xxxx5) is NOT portable.
+      // Zero-length text divides by zero (ANSI throws); mirror DuckDB's
+      // NULL for that degenerate row. (n_tokens is never 0: splitting an
+      // empty string still yields one empty token in both engines.)
+      def overLen(e: org.apache.spark.sql.Column) =
+        when(col("n_len") === 0, lit(null)).otherwise(e)
       t.select(col("doc_id"), col("n_tokens"),
           (col("n_nonspace") / col("n_tokens").cast("double")).as("avg_token_len"),
           (col("stop_hits") / col("n_tokens").cast("double")).as("stopword_ratio"),
-          (col("n_punct") / col("n_len").cast("double")).as("punct_ratio"),
-          (lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
+          overLen(col("n_punct") / col("n_len").cast("double")).as("punct_ratio"),
+          overLen(lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
             + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0))
             + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_len").cast("double")))
             .as("quality"))
