@@ -70,6 +70,46 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Character 8-gram Jaccard over normalized text (reorder/punctuation
+    // robust), length-banded like the word-ngram variant.
+    Q("dedup_char_jaccard",
+      "WITH nrm AS (SELECT doc_id, n_chars, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents), " +
+        "cs AS (SELECT doc_id, n_chars, CASE WHEN length(norm) >= 8 THEN " +
+        "list_distinct(list_transform(range(1, length(norm) - 6), " +
+        "i -> substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 16))) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS s FROM nrm), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN NULL " +
+        "ELSE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) END AS jaccard " +
+        "FROM cs a JOIN cs b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10) " +
+        "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.4 ORDER BY id_a, id_b") {
+      (s, d) =>
+        Dedup.charJaccardPairs(Tables.documents(s, d), k = 8, maxDiff = 10,
+            threshold = 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash similarity estimation: jaccard from signature agreement alone
+    // (the sub-linear path), reported next to the exact value.
+    Q("dedup_minhash_estimate",
+      s"WITH $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
+        "FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT id_a, id_b, " +
+        "len(list_filter(list_transform(range(1, 13), i -> sa.sig[i] = sb.sig[i]), x -> x))::DOUBLE / 12 AS est_jaccard, " +
+        "len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard " +
+        "FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b) " +
+        "SELECT id_a, id_b, est_jaccard, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY id_a, id_b") {
+      (s, d) =>
+        Dedup.minhashEstimatedPairs(Tables.documents(s, d))
+          .orderBy(col("id_a"), col("id_b"))
+    },
+
     // SimHash-64 over 3-gram shingles: 4×16-bit band candidates, Hamming <= 8.
     Q("dedup_simhash",
       s"WITH $shinglesCte, " +
