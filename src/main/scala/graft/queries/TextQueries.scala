@@ -103,6 +103,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus vocabulary: top-20 tokens by frequency (explode → count → top-k).
+    Q("text_vocab_topk",
+      "SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df FROM " +
+        "(SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 20") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+
     // Fingerprinting: md5 of the normalized text + a polynomial rolling hash
     // (mod 1e9+7), both engine-portable.
     Q("text_fingerprint",
