@@ -63,12 +63,19 @@ object CoreQueries {
     },
 
     // O3 — per-key append aggregation = deposit history (collector.go:17-29).
+    // Driver-shaped: the collected array is posexploded back to scalar rows
+    // (wallet_id, pos, amount) — the driver's compare cannot sort/hash array
+    // cells. The raw-array form stays available as DepositOps.history; ties
+    // in amount yield identical rows, so row_number tie order is immaterial.
     Q("o3_history",
-      s"WITH $depositsCte SELECT wallet_id, list(amount ORDER BY amount) AS amounts, " +
-        "COUNT(*) AS n_deposits FROM d GROUP BY wallet_id ORDER BY wallet_id") {
+      s"WITH $depositsCte SELECT wallet_id, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY wallet_id ORDER BY amount) - 1 AS BIGINT) AS pos, " +
+        "amount FROM d ORDER BY wallet_id, pos") {
       (s, d) =>
         DepositOps.history(DepositOps.deposits(Tables.events(s, d)))
-          .orderBy(col("wallet_id"))
+          .select(col("wallet_id"), posexplode(col("amounts")).as(Seq("pos", "amount")))
+          .select(col("wallet_id"), col("pos").cast("long").as("pos"), col("amount"))
+          .orderBy(col("wallet_id"), col("pos"))
     },
 
     // O3 again, scalar-only: the collected history digested to md5 — a

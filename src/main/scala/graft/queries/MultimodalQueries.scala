@@ -45,11 +45,13 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Frame sampling: one row per 256-byte frame of each payload.
+    // Frame sampling: one row per 256-byte frame of each payload. The frame
+    // generator is keyed to each payload's own length (no fixed cap — a
+    // hard-coded range bound would silently truncate payloads ≥ 4 KiB).
     Q("mm_frame_sample",
       "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(f * 256 AS BIGINT) AS frame_off " +
-        "FROM documents JOIN range(0, 16) r(f) " +
-        "ON f <= octet_length(encode(text)) // 256 ORDER BY doc_id, frame_idx") {
+        "FROM (SELECT doc_id, unnest(range(0, octet_length(encode(text)) // 256 + 1)) AS f " +
+        "FROM documents) ORDER BY doc_id, frame_idx") {
       (s, d) =>
         Multimodal.frameSample(Multimodal.binaryDocs(Tables.documents(s, d)))
           .orderBy(col("doc_id"), col("frame_idx"))

@@ -57,9 +57,12 @@ object PipelineQueries {
 
     // Corpus summary: one row of dataset-level statistics.
     Q("pipeline_corpus_stats",
+      // SUMs cast ::BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which the
+      // driver's arrow path renders as decimal/float and hash-mismatches
+      // Spark's int64 even when the values are equal.
       "SELECT COUNT(*) AS n_docs, " +
-        "SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens, " +
-        "SUM(n_chars) AS total_chars, " +
+        "CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
         "COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources, " +
         "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
         "FROM documents") { (s, d) =>

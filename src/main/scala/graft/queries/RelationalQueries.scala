@@ -257,12 +257,23 @@ object RelationalQueries {
     },
 
     // Sketch-based distinct (HLL++): the 100-TB path where exact distinct
-    // would shuffle every key. Not DuckDB-oracle-able (different sketch) —
-    // rows-only check; exactness is covered by q_distinct_agg.
-    Q.noOracle("q_approx_distinct") { (s, d) =>
+    // would shuffle every key. The sketch value is not DuckDB-replayable,
+    // so the oracle-able output is the exact distinct plus a boolean
+    // asserting the HLL++ estimate (rsd 0.01) landed within 5% — both
+    // deterministic (oracle side is literal TRUE).
+    Q("q_approx_distinct",
+      "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, " +
+        "TRUE AS within_tol FROM lineitem GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .withColumn("within_tol",
+          abs(col("approx_parts") - col("exact_parts")) /
+            col("exact_parts").cast("double") <= 0.05)
+        .select(col("l_returnflag"), col("exact_parts"), col("within_tol"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -140,13 +140,32 @@ object StatsQueries {
     },
 
     // Sketch-based percentiles: the 100-TB path where exact percentiles
-    // would sort every group. Rows-only (sketch differs from DuckDB);
-    // exactness is covered by q_percentiles.
-    Q.noOracle("q_approx_percentile") { (s, d) =>
+    // would sort every group. The sketch itself is not DuckDB-replayable
+    // (different algorithm), so the oracle-able output is the exact
+    // quartiles (Spark `percentile` == DuckDB `quantile_cont`) plus a
+    // boolean asserting the sketch landed within 5% relative error —
+    // deterministic in both engines (oracle side is literal TRUE).
+    Q("q_approx_percentile",
+      "SELECT o_orderstatus, " +
+        "ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25, " +
+        "ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50, " +
+        "ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75, " +
+        "TRUE AS approx_within_tol " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus") { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
-          .as("quartiles"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
+            .as("approx"))
+        .withColumn("approx_within_tol",
+          (abs(element_at(col("approx"), 1) - col("p25")) / col("p25") <= 0.05) &&
+          (abs(element_at(col("approx"), 2) - col("p50")) / col("p50") <= 0.05) &&
+          (abs(element_at(col("approx"), 3) - col("p75")) / col("p75") <= 0.05))
+        .select(col("o_orderstatus"), col("p25"), col("p50"), col("p75"),
+          col("approx_within_tol"))
         .orderBy(col("o_orderstatus"))
     }
   )
