@@ -16,7 +16,8 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    // The sketch-based aggregates are the only rows-only queries.
-    assert((q -- o) == Set("q_approx_distinct", "q_approx_percentile"))
+    // Every registered query now carries oracle SQL (the sketch-based
+    // aggregates got exact+tolerance oracles in round 2).
+    assert((q -- o).isEmpty)
   }
 }
