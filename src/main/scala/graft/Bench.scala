@@ -3,13 +3,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main: times every registered query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract). Queries
-  * run in sorted-name order after a warmup pass so JIT/codegen/parquet-
-  * footer costs don't land on whichever query happens to run first. */
+  * SPARK_GRAFT_SF_DIR over SPARK_GRAFT_BENCH_RUNS iterations (default 3)
+  * and reports per-query MEDIANS — the streaming pipelines stand up a full
+  * MemoryStream→RocksDB topology per run and single samples swing 2-3×
+  * with host load (PERF.md), so medians are the signal.
+  *
+  * Output: one JSON line with the per-query medians, then a SHORT
+  * total-only JSON line. The short line is printed last so a tail capture
+  * that truncates the big line still gets a parseable total; both lines
+  * carry the same "metric":"total" value (sum of per-query medians).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,15 +37,29 @@ object Bench {
     try sources.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = names.map { n =>
+      n -> median(samples.map(_.toMap.apply(n)))
+    }
+    def r4(x: Double): String = f"$x%.4f"
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    // Short, truncation-proof summary LAST (tail captures keep it whole).
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

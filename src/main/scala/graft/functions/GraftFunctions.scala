@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import graft.plans.DotProduct
+import graft.serde._
 
 /** Registration of graft's native Catalyst expressions as SQL functions —
   * the public entry points go through `call_function`, which resolves
@@ -18,6 +19,28 @@ object GraftFunctions {
         "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
+      // O12 wire serde — the reference's five protobuf message types as
+      // codegen'd encode/decode expressions (graft.serde.ProtoWire).
+      registry.createOrReplaceTempFunction(
+        "proto_encode_deposit", e => ProtoEncodeDeposit(e(0), e(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "proto_decode_deposit", e => ProtoDecodeDeposit(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "proto_encode_history", e => ProtoEncodeHistory(e(0), e(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "proto_decode_history", e => ProtoDecodeHistory(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "proto_encode_counter", e => ProtoEncodeCounter(e(0), e(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "proto_decode_counter", e => ProtoDecodeCounter(e(0)), "built-in")
+      registry.createOrReplaceTempFunction("proto_encode_flag_event",
+        e => ProtoEncodeBoolInt64(e(0), e(1), "proto_encode_flag_event"), "built-in")
+      registry.createOrReplaceTempFunction("proto_decode_flag_event",
+        e => ProtoDecodeBoolInt64(e(0), ProtoSchemas.flagEvent, "proto_decode_flag_event"), "built-in")
+      registry.createOrReplaceTempFunction("proto_encode_flag_value",
+        e => ProtoEncodeBoolInt64(e(0), e(1), "proto_encode_flag_value"), "built-in")
+      registry.createOrReplaceTempFunction("proto_decode_flag_value",
+        e => ProtoDecodeBoolInt64(e(0), ProtoSchemas.flagValue, "proto_decode_flag_value"), "built-in")
     }
   }
 }

@@ -3,47 +3,42 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.types._
 import graft.model.{KeyedFlagEvent, TimedDeposit}
 
 /** Production wiring of the reference's Kafka topology
   * (/root/reference/docker-compose.yml + cmd/processor/main.go): topic
   * `deposit` → collector + detector (independent consumer groups, i.e. two
   * streaming queries on the same source), detector → topic `flag_wallet` →
-  * flagger. Serde is JSON (`from_json`/`to_json` with explicit schemas);
-  * the reference's protobuf wire format (depositaja.go:14-34) drops in via
-  * the spark-protobuf `from_protobuf` functions where that jar is deployed
-  * — this container ships neither the Kafka connector nor spark-protobuf,
-  * so this module resolves its formats at runtime (strings only) and is
+  * flagger. Serde is the reference's protobuf wire format
+  * (depositaja.go:14-34), implemented natively in [[graft.serde.ProtoWire]]
+  * and applied here as codegen'd `proto_encode_*`/`proto_decode_*`
+  * expressions — byte-for-byte compatible with the Go producers/consumers
+  * (this container ships neither the Kafka connector nor spark-protobuf,
+  * so the topology resolves its source/sink format at runtime and is
   * exercised on a cluster, while [[DepositStreams]] + MemoryStream cover
-  * the operator semantics under test.
+  * the operator semantics and [[graft.serde.ProtoWire]] has golden-byte
+  * wire tests under test).
   */
 object KafkaTopology {
 
   val DepositTopic   = "deposit"     // depositaja.go:11
   val FlagTopic      = "flag_wallet" // flagger.go:15
 
-  val depositSchema: StructType = StructType(Seq(
-    StructField("wallet_id", StringType),
-    StructField("amount", DoubleType)))
-
-  val flagEventSchema: StructType = StructType(Seq(
-    StructField("flag_removed", BooleanType),
-    StructField("rolling_period_start_unix", LongType)))
-
   /** O1: Kafka → validated, keyed deposit stream. The broker ingestion
     * timestamp supplies processing time (the reference stamps wall clock at
     * the consumer, detector.go:57; broker time is the deterministic
-    * equivalent), the offset supplies the LWW sequence. */
+    * equivalent), the offset supplies the LWW sequence. Values are proto
+    * `Deposit` messages (wallet.proto:14-17). */
   def depositSource(spark: SparkSession, brokers: String): Dataset[TimedDeposit] = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", DepositTopic)
       .load()
       .select(
-        from_json(col("value").cast("string"), depositSchema).as("d"),
+        call_function("proto_decode_deposit", col("value")).as("d"),
         col("timestamp"), col("offset"))
       .select(
         col("d.wallet_id").as("walletId"),
@@ -55,29 +50,33 @@ object KafkaTopology {
   }
 
   /** O6 sink: detector verdicts → flag_wallet topic, keyed by wallet (the
-    * manual flag CLI, O11, produces to the same topic). */
+    * manual flag CLI, O11, produces to the same topic). Values are proto
+    * `FlagEvent` messages (flagger.proto:15-18). */
   def flagEventSink(events: Dataset[KeyedFlagEvent], brokers: String,
-                    checkpoint: String): DataStreamWriter[_] =
+                    checkpoint: String): DataStreamWriter[_] = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
     events
       .select(col("walletId").as("key"),
-        to_json(struct(col("flagRemoved").as("flag_removed"),
-          col("rollingPeriodStartUnix").as("rolling_period_start_unix"))).as("value"))
+        call_function("proto_encode_flag_event",
+          col("flagRemoved"), col("rollingPeriodStartUnix")).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", FlagTopic)
       .option("checkpointLocation", checkpoint)
+  }
 
   /** O6 source side of the flagger (flagger.go:62). */
   def flagEventSource(spark: SparkSession, brokers: String): Dataset[KeyedFlagEvent] = {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", FlagTopic)
       .load()
       .select(col("key").cast("string").as("walletId"),
-        from_json(col("value").cast("string"), flagEventSchema).as("e"),
+        call_function("proto_decode_flag_event", col("value")).as("e"),
         col("offset").as("seq"))
       .select(col("walletId"), col("e.flag_removed").as("flagRemoved"),
         col("e.rolling_period_start_unix").as("rollingPeriodStartUnix"),
