@@ -17,6 +17,8 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) {
       registry.createOrReplaceTempFunction(
         "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "vec_dist2", exprs => graft.plans.L2Dist2(exprs(0), exprs(1)), "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
       // O12 wire serde — the reference's five protobuf message types as

@@ -27,6 +27,11 @@ object VectorFunctions {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Squared L2 distance — native codegen'd [[graft.plans.L2Dist2]];
+    * left-to-right accumulation, the k-means assignment kernel. */
+  def dist2(a: Column, b: Column): Column =
+    call_function("vec_dist2", a, b)
+
   /** L2 norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -75,36 +75,73 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Fixed-iteration, seeded Lloyd k-means over the embedding column —
+    * the IVF centroid trainer. Deterministic and oracle-replayable by
+    * construction: seeds are the first `nCells` vectors by id, each
+    * iteration's assignment ranks the codegen'd left-to-right
+    * [[graft.plans.L2Dist2]] distance rounded to a 6-dp grid with a
+    * centroid-id tie-break, and new centroid components are per-dimension
+    * means rounded onto the same grid — so a DuckDB replay of the same
+    * arithmetic reproduces every assignment bit-for-bit.
+    *
+    * Scale shape: the canonical distributed k-means — per-iteration work is
+    * one broadcast of k·d doubles, one codegen'd assignment pass over the
+    * vectors, and one partial-aggregated per-(cell, dim) mean; nothing
+    * driver-side grows with n. `localCheckpoint` bounds plan depth across
+    * iterations (fixed, small count).
+    */
+  def trainIvfCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("dist", round(dist2(col("v"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      cents = assigned.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("val")), 6).as("val"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
+          .as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) top-k: vectors are assigned to their nearest
     * centroid's cell; a query probes only its `nProbe` nearest cells. The
     * cell id is the shuffle key — the IVF counterpart of [[lshBucketTopK]]'s
     * sign bucket, with better-balanced cells on clustered data.
     *
-    * Centroids here are the first `nCells` vectors (deterministic, so the
-    * DuckDB oracle can replay the assignment bit-for-bit); production would
-    * k-means-train them — the plumbing (assign → invert → probe → rescore)
-    * is identical and that is what this operator exercises.
+    * `trainIters` > 0 k-means-trains the centroids ([[trainIvfCentroids]]);
+    * 0 keeps the untrained first-`nCells` seeds (the plumbing baseline).
+    * Assignment distance is the rounded [[graft.plans.L2Dist2]] with a cid
+    * tie-break in both modes, so the DuckDB oracle replays it exactly.
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
-              nProbe: Int = 2): DataFrame = {
-    val n = prep(emb).withColumn("n2", dot(col("v"), col("v")))
-    val cents = n.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    // Squared L2 distance to each centroid; rank 1 = home cell, <= nProbe =
-    // probe set. Ties break on centroid id (distances are bit-identical
-    // across engines, so the tie-break is portable).
+              nProbe: Int = 2, trainIters: Int = 0): DataFrame = {
+    val n = prep(emb)
+    val cents =
+      if (trainIters > 0) trainIvfCentroids(emb, nCells, trainIters)
+      else n.select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
+        .filter(col("cid") < nCells)
     def cellRank(vs: DataFrame) = vs.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        col("n2") + col("cn2") - lit(2) * dot(col("v"), col("cv")))
+      .withColumn("dist", round(dist2(col("v"), col("cv")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
     val cells = cellRank(n).where(col("rn") === 1)
       .select(col("vec_id").as("nid"), col("cid"), col("v").as("nv"),
-        sqrt(col("n2")).as("nn"))
+        col("nrm").as("nn"))
     val probes = cellRank(n.join(queries.select(col("vec_id")), "vec_id"))
       .where(col("rn") <= nProbe)
       .select(col("vec_id").as("qid"), col("cid"), col("v").as("qv"),
-        sqrt(col("n2")).as("qn"))
+        col("nrm").as("qn"))
     val scored = probes.join(cells, "cid")
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
