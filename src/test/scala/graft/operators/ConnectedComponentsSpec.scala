@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 
-/** Min-label propagation must collapse chained duplicate pairs into one
-  * component — the case the naive drop-id_b rule gets wrong. */
+/** Connected components must collapse chained duplicate pairs into one
+  * component — the case the naive drop-id_b rule gets wrong — and must do
+  * it in rounds logarithmic in the chain length (large-star/small-star),
+  * not proportional to it (min-label propagation). */
 class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
@@ -24,5 +26,22 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
     assert(comp.values.toSet == Set(1L))
+  }
+
+  test("a 500-node chain resolves in O(log n) rounds, not O(diameter)") {
+    // Min-label propagation needs ~499 rounds here; large-star/small-star
+    // must finish inside a 12-round budget.
+    val pairs = (1L until 500L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 500)
+    assert(comp.values.toSet == Set(1L))
+  }
+
+  test("self-pairs and reversed duplicate edges are harmless") {
+    val pairs = Seq((5L, 5L), (2L, 1L), (1L, 2L), (3L, 2L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp(5L) == 5L)
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
   }
 }
