@@ -22,6 +22,25 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Data-size-derived sign-LSH width: the smallest `bits` whose 2^bits
+    * buckets hold ≤ `targetBucketRows` vectors each in expectation, so the
+    * per-bucket candidate-pair space (~bucketRows²/2) stays bounded as the
+    * corpus grows — pair cost halves per added bit (measured sweep in
+    * PERF.md) while multi-probe recovers the recall the narrower buckets
+    * would lose. Clamped to [2, 24] (4 buckets minimum; 16M buckets is
+    * past any realistic executor count).
+    */
+  def lshBitsFor(nRows: Long, targetBucketRows: Long = 32): Int = {
+    val raw = math.ceil(math.log(math.max(1L, nRows).toDouble / targetBucketRows)
+      / math.log(2)).toInt
+    math.max(2, math.min(24, raw))
+  }
+
+  /** Resolve an explicit bits parameter: 0 = derive from the corpus size
+    * (one count — metadata-cheap on parquet sources). */
+  private def resolveBits(emb: DataFrame, bucketBits: Int): Int =
+    if (bucketBits > 0) bucketBits else lshBitsFor(emb.count())
+
   private def prep(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v"))) // once per vector, not per pair
@@ -60,13 +79,14 @@ object Similarity {
   /** Multi-probe LSH top-k: like [[lshBucketTopK]] but each query fans out
     * to its bucket and all 1-bit neighbors before scoring. */
   def lshMultiProbeTopK(emb: DataFrame, queries: DataFrame, k: Int,
-                        bucketBits: Int = 4): DataFrame = {
+                        bucketBits: Int = 0): DataFrame = {
+    val bits = resolveBits(emb, bucketBits)
     val q = prep(queries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(multiProbeBuckets(signBucket(col("v"), bucketBits), bucketBits))
+        explode(multiProbeBuckets(signBucket(col("v"), bits), bits))
           .as("bucket"))
     val c = prep(emb)
-      .withColumn("bucket", signBucket(col("v"), bucketBits))
+      .withColumn("bucket", signBucket(col("v"), bits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -152,12 +172,13 @@ object Similarity {
   /** LSH-bucketed top-k: only candidates sharing the query's sign bucket are
     * scored. Recall < 1 by construction; bucketBits trades recall for cost. */
   def lshBucketTopK(emb: DataFrame, queries: DataFrame, k: Int,
-                    bucketBits: Int = 4): DataFrame = {
+                    bucketBits: Int = 0): DataFrame = {
+    val bits = resolveBits(emb, bucketBits)
     val q = prep(queries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        signBucket(col("v"), bucketBits).as("bucket"))
+        signBucket(col("v"), bits).as("bucket"))
     val c = prep(emb)
-      .withColumn("bucket", signBucket(col("v"), bucketBits))
+      .withColumn("bucket", signBucket(col("v"), bits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
