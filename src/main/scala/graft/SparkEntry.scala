@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       StreamQueries.all ++ ExtrasQueries.all ++ StatsQueries.all ++
-      TpchMoreQueries.all ++ PipelineQueries.all ++ SerdeQueries.all
+      TpchMoreQueries.all ++ PipelineQueries.all ++ SerdeQueries.all ++
+      SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

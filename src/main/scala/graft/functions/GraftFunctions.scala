@@ -43,6 +43,23 @@ object GraftFunctions {
         e => ProtoEncodeBoolInt64(e(0), e(1), "proto_encode_flag_value"), "built-in")
       registry.createOrReplaceTempFunction("proto_decode_flag_value",
         e => ProtoDecodeBoolInt64(e(0), ProtoSchemas.flagValue, "proto_decode_flag_value"), "built-in")
+      // Mergeable KMV theta sketch (SURVEY §7.3 escalation): first-class
+      // sketch values + set algebra (union/intersection) across tables.
+      registry.createOrReplaceTempFunction("theta_sketch", {
+        case Seq(child) => ThetaSketchAgg(child)
+        case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(k, _)) =>
+          ThetaSketchAgg(child, k.asInstanceOf[Number].intValue())
+        case e => throw new IllegalArgumentException(
+          s"theta_sketch expects (key[, k literal]), got ${e.size} args")
+      }, "built-in")
+      registry.createOrReplaceTempFunction(
+        "theta_union_agg", e => ThetaUnionAgg(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "theta_estimate", e => ThetaEstimate(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "theta_union", e => ThetaUnion(e(0), e(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "theta_intersect_estimate", e => ThetaIntersectEstimate(e(0), e(1)), "built-in")
     }
   }
 }

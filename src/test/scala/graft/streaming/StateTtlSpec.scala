@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.model.{KeyedFlagEvent, TimedDeposit}
+
+/** Item: state TTL / watermarked eviction (VERDICT r2 #7). Proves that with
+  * `detectWithTtl` an idle wallet's counter is evicted once the watermark
+  * passes `lastEvent + idleTtlSec` (tombstone emitted, rolling sum restarts
+  * from zero), while the default unbounded form — reference parity,
+  * detector.go keeps every counter forever — retains the state across the
+  * same timeline.
+  *
+  * Timeline (windowSec=10000 so the rolling window never lapses on its own;
+  * threshold=6000; idle TTL=300 s; watermark delay=10 s):
+  *   t=100   w1 deposits 5000  → received 5000 < 6000, unflagged
+  *   t=1000  w2 deposits 1     → watermark → 990, past w1's timer at 400
+  *                               → w1 evicted (TTL form only)
+  *   t=1100  w1 deposits 5000  → evicted:   received 5000  → unflagged
+  *                               retained:  received 10000 → FLAGGED
+  */
+class StateTtlSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private val n = new AtomicInteger(0)
+
+  private val WindowSec = 10000L
+  private val Threshold = 6000.0
+
+  private def run(wire: (org.apache.spark.sql.SparkSession,
+                         org.apache.spark.sql.Dataset[TimedDeposit]) =>
+                        org.apache.spark.sql.Dataset[KeyedFlagEvent]): Seq[KeyedFlagEvent] = {
+    val input = MemoryStream[TimedDeposit]
+    val name = s"ttl_${n.incrementAndGet()}"
+    val q = wire(spark, input.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    input.addData(Seq(TimedDeposit("w1", 5000.0, 100L, 1L)))
+    q.processAllAvailable()
+    // Advance the watermark far past w1's idle timer (100 + 300 = 400).
+    input.addData(Seq(TimedDeposit("w2", 1.0, 1000L, 2L)))
+    q.processAllAvailable()
+    // Same wallet returns, still inside its original 10000 s rolling window.
+    input.addData(Seq(TimedDeposit("w1", 5000.0, 1100L, 3L)))
+    q.processAllAvailable()
+    val out = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+    q.stop()
+    out
+  }
+
+  test("idle wallet state is evicted past the watermark (tombstone + reset sum)") {
+    val out = run(DetectorProcessor.detectWithTtl(_, _, idleTtlSec = 300L,
+      delay = "10 seconds", windowSec = WindowSec, threshold = Threshold))
+    val tombstones = out.filter(_.seq == DetectorProcessor.EvictionSeq)
+    assert(tombstones.map(e => (e.walletId, e.flagRemoved)) == Seq(("w1", true)))
+    // Post-eviction deposit restarts from zero: 5000 < 6000 → unflagged,
+    // and the window re-opens at the new deposit's own timestamp.
+    val afterReturn = out.find(_.seq == 3L).get
+    assert(afterReturn.flagRemoved)
+    assert(afterReturn.rollingPeriodStartUnix == 0L)
+  }
+
+  test("unbounded form retains idle state across the same timeline (reference parity)") {
+    val out = run(DetectorProcessor.detect(_, _,
+      windowSec = WindowSec, threshold = Threshold))
+    assert(!out.exists(_.seq == DetectorProcessor.EvictionSeq))
+    // State survived: 5000 + 5000 = 10000 >= 6000 → flagged, window still
+    // anchored at the first deposit's timestamp.
+    val afterReturn = out.find(_.seq == 3L).get
+    assert(!afterReturn.flagRemoved)
+    assert(afterReturn.rollingPeriodStartUnix == 100L)
+  }
+
+  test("processing-time TTLConfig is accepted on the value state") {
+    // Wall-clock TTL can't be asserted deterministically; this pins the
+    // plumbing: a processor constructed with a real TTLConfig runs green.
+    val input = MemoryStream[TimedDeposit]
+    val name = s"ttl_${n.incrementAndGet()}"
+    val proc = new DetectorProcessor(WindowSec, Threshold,
+      org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+    val q = input.toDS().groupByKey(_.walletId)
+      .transformWithState(proc,
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    input.addData(Seq(TimedDeposit("w1", 7000.0, 100L, 1L)))
+    q.processAllAvailable()
+    val out = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+    q.stop()
+    assert(out.map(e => (e.walletId, e.flagRemoved)) == Seq(("w1", true)))
+  }
+}
