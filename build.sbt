@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Print forked-run stdout raw: sbt's default LoggedOutput prefixes every
+// line with "[info] ", which breaks the driver's JSON-line parse of the
+// Bench output (BENCH_r0{1,2,3}.json all show "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,6 +19,9 @@ object GraftFunctions {
         "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
       registry.createOrReplaceTempFunction(
         "vec_dist2", exprs => graft.plans.L2Dist2(exprs(0), exprs(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "sorted_intersect_count",
+        exprs => graft.plans.SortedIntersectCount(exprs(0), exprs(1)), "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
       // O12 wire serde — the reference's five protobuf message types as

@@ -16,15 +16,27 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles ("w1 w2 w3") — the unit for MinHash /
-    * Jaccard near-dup detection. Empty array when fewer than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  /** Distinct word n-gram shingles over a PRE-PROJECTED token-array column.
+    *
+    * IMPORTANT (hot paths): pass a bound column (`.select(tokens(text) as
+    * "toks")` first), not the `tokens(...)` expression inline. Higher-order
+    * lambdas are interpreted, and an expression tree referenced inside the
+    * lambda is re-evaluated PER ELEMENT — an inline split/regex turns a
+    * linear shingle pass into elements × full-text work (measured 36× on
+    * char shingles at sf0.1). A separate projection binds it once per row,
+    * and CollapseProject keeps multi-referenced non-trivial aliases. */
+  def shinglesFromTokens(t: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(t) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
     array_distinct(when(size(t) >= n, grams).otherwise(array()))
   }
+
+  /** Distinct word n-gram shingles ("w1 w2 w3") — the unit for MinHash /
+    * Jaccard near-dup detection. Empty array when fewer than n tokens.
+    * Convenience form; see [[shinglesFromTokens]] for the hot-path rule. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Distinct character k-gram shingles of the normalized text — finer
     * granularity than word n-grams: robust to token reordering and

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * Random `sample()` is reproducible only per Spark version/partitioning;
+  * a corpus pipeline wants splits that are stable across engines, runs,
+  * and re-partitioning, and that any auditor can replay. The standard
+  * trick is HASH-based systematic sampling: a row is in the p-sample iff
+  * the leading hex of `md5(key)` falls below a threshold. Properties:
+  *
+  *  - deterministic per key (re-runs and other engines agree — md5 hex is
+  *    identical everywhere, and the comparison is plain string ordering);
+  *  - uniform (md5 is uniform on hex prefixes);
+  *  - consistent across tables: the same key lands in the same split
+  *    everywhere — exactly how train/test contamination is avoided;
+  *  - embarrassingly parallel: a codegen'd per-row predicate, no shuffle,
+  *    pushed to the scan side at any scale.
+  *
+  * The 4-hex-digit prefix gives 65 536 strata (~0.0015% rate granularity).
+  */
+object Sampling {
+
+  /** `md5(key)` leading-4-hex-digit bucket as a string — the sampling
+    * coordinate. Key is stringified first (bigint → decimal form, same in
+    * any engine). */
+  def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 4)
+
+  /** The p-fraction threshold as a 4-hex-digit string: keys whose bucket
+    * sorts strictly below it are sampled. p is quantized to 1/65536ths. */
+  def thresholdHex(p: Double): String = {
+    require(p >= 0 && p <= 1, s"fraction must be in [0,1], got $p")
+    f"${math.round(p * 65536).toInt min 65535}%04x"
+  }
+
+  /** Uniform deterministic sample: keep rows with hashBucket(key) < p. */
+  def hashSample(df: DataFrame, key: Column, p: Double): DataFrame =
+    df.where(hashBucket(key) < lit(thresholdHex(p)))
+
+  /** Stratified deterministic sample: per-stratum fractions (e.g. lang →
+    * rate), same hash coordinate so a key keeps its fate if its stratum
+    * rate only grows. Strata absent from `rates` are dropped. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           rates: Map[String, Double]): DataFrame = {
+    val threshold = rates.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, p)) => when(stratum === s, lit(thresholdHex(p))).otherwise(acc)
+    }
+    df.where(hashBucket(key) < threshold)
+  }
+
+  /** Deterministic per-group top-n "reservoir": the n keys with the
+    * smallest (md5-hash, key) per group — a stable group sample that any
+    * engine reproduces, with the window's map-side group-limit pushdown
+    * keeping it one shuffle at scale. */
+  def groupSample(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(hashBucket(key), key)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+  }
+
+  /** Train/validation/test split assignment from the same coordinate:
+    * [0, train) → "train", [train, train+valid) → "valid", rest → "test".
+    * Per-key stable — joining any table sampled with the same key column
+    * never crosses splits. */
+  def splitAssign(key: Column, trainP: Double, validP: Double): Column = {
+    require(trainP + validP <= 1.0, "train+valid fractions exceed 1")
+    val b = hashBucket(key)
+    when(b < lit(thresholdHex(trainP)), "train")
+      .when(b < lit(thresholdHex(trainP + validP)), "valid")
+      .otherwise("test")
+  }
+}

@@ -271,8 +271,7 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
         .withColumn("within_tol",
-          abs(col("approx_parts") - col("exact_parts")) /
-            col("exact_parts").cast("double") <= 0.05)
+          StatsQueries.relWithinTol(col("approx_parts"), col("exact_parts"), 0.05))
         .select(col("l_returnflag"), col("exact_parts"), col("within_tol"))
         .orderBy(col("l_returnflag"))
     },

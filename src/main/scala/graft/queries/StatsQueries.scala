@@ -13,6 +13,16 @@ object StatsQueries {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Relative-error tolerance predicate shared by the approx-sketch oracles:
+    * TRUE iff |approx − exact| / exact ≤ tol. The DuckDB oracle side of
+    * those queries is a literal TRUE (the sketch is not replayable), so
+    * `ApproxToleranceSpec` proves this predicate can actually go FALSE on a
+    * bad estimate — the oracle alone could not detect an inverted or
+    * trivially-true comparison. */
+  def relWithinTol(approx: org.apache.spark.sql.Column,
+                   exact: org.apache.spark.sql.Column, tol: Double): org.apache.spark.sql.Column =
+    abs(approx - exact) / exact.cast("double") <= tol
+
   val all: Seq[Q] = Seq(
 
     // Moments & correlation (both engines use online one-pass updates;
@@ -152,19 +162,23 @@ object StatsQueries {
         "ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75, " +
         "TRUE AS approx_within_tol " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus") { (s, d) =>
+      // Tolerance is evaluated against the UNROUNDED exact quartiles
+      // (rounding is output formatting only — mixing rounded and unrounded
+      // operands in the error ratio would be inconsistent).
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          expr("percentile(o_totalprice, 0.25)").as("e25"),
+          expr("percentile(o_totalprice, 0.50)").as("e50"),
+          expr("percentile(o_totalprice, 0.75)").as("e75"),
           expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
             .as("approx"))
         .withColumn("approx_within_tol",
-          (abs(element_at(col("approx"), 1) - col("p25")) / col("p25") <= 0.05) &&
-          (abs(element_at(col("approx"), 2) - col("p50")) / col("p50") <= 0.05) &&
-          (abs(element_at(col("approx"), 3) - col("p75")) / col("p75") <= 0.05))
-        .select(col("o_orderstatus"), col("p25"), col("p50"), col("p75"),
+          relWithinTol(element_at(col("approx"), 1), col("e25"), 0.05) &&
+          relWithinTol(element_at(col("approx"), 2), col("e50"), 0.05) &&
+          relWithinTol(element_at(col("approx"), 3), col("e75"), 0.05))
+        .select(col("o_orderstatus"), round(col("e25"), 4).as("p25"),
+          round(col("e50"), 4).as("p50"), round(col("e75"), 4).as("p75"),
           col("approx_within_tol"))
         .orderBy(col("o_orderstatus"))
     }
