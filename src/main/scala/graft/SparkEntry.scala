@@ -17,7 +17,8 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
       StreamQueries.all ++ ExtrasQueries.all ++ StatsQueries.all ++
       TpchMoreQueries.all ++ PipelineQueries.all ++ SerdeQueries.all ++
-      SketchQueries.all ++ SamplingQueries.all
+      SketchQueries.all ++ SamplingQueries.all ++ CorpusQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{shinglesFromTokens, tokens}
+
+/** Corpus-level text operators a pre-training data pipeline runs after the
+  * per-document ones in [[graft.functions.TextFunctions]]: benchmark
+  * contamination detection, repetition-based quality signals, tf-idf term
+  * extraction, and unigram-LM surprisal scoring.
+  *
+  * The reference engine has no corpus analytics at all (its widest read is
+  * a per-key state lookup, `/root/reference/service/service.go:128-133`);
+  * these are the north-star additions over the `documents` table. All are
+  * pure `functions._` compositions mirrored 1:1 by DuckDB oracle SQL.
+  */
+object Corpus {
+
+  /** Contiguous word n-grams WITH duplicates (repetition statistics need
+    * multiplicity; dedup's [[shinglesFromTokens]] is the distinct form).
+    * Empty array when fewer than n tokens. Pass a bound token-array column
+    * (see the hot-path rule on [[shinglesFromTokens]]). */
+  def gramsFromTokens(t: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+    when(size(t) >= n, grams).otherwise(array())
+  }
+
+  /** Benchmark-contamination check: (train doc, benchmark doc) pairs that
+    * share at least one distinct word n-gram, with the shared count —
+    * the standard "is my eval set leaked into my training corpus?" sweep
+    * (GPT-3 used 13-grams; this corpus's tiny synthetic vocabulary makes a
+    * 4-gram comparably rare).
+    *
+    * Scale shape: the 100-TB side (train) never moves payloads — each doc
+    * explodes to (doc_id, 16-hex gram digest) keyed rows; the benchmark
+    * side is an eval suite (thousands of docs, not billions), so it is
+    * BROADCAST and the train side is never shuffled at all. The only
+    * shuffle is the final count-distinct over matched pairs, bounded by
+    * the contamination volume itself.
+    */
+  def contaminationPairs(docs: DataFrame, n: Int, isBench: Column): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), isBench.as("is_bench"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), col("is_bench"),
+        explode(shinglesFromTokens(col("t"), n)).as("ng"))
+      .select(col("doc_id"), col("is_bench"),
+        substring(md5(col("ng").cast("binary")), 1, 16).as("gh"))
+    val bench = g.where(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
+    val train = g.where(!col("is_bench")).select(col("doc_id").as("train_id"), col("gh"))
+    train.join(broadcast(bench), "gh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
+  }
+
+  /** Gopher-style repetition signals: duplicate-token fraction,
+    * duplicate-2-gram fraction, and most-frequent-2-gram fraction — the
+    * classic filters for boilerplate/spam docs in a pre-training corpus.
+    * Per-row narrow transforms, no shuffle; integer-count ratios are left
+    * as raw double divisions (bit-identical across engines, never rounded).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), gramsFromTokens(col("t"), 2).as("g"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("t"))) / size(col("t")).cast("double"))
+          .as("dup_token_frac"),
+        when(size(col("g")) === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - size(array_distinct(col("g"))) / size(col("g")).cast("double"))
+          .as("dup_2gram_frac"),
+        // max multiplicity of any single 2-gram; per-row-once HOF over a
+        // short array (fine — the 6x codegen rule bites on per-element
+        // re-evaluation, not on one bounded pass).
+        when(size(col("g")) === 0, lit(null).cast("double"))
+          .otherwise(
+            array_max(transform(array_distinct(col("g")),
+              x => size(filter(col("g"), y => y === x))))
+              / size(col("g")).cast("double"))
+          .as("top_2gram_frac"))
+
+  /** Top-k terms per document by tf-idf (idf = ln(N/df), rounded to the
+    * 6-dp grid; ties broken by term). The shape is two keyed aggregations
+    * (by (doc, term) then by term) plus a per-doc window — each shuffles
+    * fixed-width keys only, and the window's rank filter is map-side
+    * group-limited. N and the df table both come from the data (no
+    * driver-side count action). */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dfreq, "tok") // vocab can be huge at scale: shuffle join on tok, not broadcast
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Unigram-LM surprisal: train a corpus unigram model (token frequency /
+    * corpus size) and score every document by its mean −ln p(token) — the
+    * cheap KenLM-style fluency proxy used to rank/filter corpus segments.
+    * Two aggregations plus one join keyed by token; the scalar corpus size
+    * rides a broadcast. round(6) absorbs partial-sum reassociation ulps. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.select(count(lit(1)).as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c") / col("total").cast("double"))), 6)
+          .as("mean_surprisal"))
+  }
+}

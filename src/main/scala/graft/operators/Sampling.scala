@@ -30,16 +30,20 @@ object Sampling {
   def hashBucket(key: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 4)
 
-  /** The p-fraction threshold as a 4-hex-digit string: keys whose bucket
-    * sorts strictly below it are sampled. p is quantized to 1/65536ths. */
+  /** The p-fraction threshold as a hex string: keys whose 4-hex bucket
+    * sorts strictly below it are sampled. p is quantized to 1/65536ths;
+    * p = 1.0 yields "g" (sorts above every 4-hex bucket → keep all),
+    * because clamping to "ffff" would drop the ~1/65536 of keys whose
+    * bucket is exactly "ffff". */
   def thresholdHex(p: Double): String = {
     require(p >= 0 && p <= 1, s"fraction must be in [0,1], got $p")
-    f"${math.round(p * 65536).toInt min 65535}%04x"
+    val q = math.round(p * 65536).toInt
+    if (q >= 65536) "g" else f"$q%04x"
   }
 
   /** Uniform deterministic sample: keep rows with hashBucket(key) < p. */
   def hashSample(df: DataFrame, key: Column, p: Double): DataFrame =
-    df.where(hashBucket(key) < lit(thresholdHex(p)))
+    if (p >= 1.0) df else df.where(hashBucket(key) < lit(thresholdHex(p)))
 
   /** Stratified deterministic sample: per-stratum fractions (e.g. lang →
     * rate), same hash coordinate so a key keeps its fate if its stratum
@@ -57,8 +61,9 @@ object Sampling {
     * engine reproduces, with the window's map-side group-limit pushdown
     * keeping it one shuffle at scale. */
   def groupSample(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(hashBucket(key), key)
-    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+    val w  = Window.partitionBy(group).orderBy(hashBucket(key), key)
+    val rn = "__graft_rn" // collision-free: never clobbers a user "rn" column
+    df.withColumn(rn, row_number().over(w)).where(col(rn) <= n).drop(rn)
   }
 
   /** Train/validation/test split assignment from the same coordinate:

@@ -115,11 +115,14 @@ object Similarity {
     // production IVF index trains once and serves many probes. Training is
     // deterministic (seeded, fixed iterations, grid-rounded), so replaying
     // it per invocation only re-derives the identical k·d-double table;
-    // cache it keyed by the (canonicalized) input plan + hyperparameters.
-    // The payload is tiny (nCells × dim doubles) and lives on the driver,
-    // exactly like a broadcast model artifact.
-    val key = emb.queryExecution.analyzed.canonicalized.toString +
-      s"|$nCells|$iters"
+    // cache it keyed by a content fingerprint (one cheap aggregate pass —
+    // order-insensitive xor of per-row hashes — vs `iters` full k-means
+    // passes) + hyperparameters. The payload is tiny (nCells × dim
+    // doubles) and lives on the driver, exactly like a broadcast model
+    // artifact.
+    val fp = emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
+    val key = s"${fp.getLong(0)}|${fp.getLong(1)}|$nCells|$iters"
     val spark = emb.sparkSession
     val cached = trainedCentroids.get(key)
     if (cached != null) {
@@ -158,8 +161,18 @@ object Similarity {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType), nullable = false)))
 
-  private val trainedCentroids =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+  /** Trained-model cache: bounded LRU (a JVM serves a handful of live IVF
+    * indexes, not an unbounded history), keyed by a CONTENT fingerprint —
+    * not the plan string — so re-written files at the same path can never
+    * serve stale centroids. */
+  private val MaxCachedModels = 8
+  private val trainedCentroids: java.util.Map[String, Array[org.apache.spark.sql.Row]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[org.apache.spark.sql.Row]]): Boolean =
+          size() > MaxCachedModels
+      })
 
   /** IVF (inverted-file) top-k: vectors are assigned to their nearest
     * centroid's cell; a query probes only its `nProbe` nearest cells. The
@@ -194,6 +207,99 @@ object Similarity {
       .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** Product-quantization (PQ) top-k with asymmetric distance (ADC) — the
+    * memory-compression path for 100-TB vector corpora: each vector is
+    * stored as `m` codebook ids (64 float dims → 8 bytes at m=8/nCodes=16,
+    * a 32× compression), and query-to-vector distance is approximated as
+    * the sum of per-subspace query-to-centroid distances, i.e. `m` table
+    * lookups instead of a full d-dim kernel.
+    *
+    * Training is the same seeded, grid-rounded Lloyd as
+    * [[trainIvfCentroids]], run once per subspace — the subspace index is
+    * just another grouping key, so one codebook DataFrame (m·nCodes rows,
+    * tiny, broadcast) carries all `m` codebooks and the DuckDB oracle
+    * replays the whole build bit-for-bit. Scale shape: codes are built in
+    * one assignment pass and repartitioned by vector id so ADC scoring
+    * combines the m per-subspace partial sums map-side; the per-query
+    * distance table (|q|·m·nCodes rows) is broadcast.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             nCodes: Int = 16, iters: Int = 2): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subLen = (size(col("v")) / m).cast("int")
+    val sv = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * subLen + 1, subLen).as("sv"))
+    var cents = sv.where(col("vec_id") < nCodes)
+      .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
+      .localCheckpoint()
+    // Distance of every subvector to every centroid of its subspace, with
+    // the nearest-code rank (rounded dist + cid tie-break, as in IVF).
+    def assign(rows: DataFrame) = rows.join(broadcast(cents), "sub")
+      .withColumn("dist", round(dist2(col("sv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist"), col("cid"))))
+    for (_ <- 1 to iters) {
+      val a = assign(sv).where(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
+      cents = a.join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "val")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("val")), 6).as("val"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
+          .as("cv"))
+        .localCheckpoint()
+    }
+    val asg = assign(sv)
+    // The PQ index: m small ints per vector — the only per-vector state ADC
+    // reads. Repartitioned by id so the final sum combines map-side.
+    val codes = asg.where(col("rn") === 1)
+      .select(col("vec_id").as("nid"), col("sub"), col("cid"))
+      .repartition(col("nid"))
+    // Per-query ADC table: distance from each query subvector to every code.
+    val dtab = assign(sv.join(queries.select(col("vec_id")), "vec_id"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"), col("dist").as("d"))
+    val scored = codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .where(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      // Sum of m grid-rounded doubles: true value is ON the 1e-6 grid, FP
+      // error << half-grid, so round(6) is engine-portable.
+      .agg(round(sum(col("d")), 6).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("adist"))
+  }
+
+  /** PQ shortlist + exact re-rank — how PQ is actually served: the
+    * compressed ADC pass produces a `shortlist`-deep candidate set (cheap,
+    * reads only the 8-byte codes), then ONLY those candidates' full
+    * vectors are fetched and exactly re-scored. The candidate set is tiny
+    * (|q|·shortlist ids), so it is broadcast against the full vector table
+    * — the 100-TB side is never shuffled. Measured on the uniform-random
+    * sf0.01 corpus (the adversarial case for any quantizer): shortlist=50
+    * of n=500 recovers 25/30 of the exact top-3 vs 7/30 for pure ADC
+    * ranking (PERF.md). */
+  def pqRerankTopK(emb: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+                   m: Int = 8, nCodes: Int = 16, iters: Int = 2): DataFrame = {
+    val cand = pqTopK(emb, queries, shortlist, m, nCodes, iters)
+      .select(col("qid"), col("nid"))
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = broadcast(cand.join(broadcast(q), "qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        round(dist2(col("qv"), col("nv")), 6).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dist"))
   }
 
   /** LSH-bucketed top-k: only candidates sharing the query's sign bucket are

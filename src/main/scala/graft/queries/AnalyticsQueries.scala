@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Analytic extensions beyond the SURVEY §2.2 minimum: time-series gap
+  * fill (resample + forward fill), data profiling (per-column stats in
+  * long form), window navigation (percent_rank / cume_dist / nth_value),
+  * and explicit GROUPING SETS. */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Time-series resample: per user (ids < 10), a daily calendar spanning
+    // the user's active range, daily totals forward-filled across gap days
+    // — the standard "make the series dense" pre-processing step. The
+    // calendar explodes from per-user (d0, d1) bounds, so row count scales
+    // with users × days, never events².
+    Q("q_gap_fill",
+      "WITH e AS (SELECT user_id, ts::DATE AS day, value FROM events WHERE user_id < 10), " +
+        "d AS (SELECT user_id, day, COUNT(*) AS n_events, " +
+        "ROUND(SUM(value), 2) AS day_total FROM e GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1), " +
+        "cal AS (SELECT user_id, CAST(unnest(generate_series(d0::TIMESTAMP, " +
+        "d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day FROM b), " +
+        "j AS (SELECT c.user_id, c.day, COALESCE(d.n_events, 0)::BIGINT AS n_events, " +
+        "d.day_total FROM cal c LEFT JOIN d USING (user_id, day)) " +
+        "SELECT user_id, day, n_events, " +
+        "LAST_VALUE(day_total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total " +
+        "FROM j ORDER BY user_id, day") { (s, d) =>
+      val e = Tables.events(s, d).where(col("user_id") < 10)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("day_total"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_total"), ignoreNulls = true).over(w).as("filled_total"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
+    // Data profiling: per-column null count / distinct count / min / max in
+    // long form — the first query any pipeline runs against a new table.
+    // One aggregation pass per column over a broadcastable result.
+    Q("q_profile_columns", {
+      def row(c: String) =
+        s"SELECT '$c' AS col_name, " +
+          s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, " +
+          s"COUNT(DISTINCT $c) AS n_distinct, " +
+          s"MIN($c)::VARCHAR AS min_s, MAX($c)::VARCHAR AS max_s FROM customer"
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .map(row).mkString("", " UNION ALL ", " ORDER BY col_name")
+    }) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      def prof(c: String) = cust.agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"))
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .map(prof).reduce(_ unionAll _).orderBy(col("col_name"))
+    },
+
+    // Window navigation: percent_rank / cume_dist (exact integer-count
+    // ratios — raw division, never rounded) and full-frame nth_value.
+    Q("q_window_navigation",
+      "SELECT c_custkey, c_nationkey, " +
+        "PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd, " +
+        "NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey " +
+        "ORDER BY c_acctbal, c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "UNBOUNDED FOLLOWING) AS second_key " +
+        "FROM customer WINDOW w AS (PARTITION BY c_nationkey " +
+        "ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey") { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("c_custkey"), 2).over(full).as("second_key"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Explicit GROUPING SETS (finer than rollup/cube: an arbitrary set
+    // list), via the SQL text layer.
+    Q("q_grouping_sets",
+      "SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status, " +
+        "COUNT(*) AS n, SUM(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), " +
+        "(l_linestatus), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST") { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status, " +
+        "COUNT(*) AS n, SUM(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), " +
+        "(l_linestatus), ()) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+    }
+  )
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** Corpus-level pipeline operators over `documents`: benchmark
+  * contamination, repetition quality signals, tf-idf top terms, and
+  * unigram-LM surprisal. Every DuckDB oracle mirrors the Spark arithmetic
+  * exactly (integer-count ratios unrounded; ln-derived values on the 6-dp
+  * grid). */
+object CorpusQueries {
+
+  private val toksCte =
+    "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
+  private val tokCte =
+    "tok1 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)"
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark contamination: training docs sharing a distinct word 4-gram
+    // with the held-out set (doc_id % 20 = 0 stands in for the eval suite).
+    // 4 words in this tiny synthetic vocabulary ~ an 8-13-gram in real text.
+    Q("contamination_ngram",
+      s"WITH $toksCte, " +
+        "g AS (SELECT doc_id, doc_id % 20 = 0 AS is_bench, substr(md5(ng), 1, 16) AS gh " +
+        "FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS ng " +
+        "FROM toks WHERE len(t) >= 4)), " +
+        "b AS (SELECT doc_id AS bench_id, gh FROM g WHERE is_bench), " +
+        "tr AS (SELECT doc_id AS train_id, gh FROM g WHERE NOT is_bench) " +
+        "SELECT train_id, bench_id, COUNT(DISTINCT gh) AS n_shared " +
+        "FROM tr JOIN b USING (gh) GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      Corpus.contaminationPairs(Tables.documents(s, d), n = 4,
+          isBench = col("doc_id") % 20 === 0)
+        .orderBy(col("train_id"), col("bench_id"))
+    },
+
+    // Gopher-style repetition signals (boilerplate/spam filters).
+    Q("text_repetition",
+      s"WITH $toksCte, " +
+        "gg AS (SELECT doc_id, t, CASE WHEN len(t) >= 2 THEN " +
+        "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS g FROM toks) " +
+        "SELECT doc_id, len(t)::BIGINT AS n_tokens, " +
+        "1.0 - len(list_distinct(t)) / len(t)::DOUBLE AS dup_token_frac, " +
+        "CASE WHEN len(g) = 0 THEN NULL ELSE " +
+        "1.0 - len(list_distinct(g)) / len(g)::DOUBLE END AS dup_2gram_frac, " +
+        "CASE WHEN len(g) = 0 THEN NULL ELSE " +
+        "list_max(list_transform(list_distinct(g), x -> len(list_filter(g, y -> y = x)))) " +
+        "/ len(g)::DOUBLE END AS top_2gram_frac " +
+        "FROM gg ORDER BY doc_id") { (s, d) =>
+      Corpus.repetitionSignals(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // Top-3 terms per doc by tf-idf.
+    Q("tfidf_top_terms",
+      s"WITH $tokCte, " +
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok1 GROUP BY 1, 2), " +
+        "dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok1 GROUP BY 1), " +
+        "nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "s AS (SELECT doc_id, tok, tf, df, " +
+        "ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf " +
+        "FROM tf JOIN dfreq USING (tok), nd), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, tok) AS rank FROM s) " +
+        "SELECT doc_id, rank, tok, tf, df, tfidf FROM r WHERE rank <= 3 " +
+        "ORDER BY doc_id, rank") { (s, d) =>
+      Corpus.tfidfTopTerms(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // Unigram-LM mean surprisal per doc (KenLM-style fluency proxy).
+    Q("text_surprisal",
+      s"WITH $tokCte, " +
+        "vocab AS (SELECT tok, COUNT(*) AS c FROM tok1 GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS total FROM tok1) " +
+        "SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "ROUND(AVG(-ln(c / total::DOUBLE)), 6) AS mean_surprisal " +
+        "FROM tok1 JOIN vocab USING (tok), tot " +
+        "GROUP BY doc_id ORDER BY doc_id") { (s, d) =>
+      Corpus.unigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }
+  )
+}

