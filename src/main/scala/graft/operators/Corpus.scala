@@ -56,6 +56,28 @@ object Corpus {
       .agg(countDistinct(col("gh")).as("n_shared"))
   }
 
+  /** Passage-level dedup (the C4-style "drop repeated paragraphs" op, at
+    * fixed-width chunks since this corpus has no paragraph breaks):
+    * documents are cut into non-overlapping n-token chunks, and any chunk
+    * text occurring in ≥ 2 distinct documents is reported with its spread
+    * and a canonical keeper (min doc id). Only (doc_id, 16-hex digest)
+    * pairs ever shuffle — chunk text is digested before the aggregation,
+    * so the wide stage moves fixed-width keys at any corpus size. */
+  def repeatedChunks(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), (size(col("t")) / n).cast("int") - 1),
+          i => array_join(slice(col("t"), i * n + 1, lit(n)), " "))).as("chunk"))
+      .select(col("doc_id"),
+        substring(md5(col("chunk").cast("binary")), 1, 16).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keep_doc"))
+      .where(col("n_docs") >= 2)
+
   /** Gopher-style repetition signals: duplicate-token fraction,
     * duplicate-2-gram fraction, and most-frequent-2-gram fraction — the
     * classic filters for boilerplate/spam docs in a pre-training corpus.

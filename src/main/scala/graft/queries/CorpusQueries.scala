@@ -37,6 +37,20 @@ object CorpusQueries {
         .orderBy(col("train_id"), col("bench_id"))
     },
 
+    // Passage-level dedup: 16-token chunks occurring in >= 2 documents.
+    Q("dedup_chunks",
+      s"WITH $toksCte, " +
+        "ch AS (SELECT doc_id, unnest(list_transform(range(0, len(t) // 16), " +
+        "i -> array_to_string(t[i*16+1 : i*16+16], ' '))) AS chunk " +
+        "FROM toks WHERE len(t) >= 16) " +
+        "SELECT substr(md5(chunk), 1, 16) AS chunk_hash, " +
+        "COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences, " +
+        "MIN(doc_id) AS keep_doc FROM ch GROUP BY 1 " +
+        "HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY chunk_hash") { (s, d) =>
+      Corpus.repeatedChunks(Tables.documents(s, d), n = 16)
+        .orderBy(col("chunk_hash"))
+    },
+
     // Gopher-style repetition signals (boilerplate/spam filters).
     Q("text_repetition",
       s"WITH $toksCte, " +
