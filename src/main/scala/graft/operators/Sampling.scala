@@ -66,6 +66,23 @@ object Sampling {
     df.withColumn(rn, row_number().over(w)).where(col(rn) <= n).drop(rn)
   }
 
+  /** Deterministic weight-proportional sample (Efraimidis–Spirakis A-ES):
+    * rank every row by ln(u)/w — the log of the classic u^(1/w) reservoir
+    * key, with u derived from the md5 bucket — and keep the global top-n
+    * via TakeOrderedAndProject (no global window, no shuffle of losers).
+    * Higher-weight rows are proportionally likelier to be kept, yet the
+    * draw is replayable in any engine. ln() only decides MEMBERSHIP; it is
+    * never emitted, so last-ulp libm differences cannot reach the output
+    * (order flips would need two keys within ~1e-16 — not attainable from
+    * 65,536 distinct u levels and integer weights at any realistic n). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
+    val u = (conv(hashBucket(key), 16, 10).cast("long") + 1) / 65537.0
+    df.withColumn("__graft_wkey", log(u) / weight)
+      .orderBy(col("__graft_wkey").desc, key)
+      .limit(n)
+      .drop("__graft_wkey")
+  }
+
   /** Train/validation/test split assignment from the same coordinate:
     * [0, train) → "train", [train, train+valid) → "valid", rest → "test".
     * Per-key stable — joining any table sampled with the same key column

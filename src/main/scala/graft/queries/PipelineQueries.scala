@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Corpus, Dedup, Sampling}
 import graft.sources.Tables
 
 /** Capstone compositions: the operators assembled into the actual
@@ -53,6 +54,60 @@ object PipelineQueries {
         .join(dupIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // The full training-mix build: quality gate → exact dedup (keep min
+    // id) → benchmark holdout + contamination removal (shared 4-gram with
+    // a held-out doc) → deterministic split assignment → per-(lang, split)
+    // census. Every stage is an already-oracle-checked operator; this
+    // checks the END-TO-END composition a 100-TB pre-training run executes.
+    Q("pipeline_training_mix", {
+      val t80 = Sampling.thresholdHex(0.8)
+      val t90 = Sampling.thresholdHex(0.9)
+      "WITH q AS (SELECT doc_id, lang, text, " +
+        s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents), " +
+        "gated AS (SELECT * FROM q WHERE stop_hits / n_tokens::DOUBLE >= 0.05 " +
+        "AND n_tokens >= 20), " +
+        "ded AS (SELECT doc_id, lang, n_tokens FROM (SELECT doc_id, lang, n_tokens, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated) " +
+        "WHERE rn = 1), " +
+        "tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, doc_id % 20 = 0 AS is_bench, substr(md5(ng), 1, 16) AS gh " +
+        "FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS ng " +
+        "FROM tk WHERE len(t) >= 4)), " +
+        "cont AS (SELECT DISTINCT g1.doc_id FROM g g1 JOIN g g2 ON g1.gh = g2.gh " +
+        "AND NOT g1.is_bench AND g2.is_bench), " +
+        "fin AS (SELECT lang, n_tokens, " +
+        s"CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '$t80' THEN 'train' " +
+        s"WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '$t90' THEN 'valid' " +
+        "ELSE 'test' END AS split FROM ded WHERE doc_id % 20 != 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM cont)) " +
+        "SELECT lang, split, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens " +
+        "FROM fin GROUP BY 1, 2 ORDER BY 1, 2"
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val gated = docs
+        .withColumn("stop_hits", langScore(col("text"), enPat))
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .where(col("stop_hits") / col("n_tokens").cast("double") >= 0.05 &&
+          col("n_tokens") >= 20)
+      val deduped = gated
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      val contaminated = Corpus
+        .contaminationPairs(docs, n = 4, isBench = col("doc_id") % 20 === 0)
+        .select(col("train_id").as("doc_id")).distinct()
+      deduped
+        .where(col("doc_id") % 20 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"), 0.8, 0.1))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"), col("split"))
     },
 
     // Corpus summary: one row of dataset-level statistics.

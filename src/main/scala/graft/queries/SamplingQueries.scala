@@ -17,6 +17,21 @@ object SamplingQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Weight-proportional top-50 (A-ES reservoir keyed by ln(u)/n_chars):
+    // longer documents are proportionally likelier to be drawn.
+    Q("q_weighted_sample",
+      "WITH a AS (SELECT doc_id, lang, n_chars, " +
+        "ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT + 1) / 65537.0) " +
+        "/ n_chars AS wkey FROM documents) " +
+        "SELECT doc_id, lang, n_chars FROM " +
+        "(SELECT * FROM a ORDER BY wkey DESC, doc_id LIMIT 50) ORDER BY doc_id") {
+      (s, d) =>
+        Sampling.weightedSample(Tables.documents(s, d), col("doc_id"),
+            col("n_chars"), n = 50)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+    },
+
     // Uniform 10% sample (threshold 0x199a = round(0.1*65536)/65536).
     Q("q_hash_sample",
       s"SELECT doc_id, lang, n_chars FROM documents " +
