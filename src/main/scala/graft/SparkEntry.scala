@@ -18,7 +18,8 @@ object SparkEntry {
       StreamQueries.all ++ ExtrasQueries.all ++ StatsQueries.all ++
       TpchMoreQueries.all ++ PipelineQueries.all ++ SerdeQueries.all ++
       SketchQueries.all ++ SamplingQueries.all ++ CorpusQueries.all ++
-      AnalyticsQueries.all ++ TpchFullQueries.all
+      AnalyticsQueries.all ++ TpchFullQueries.all ++ TpchFinalQueries.all ++
+      LambdaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

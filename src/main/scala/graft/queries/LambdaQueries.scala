@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Higher-order (lambda) array functions and history reshaping.
+  *
+  * `q_higher_order` exercises the full HOF surface — `transform`,
+  * `filter`, `exists`, `forall`, `aggregate`, `zip_with` — as one
+  * codegen'd projection over the embedding column (no UDFs: lambda
+  * functions stay inside whole-stage codegen, so per-row cost is a tight
+  * loop over the array, shuffle-free at any scale).
+  *
+  * `q_scd2_intervals` builds a slowly-changing-dimension type-2 history
+  * from the event log: each deposit's balance is valid from its own
+  * timestamp until the wallet's next deposit (`lead`), open-ended for the
+  * latest row. One window per wallet — a single hash-partitioned shuffle
+  * on wallet_id regardless of history length.
+  */
+object LambdaQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_higher_order",
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        "SELECT vec_id, " +
+        "len(list_filter(v, x -> x > 0)) AS n_pos, " +
+        "ROUND(list_sum(list_transform(v, x -> abs(x))), 6) AS l1_norm, " +
+        "ROUND(list_sum(list_transform(range(1, len(v) + 1), " +
+        "i -> v[i] * v[len(v) + 1 - i])), 6) AS rev_dot, " +
+        "len(list_filter(v, x -> abs(x) > 0.32)) > 0 AS any_big, " +
+        "len(list_filter(v, x -> abs(x) >= 0.45)) = 0 AS all_small " +
+        "FROM e ORDER BY vec_id") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          size(filter(col("v"), x => x > 0)).cast("long").as("n_pos"),
+          round(aggregate(col("v"), lit(0.0), (acc, x) => acc + abs(x)), 6)
+            .as("l1_norm"),
+          round(aggregate(zip_with(col("v"), reverse(col("v")), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x), 6).as("rev_dot"),
+          exists(col("v"), x => abs(x) > 0.32).as("any_big"),
+          forall(col("v"), x => abs(x) < 0.45).as("all_small"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Validity bounds emitted as epoch micros (BIGINT): raw TIMESTAMP
+    // output is representation-ambiguous across engines (tz-aware vs
+    // naive), epoch micros are not.
+    Q("q_scd2_intervals",
+      "WITH d AS (SELECT user_id AS wallet_id, event_id AS seq, " +
+        "epoch_us(ts) AS valid_from_us, value FROM events WHERE value > 0) " +
+        "SELECT wallet_id, seq, valid_from_us, " +
+        "LEAD(valid_from_us) OVER w AS valid_to_us, " +
+        "ROUND(SUM(value) OVER (PARTITION BY wallet_id ORDER BY valid_from_us, seq " +
+        "ROWS UNBOUNDED PRECEDING), 2) AS balance, " +
+        "LEAD(valid_from_us) OVER w IS NULL AS is_current " +
+        "FROM d WINDOW w AS (PARTITION BY wallet_id ORDER BY valid_from_us, seq) " +
+        "ORDER BY wallet_id, seq") { (s, d) =>
+      val w = Window.partitionBy(col("wallet_id")).orderBy(col("valid_from_us"), col("seq"))
+      Tables.events(s, d).filter(col("value") > 0)
+        .select(col("user_id").as("wallet_id"), col("event_id").as("seq"),
+          unix_micros(col("ts")).as("valid_from_us"), col("value"))
+        .select(col("wallet_id"), col("seq"), col("valid_from_us"),
+          lead(col("valid_from_us"), 1).over(w).as("valid_to_us"),
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)), 2).as("balance"),
+          lead(col("valid_from_us"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("wallet_id"), col("seq"))
+    }
+  )
+}
