@@ -175,6 +175,31 @@ object DedupQueries {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.3,
           bucketBits = 4)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SemDeDup: nearest-seed-centroid clustering, then drop any vector
+    // with a lower-id cluster-mate at cosine >= 0.3. The oracle replays
+    // the identical assignment (grid-rounded L2², cid tie-break).
+    Q("dedup_semantic",
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
+        "dd AS (SELECT e.vec_id, e.v, c.cid, " +
+        "ROUND(list_sum(list_transform(range(1, len(e.v)+1), " +
+        "i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist " +
+        "FROM e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, v, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM dd), " +
+        "m AS (SELECT vec_id, v, cid, " +
+        "sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm " +
+        "FROM a WHERE rn = 1), " +
+        "dup AS (SELECT DISTINCT b.vec_id AS dup_id " +
+        "FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE ROUND(list_sum(list_transform(range(1, len(a.v)+1), " +
+        "i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm), 6) >= 0.3) " +
+        "SELECT m.vec_id, m.cid AS cluster, (dup.dup_id IS NULL) AS kept " +
+        "FROM m LEFT JOIN dup ON m.vec_id = dup.dup_id ORDER BY m.vec_id") { (s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), k = 8, threshold = 0.3)
+        .orderBy(col("vec_id"))
     }
   )
 }
