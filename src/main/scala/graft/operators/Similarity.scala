@@ -154,6 +154,57 @@ object Similarity {
     spark.createDataFrame(trainedCentroids.get(key).toSeq.asJava, centroidSchema)
   }
 
+  /** PQ codebook training — the same seeded, grid-rounded Lloyd as
+    * [[trainIvfCentroids]] run once per subspace (`sub` is just another
+    * grouping key), with the same content-fingerprint cache: codebooks are
+    * a BUILD artifact (m·nCodes·(d/m) doubles, driver-resident like a
+    * broadcast model), trained once and served to every subsequent probe.
+    * Deterministic, so a cache miss only re-derives the identical table. */
+  private def trainPqCodebooks(emb: DataFrame, sv: DataFrame, m: Int,
+                               nCodes: Int, iters: Int): DataFrame = {
+    val fp = emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
+    val key = s"pq|${fp.getLong(0)}|${fp.getLong(1)}|$m|$nCodes|$iters"
+    val spark = emb.sparkSession
+    val cached = trainedCentroids.get(key)
+    if (cached != null) {
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(cached.toSeq.asJava, pqCodebookSchema)
+    }
+    var cents = sv.where(col("vec_id") < nCodes)
+      .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val a = sv.join(broadcast(cents), "sub")
+        .withColumn("dist", round(dist2(col("sv"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("dist"), col("cid"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid"))
+      cents = a.join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "val")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("val")), 6).as("val"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
+          .as("cv"))
+        .localCheckpoint()
+    }
+    trainedCentroids.put(key, cents.select(col("sub"), col("cid"), col("cv")).collect())
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(trainedCentroids.get(key).toSeq.asJava, pqCodebookSchema)
+  }
+
+  private val pqCodebookSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sub",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType), nullable = false)))
+
   private val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("cid",
       org.apache.spark.sql.types.LongType, nullable = false),
@@ -233,9 +284,7 @@ object Similarity {
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * subLen + 1, subLen).as("sv"))
-    var cents = sv.where(col("vec_id") < nCodes)
-      .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
-      .localCheckpoint()
+    val cents = trainPqCodebooks(emb, sv, m, nCodes, iters)
     // Distance of every subvector to every centroid of its subspace, with
     // the nearest-code rank (rounded dist + cid tie-break, as in IVF).
     def assign(rows: DataFrame) = rows.join(broadcast(cents), "sub")
@@ -243,18 +292,6 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"), col("sub"))
           .orderBy(col("dist"), col("cid"))))
-    for (_ <- 1 to iters) {
-      val a = assign(sv).where(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid"))
-      cents = a.join(sv, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "val")))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(round(avg(col("val")), 6).as("val"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
-          .as("cv"))
-        .localCheckpoint()
-    }
     val asg = assign(sv)
     // The PQ index: m small ints per vector — the only per-vector state ADC
     // reads. Repartitioned by id so the final sum combines map-side.
