@@ -47,6 +47,28 @@ object LambdaQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Map-typed lambda surface: daily totals roll up into a per-wallet
+    // MAP<date,double> (map_from_entries), a lambda prunes small days
+    // (map_filter), and explode flattens back to rows. The map is
+    // internal plumbing — the oracle states the equivalent relational
+    // GROUP BY + HAVING, so the round-trip itself is what's checked.
+    Q("q_map_functions",
+      "WITH d AS (SELECT user_id AS wallet_id, ts::DATE AS day, " +
+        "ROUND(SUM(value), 2) AS day_total " +
+        "FROM events WHERE value > 0 GROUP BY 1, 2) " +
+        "SELECT wallet_id, day, day_total FROM d WHERE day_total > 100 " +
+        "ORDER BY wallet_id, day") { (s, d) =>
+      Tables.events(s, d).filter(col("value") > 0)
+        .groupBy(col("user_id").as("wallet_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("day_total"))
+        .groupBy(col("wallet_id"))
+        .agg(map_from_entries(collect_list(struct(col("day"), col("day_total"))))
+          .as("m"))
+        .select(col("wallet_id"),
+          explode(map_filter(col("m"), (_, v) => v > 100)).as(Seq("day", "day_total")))
+        .orderBy(col("wallet_id"), col("day"))
+    },
+
     // Validity bounds emitted as epoch micros (BIGINT): raw TIMESTAMP
     // output is representation-ambiguous across engines (tz-aware vs
     // naive), epoch micros are not.
