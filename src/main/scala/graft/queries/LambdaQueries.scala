@@ -69,6 +69,29 @@ object LambdaQueries {
         .orderBy(col("wallet_id"), col("day"))
     },
 
+    // Wide-to-long reshaping (unpivot/melt) — the inverse of q_pivot. The
+    // aggregate runs once; unpivot is a zero-shuffle projection of each
+    // row into metric rows.
+    Q("q_unpivot",
+      "WITH a AS (SELECT l_returnflag, SUM(l_quantity) AS sum_qty, " +
+        "SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue, " +
+        "CAST(COUNT(*) AS DOUBLE) AS n_rows FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, metric, value FROM (" +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a " +
+        "UNION ALL SELECT l_returnflag, 'revenue', revenue FROM a " +
+        "UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a) " +
+        "ORDER BY l_returnflag, metric") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long")) / 10000.0).as("revenue"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("revenue"), col("n_rows")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+
     // Validity bounds emitted as epoch micros (BIGINT): raw TIMESTAMP
     // output is representation-ambiguous across engines (tz-aware vs
     // naive), epoch micros are not.
