@@ -38,7 +38,11 @@ object Bench {
     try sources.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Local-iteration subset (driver never sets this → full sweep).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()

@@ -47,8 +47,12 @@ object Corpus {
       .where(size(col("t")) >= n)
       .select(col("doc_id"), col("is_bench"),
         explode(shinglesFromTokens(col("t"), n)).as("ng"))
-      .select(col("doc_id"), col("is_bench"),
-        substring(md5(col("ng").cast("binary")), 1, 16).as("gh"))
+      // The digest is join-internal (never output): xxhash64 gives a
+      // codegen'd 8-byte join key — cheaper to compute and half the
+      // broadcast width of a 16-hex md5 prefix. The oracle digests with
+      // md5 independently; n_shared (count of distinct shared grams) is
+      // identical under any collision-free-at-this-scale hash.
+      .select(col("doc_id"), col("is_bench"), xxhash64(col("ng")).as("gh"))
     val bench = g.where(col("is_bench")).select(col("doc_id").as("bench_id"), col("gh"))
     val train = g.where(!col("is_bench")).select(col("doc_id").as("train_id"), col("gh"))
     train.join(broadcast(bench), "gh")

@@ -69,6 +69,23 @@ object LambdaQueries {
         .orderBy(col("wallet_id"), col("day"))
     },
 
+    // Spark 4 VARIANT path for semi-structured data: parse_json once into
+    // the binary variant encoding, then typed variant_get extraction —
+    // at scale this replaces per-expression JSON string re-parsing
+    // (q_json_extract's get_json_object) with a single decode. The oracle
+    // states the same result via DuckDB's JSON functions.
+    Q("q_variant_extract",
+      "SELECT json_extract_string(props, '$.k')::BIGINT AS k, " +
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY k") { (s, d) =>
+      Tables.events(s, d)
+        .select(parse_json(col("props")).as("v"), col("value"))
+        .select(variant_get(col("v"), "$.k", "bigint").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("k"))
+    },
+
     // Wide-to-long reshaping (unpivot/melt) — the inverse of q_pivot. The
     // aggregate runs once; unpivot is a zero-shuffle projection of each
     // row into metric rows.
