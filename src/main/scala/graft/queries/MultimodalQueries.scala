@@ -45,6 +45,59 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Feature-extraction stub: an 8-dim stride-bucket signature over the
+    // payload bytes (integer sums — exact in any engine). Real audio/image
+    // featurizers slot in at the same (binary → fixed-dim vector) boundary;
+    // the Spark-side shape — codegen'd per-row array math, no shuffle — is
+    // what carries to 100 TB. Payload bytes are ASCII text here, so both
+    // engines read char codes.
+    Q("mm_feature_extract",
+      "WITH c AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes, " +
+        "length(text) AS n FROM documents WHERE length(text) >= 8) " +
+        "SELECT doc_id, " +
+        (0 until 8).map(b =>
+          s"CAST(list_sum(list_transform(range(${b + 1}, n+1, 8), i -> codes[i])) AS BIGINT) AS f$b")
+          .mkString(", ") +
+        " FROM c ORDER BY doc_id") { (s, d) =>
+      val c = Multimodal.binaryDocs(Tables.documents(s, d))
+        .select(col("doc_id"), col("payload").cast("string").as("txt"))
+        .where(length(col("txt")) >= 8)
+        .select(col("doc_id"),
+          expr("transform(split(txt, ''), ch -> ascii(ch))").as("codes"),
+          length(col("txt")).as("n"))
+      val feats = (0 until 8).map(b =>
+        expr(s"aggregate(sequence(${b + 1}, n, 8), 0L, (acc, i) -> acc + element_at(codes, i))")
+          .as(s"f$b"))
+      c.select(col("doc_id") +: feats: _*).orderBy(col("doc_id"))
+    },
+
+    // Resize stub: stride-decimate each payload to ~64 samples (the
+    // downsampling plumbing a real image/audio resize shares: per-row,
+    // size-derived stride, deterministic output digest).
+    Q("mm_resize_stub",
+      "WITH c AS (SELECT doc_id, string_split(text, '') AS chars, length(text) AS n, " +
+        "GREATEST(1, length(text) // 64) AS stride FROM documents) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS orig_len, CAST(stride AS BIGINT) AS stride, " +
+        "CAST(length(array_to_string(list_transform(range(1, n+1, CAST(stride AS BIGINT)), " +
+        "i -> chars[i]), '')) AS BIGINT) AS resized_len, " +
+        "sha256(array_to_string(list_transform(range(1, n+1, CAST(stride AS BIGINT)), " +
+        "i -> chars[i]), '')) AS sha FROM c ORDER BY doc_id") { (s, d) =>
+      Multimodal.binaryDocs(Tables.documents(s, d))
+        .select(col("doc_id"), col("payload").cast("string").as("txt"))
+        .select(col("doc_id"), split(col("txt"), "").as("chars"),
+          length(col("txt")).as("n"),
+          greatest(lit(1), expr("length(txt) div 64")).as("stride"))
+        .select(col("doc_id"), col("n").cast("long").as("orig_len"),
+          col("stride").cast("long").as("stride"),
+          expr("array_join(transform(sequence(1, n, stride), " +
+            "i -> element_at(chars, CAST(i AS INT))), '')")
+            .as("resized"))
+        .select(col("doc_id"), col("orig_len"), col("stride"),
+          length(col("resized")).cast("long").as("resized_len"),
+          sha2(col("resized"), 256).as("sha"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frame sampling: one row per 256-byte frame of each payload. The frame
     // generator is keyed to each payload's own length (no fixed cap — a
     // hard-coded range bound would silently truncate payloads ≥ 4 KiB).
