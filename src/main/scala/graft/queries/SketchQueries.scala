@@ -78,6 +78,40 @@ object SketchQueries {
           withinTol(call_function("theta_estimate",
               call_function("theta_union", col("sk_a"), col("sk_b"))),
             col("exact_union"), 0.05).as("tol_union"))
+    },
+
+    // The BUILT-IN DataSketches HLL family (hll_sketch_agg / hll_union /
+    // hll_sketch_estimate) alongside the custom theta aggregate: same
+    // two-table merge discipline, same tolerance-boolean oracle. These
+    // sketch binaries are what a 100-TB rollup stores per partition and
+    // merges without re-scanning raw data.
+    Q("q_hll_union",
+      "SELECT (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS exact_li, " +
+        "(SELECT COUNT(DISTINCT s_suppkey) FROM supplier) AS exact_s, " +
+        "(SELECT COUNT(DISTINCT k) FROM (SELECT l_suppkey AS k FROM lineitem " +
+        "UNION ALL SELECT s_suppkey FROM supplier)) AS exact_union, " +
+        "TRUE AS tol_li, TRUE AS tol_s, TRUE AS tol_union") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val skLi = li.agg(expr("hll_sketch_agg(l_suppkey)").as("sk_li"))
+      val skS = sup.agg(expr("hll_sketch_agg(s_suppkey)").as("sk_s"))
+      val eLi = li.agg(countDistinct(col("l_suppkey")).as("exact_li"))
+      val eS = sup.agg(countDistinct(col("s_suppkey")).as("exact_s"))
+      val eU = li.select(col("l_suppkey").as("k"))
+        .union(sup.select(col("s_suppkey")))
+        .agg(countDistinct(col("k")).as("exact_union"))
+      def withinTol(est: org.apache.spark.sql.Column,
+                    exact: org.apache.spark.sql.Column, tol: Double) =
+        abs(est - exact.cast("double")) / exact.cast("double") <= tol
+      skLi.crossJoin(skS).crossJoin(eLi).crossJoin(eS).crossJoin(eU)
+        .select(
+          col("exact_li"), col("exact_s"), col("exact_union"),
+          withinTol(expr("hll_sketch_estimate(sk_li)"), col("exact_li"), 0.05)
+            .as("tol_li"),
+          withinTol(expr("hll_sketch_estimate(sk_s)"), col("exact_s"), 0.05)
+            .as("tol_s"),
+          withinTol(expr("hll_sketch_estimate(hll_union(sk_li, sk_s))"),
+            col("exact_union"), 0.05).as("tol_union"))
     }
   )
 }
