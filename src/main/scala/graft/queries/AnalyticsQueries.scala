@@ -92,6 +92,22 @@ object AnalyticsQueries {
     },
 
     // Explicit GROUPING SETS (finer than rollup/cube: an arbitrary set
+    // Equi-width histogram via width_bucket (DuckDB lacks the function, so
+    // the oracle states the equivalent floor-division arithmetic; every
+    // order is inside [0, 500000), so no boundary-clamp divergence).
+    Q("q_histogram",
+      "SELECT CAST(FLOOR(o_totalprice/50000) + 1 AS BIGINT) AS bucket, " +
+        "COUNT(*) AS n, " +
+        "SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS total " +
+        "FROM orders GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(500000), lit(10))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("total"))
+        .orderBy(col("bucket"))
+    },
+
     // list), via the SQL text layer.
     Q("q_grouping_sets",
       "SELECT l_returnflag, l_linestatus, " +
