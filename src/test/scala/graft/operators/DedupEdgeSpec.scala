@@ -38,4 +38,32 @@ class DedupEdgeSpec extends AnyFunSuite with SparkSpec {
     val d = docs((1L, "one two", 7L), (2L, "uno dos", 7L))
     assert(Dedup.ngramJaccardPairs(d).count() == 0)
   }
+
+  // Semantic dedup threshold extremes: > 1 can never fire (cosine ≤ 1, and
+  // grid-rounding keeps equal vectors at exactly 1.0), so everything is
+  // kept; ≤ -1 marks every pair similar, so exactly the min id of each
+  // cluster survives.
+  test("semanticDedup keeps all at threshold > 1 and one per cluster at -1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.register(spark)
+
+    val all = Dedup.semanticDedup(emb, k = 2, threshold = 1.1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(all.forall(_._3), s"threshold > 1 must keep everything: ${all.toSeq}")
+
+    val one = Dedup.semanticDedup(emb, k = 2, threshold = -1.0)
+      .as[(Long, Long, Boolean)].collect()
+    val keptPerCluster = one.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.filter(_._3).map(_._1).toSeq
+    }
+    assert(keptPerCluster.values.forall(_.size == 1))
+    // The keeper is always the cluster's minimum vec_id.
+    keptPerCluster.foreach { case (c, kept) =>
+      val members = one.filter(_._2 == c).map(_._1)
+      assert(kept.head == members.min)
+    }
+  }
 }
