@@ -28,6 +28,9 @@ object GraftSession {
       // ChecksumCancellableFSDataOutputStream.close (see SparkSpec).
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Engine optimizer rules (e.g. size(filter)>0 → exists) ride the
+      // standard extensions hook; takes effect at session CREATION.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     master.foreach(b.master)
     shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
     b
