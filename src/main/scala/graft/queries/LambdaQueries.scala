@@ -99,13 +99,21 @@ object LambdaQueries {
       val nxt = s"CASE WHEN s.st = 0 THEN d.tsec WHEN d.tsec - s.st > $windowSec THEN 0 ELSE s.st END"
       val recv = s"CASE WHEN s.st <> 0 AND d.tsec - s.st > $windowSec THEN CAST(0.0 AS DOUBLE) ELSE s.rc + d.amount END"
       Tables.registerAll(s, d)
+      // Materialize the tiny anchor relation ONCE (scan + window + depth
+      // cap ≈ 10 rows/wallet): each recursion round re-evaluates every
+      // relation it references, so without this the full events scan and
+      // window re-run per round (~3× slower measured at sf0.1).
       s.sql(
-        "WITH RECURSIVE dd AS (SELECT user_id AS wallet_id, " +
-          "unix_micros(ts) DIV 1000000 AS tsec, " +
-          "event_id AS seq, value AS amount FROM events WHERE value > 0), " +
-          "d0 AS (SELECT wallet_id, tsec, amount, " +
-          "ROW_NUMBER() OVER (PARTITION BY wallet_id ORDER BY tsec, seq) AS rn FROM dd), " +
-          "d AS (SELECT wallet_id, tsec, amount, rn, 10 AS n FROM d0 WHERE rn <= 10), " +
+        "SELECT wallet_id, tsec, amount, rn, 10 AS n FROM (" +
+          "SELECT wallet_id, tsec, amount, " +
+          "ROW_NUMBER() OVER (PARTITION BY wallet_id ORDER BY tsec, seq) AS rn " +
+          "FROM (SELECT user_id AS wallet_id, unix_micros(ts) DIV 1000000 AS tsec, " +
+          "event_id AS seq, value AS amount FROM events WHERE value > 0)) " +
+          "WHERE rn <= 10")
+        .localCheckpoint()
+        .createOrReplaceTempView("graft_rec_anchor")
+      s.sql(
+        "WITH RECURSIVE d AS (SELECT * FROM graft_rec_anchor), " +
           "s AS (SELECT wallet_id, CAST(0 AS BIGINT) AS st, CAST(0.0 AS DOUBLE) AS rc, " +
           "true AS fr, CAST(0 AS BIGINT) AS rn, n FROM (SELECT DISTINCT wallet_id, n FROM d) " +
           "UNION ALL " +
