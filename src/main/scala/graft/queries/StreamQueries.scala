@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.model.TimedDeposit
 import graft.sources.Tables
-import graft.streaming.{DepositStreams, DetectorLogic, DetectorProcessor}
+import graft.streaming.{CollectorProcessor, DepositStreams, DetectorLogic, DetectorProcessor}
 
 /** The REAL Structured Streaming pipeline (MemoryStream → detector →
   * flagger + collector, two chained streaming queries exactly like the
@@ -65,10 +65,14 @@ object StreamQueries {
       .select(col("walletId").cast("long").as("wallet_id"),
         col("flagged").as("above_threshold"))
 
-    // Collector on its own query (balance table).
+    // Collector on its own query (balance table). The tws variant runs the
+    // ListState append-only processor — same oracle, zero history rewrite.
     val in3 = MemoryStream[TimedDeposit]
     val balName = unique
-    val q3 = DepositStreams.collector(s, in3.toDS())
+    val collected =
+      if (useTws) CollectorProcessor.collect(s, in3.toDS())
+      else DepositStreams.collector(s, in3.toDS())
+    val q3 = collected
       .writeStream.format("memory").queryName(balName).outputMode("update").start()
     in3.addData(deposits.toSeq)
     q3.processAllAvailable(); q3.stop()
