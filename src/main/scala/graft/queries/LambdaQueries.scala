@@ -47,6 +47,33 @@ object LambdaQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Null-handling / cleaning surface: nullif to introduce nulls, na.fill
+    // (DataFrameNaFunctions) + coalesce to repair them, conditional null
+    // counting — the testdata has no nulls, so the query manufactures and
+    // then handles them, proving three-valued logic parity end-to-end.
+    Q("q_null_handling",
+      "WITH o AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status, " +
+        "CASE WHEN o_totalprice < 5000 THEN NULL ELSE o_totalprice END AS price " +
+        "FROM orders) " +
+        "SELECT COALESCE(status, 'UNKNOWN') AS status, COUNT(*) AS n, " +
+        "CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_price_null, " +
+        "ROUND(SUM(CAST(ROUND(COALESCE(price, 0.0)*100) AS BIGINT))/100.0, 2) AS total_filled " +
+        "FROM o GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status"),
+        when(col("o_totalprice") < 5000, lit(null)).otherwise(col("o_totalprice"))
+          .as("price"))
+      val nNull = sum(when(col("price").isNull, 1).otherwise(0)).as("n_price_null")
+      o.na.fill(Map("status" -> "UNKNOWN"))
+        .withColumn("filled_price", coalesce(col("price"), lit(0.0)))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), nNull,
+          round(sum(round(col("filled_price") * 100).cast("long")) / 100.0, 2)
+            .as("total_filled"))
+        .orderBy(col("status"))
+    },
+
     // Map-typed lambda surface: daily totals roll up into a per-wallet
     // MAP<date,double> (map_from_entries), a lambda prunes small days
     // (map_filter), and explode flattens back to rows. The map is
