@@ -28,9 +28,11 @@ object GraftSession {
       // ChecksumCancellableFSDataOutputStream.close (see SparkSpec).
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // Engine optimizer rules (e.g. size(filter)>0 → exists) ride the
-      // standard extensions hook; takes effect at session CREATION.
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Engine optimizer rules (e.g. size(filter)>0 → exists).
+      // withExtensions COMPOSES with any deployment-supplied
+      // --conf spark.sql.extensions instead of clobbering it; like the
+      // conf route, it only takes effect at session CREATION.
+      .withExtensions(new plans.GraftExtensions)
     master.foreach(b.master)
     shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
     b

@@ -21,14 +21,25 @@ import org.apache.spark.sql.types.IntegerType
   * `size` (null array → null either way).
   */
 object CountFilterToExists extends Rule[LogicalPlan] {
+
+  /** `filter` also accepts an index-based two-arg lambda `(x, i) -> …`,
+    * which `exists` cannot take (it destructures a ONE-arg
+    * LambdaFunction and would MatchError at eval). Only rewrite the
+    * element-only form.
+    */
+  private def elementOnly(f: Expression): Boolean = f match {
+    case lf: LambdaFunction => lf.arguments.length == 1
+    case _                  => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case GreaterThan(Size(ArrayFilter(arr, f), false), Literal(0, IntegerType)) =>
+    case GreaterThan(Size(ArrayFilter(arr, f), false), Literal(0, IntegerType)) if elementOnly(f) =>
       ArrayExists(arr, f, followThreeValuedLogic = false)
-    case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arr, f), false)) =>
+    case LessThan(Literal(0, IntegerType), Size(ArrayFilter(arr, f), false)) if elementOnly(f) =>
       ArrayExists(arr, f, followThreeValuedLogic = false)
-    case EqualTo(Size(ArrayFilter(arr, f), false), Literal(0, IntegerType)) =>
+    case EqualTo(Size(ArrayFilter(arr, f), false), Literal(0, IntegerType)) if elementOnly(f) =>
       Not(ArrayExists(arr, f, followThreeValuedLogic = false))
-    case EqualTo(Literal(0, IntegerType), Size(ArrayFilter(arr, f), false)) =>
+    case EqualTo(Literal(0, IntegerType), Size(ArrayFilter(arr, f), false)) if elementOnly(f) =>
       Not(ArrayExists(arr, f, followThreeValuedLogic = false))
   }
 }

@@ -182,7 +182,7 @@ object DedupQueries {
     // the identical assignment (grid-rounded L2², cid tie-break).
     Q("dedup_semantic",
       "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
         "dd AS (SELECT e.vec_id, e.v, c.cid, " +
         "ROUND(list_sum(list_transform(range(1, len(e.v)+1), " +
         "i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS dist " +

@@ -22,6 +22,17 @@ import graft.sources.Tables
   */
 object LambdaQueries {
 
+  /** Per-invocation suffix for the recursive-CTE anchor view (concurrent
+    * runs on a shared session must not race on one global name), plus the
+    * previous invocation's checkpointed anchor so its blocks can be
+    * released on re-entry (a bench sweep re-invokes the query many times;
+    * without this each sweep pins another anchor's checkpoint blocks
+    * until RDD GC).
+    */
+  private val anchorSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val lastAnchor =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](null)
+
   val all: Seq[Q] = Seq(
 
     Q("q_higher_order",
@@ -130,7 +141,7 @@ object LambdaQueries {
       // cap ≈ 10 rows/wallet): each recursion round re-evaluates every
       // relation it references, so without this the full events scan and
       // window re-run per round (~3× slower measured at sf0.1).
-      s.sql(
+      val anchor = s.sql(
         "SELECT wallet_id, tsec, amount, rn, 10 AS n FROM (" +
           "SELECT wallet_id, tsec, amount, " +
           "ROW_NUMBER() OVER (PARTITION BY wallet_id ORDER BY tsec, seq) AS rn " +
@@ -138,9 +149,15 @@ object LambdaQueries {
           "event_id AS seq, value AS amount FROM events WHERE value > 0)) " +
           "WHERE rn <= 10")
         .localCheckpoint()
-        .createOrReplaceTempView("graft_rec_anchor")
-      s.sql(
-        "WITH RECURSIVE d AS (SELECT * FROM graft_rec_anchor), " +
+      // Previous invocation's action is done by the time we're re-entered
+      // sequentially — release its pinned checkpoint blocks now. (Cannot
+      // unpersist THIS anchor before the caller's action: localCheckpoint
+      // blocks are the execution source, not a recomputable cache.)
+      Option(lastAnchor.getAndSet(anchor)).foreach(_.unpersist(blocking = false))
+      val view = s"graft_rec_anchor_${anchorSeq.incrementAndGet()}"
+      anchor.createOrReplaceTempView(view)
+      val out = s.sql(
+        s"WITH RECURSIVE d AS (SELECT * FROM $view), " +
           "s AS (SELECT wallet_id, CAST(0 AS BIGINT) AS st, CAST(0.0 AS DOUBLE) AS rc, " +
           "true AS fr, CAST(0 AS BIGINT) AS rn, n FROM (SELECT DISTINCT wallet_id, n FROM d) " +
           "UNION ALL " +
@@ -149,6 +166,10 @@ object LambdaQueries {
           "FROM s JOIN d ON d.wallet_id = s.wallet_id AND d.rn = s.rn + 1) " +
           "SELECT wallet_id, ROUND(rc, 2) AS win_sum_10, NOT fr AS above_threshold " +
           "FROM s WHERE rn = n ORDER BY wallet_id")
+      // sql() analyzes eagerly — the plan holds the resolved relation, so
+      // the name can be retired immediately (no session-global leak).
+      s.catalog.dropTempView(view)
+      out
     },
 
     // Spark 4 VARIANT path for semi-structured data: parse_json once into

@@ -76,7 +76,7 @@ object MultimodalQueries {
     // size-derived stride, deterministic output digest).
     Q("mm_resize_stub",
       "WITH c AS (SELECT doc_id, string_split(text, '') AS chars, length(text) AS n, " +
-        "GREATEST(1, length(text) // 64) AS stride FROM documents) " +
+        "GREATEST(1, length(text) // 64) AS stride FROM documents WHERE length(text) > 0) " +
         "SELECT doc_id, CAST(n AS BIGINT) AS orig_len, CAST(stride AS BIGINT) AS stride, " +
         "CAST(length(array_to_string(list_transform(range(1, n+1, CAST(stride AS BIGINT)), " +
         "i -> chars[i]), '')) AS BIGINT) AS resized_len, " +
@@ -84,6 +84,10 @@ object MultimodalQueries {
         "i -> chars[i]), '')) AS sha FROM c ORDER BY doc_id") { (s, d) =>
       Multimodal.binaryDocs(Tables.documents(s, d))
         .select(col("doc_id"), col("payload").cast("string").as("txt"))
+        // Empty payloads: sequence(1, 0) throws in Spark while DuckDB's
+        // range(1, 1) is an empty list — exclude them identically on
+        // both sides rather than diverge/crash.
+        .where(length(col("txt")) > 0)
         .select(col("doc_id"), split(col("txt"), "").as("chars"),
           length(col("txt")).as("n"),
           greatest(lit(1), expr("length(txt) div 64")).as("stride"))

@@ -28,6 +28,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("index-based two-arg filter lambda is NOT rewritten (exists can't take it)") {
+    // filter((x, i) -> ...) has no exists() equivalent — ArrayExists
+    // destructures a ONE-arg lambda and would MatchError at eval. The
+    // rule must leave the two-arg form untouched AND it must still run.
+    val query = () => emb.filter(
+      size(filter(col("v"), (x, i) => x > lit(0.4) && i >= lit(0))) > 0)
+      .select("vec_id")
+    val before = query().orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    spark.experimental.extraOptimizations = Seq(CountFilterToExists)
+    try {
+      val df = query()
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("exists("),
+        s"two-arg filter must not become exists in:\n$optimized")
+      assert(df.orderBy("vec_id").collect().map(_.getLong(0)).toSeq === before)
+      assert(before.nonEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("size(filter(...)) = 0 rewrites to NOT exists") {
     val query = () => emb.filter(size(filter(col("v"), x => x > lit(0.4))) === 0)
       .select("vec_id")
