@@ -61,12 +61,23 @@ object StreamQueries {
       path
     })
 
+  /** With SPARK_GRAFT_STREAM_FORENSICS=1, each invocation prints one JSON
+    * line to stderr splitting wall time into: feed availability (cached
+    * after the first query), hop1+collector (concurrent), hop2, and the
+    * state-store/query-start overhead vs batch-execution time reported by
+    * StreamingQueryProgress — the setup-vs-steady-state split PERF.md
+    * documents.
+    */
+  private val forensics = sys.env.get("SPARK_GRAFT_STREAM_FORENSICS").contains("1")
+
   private def streamCheck(s: SparkSession, dir: String, windowSec: Long,
                           threshold: Double,
                           useTws: Boolean = false): DataFrame = {
     import s.implicits._
 
+    val t0 = System.nanoTime()
     val feed = depositFeed(s, dir)
+    val tFeed = System.nanoTime()
     def deposits = s.readStream
       .schema(Encoders.product[TimedDeposit].schema)
       .parquet(feed)
@@ -99,6 +110,9 @@ object StreamQueries {
 
     q1.processAllAvailable(); q1.stop()
     q3.processAllAvailable(); q3.stop()
+    val tHop1 = System.nanoTime()
+    val batchMs1 = (q1.recentProgress ++ q3.recentProgress)
+      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)).sum
 
     // Hop 2: flagger consumes the flag-event log (LWW state, update mode).
     val flagName = unique
@@ -111,6 +125,16 @@ object StreamQueries {
       .option("checkpointLocation", s"$work/cp_flagger")
       .outputMode("update").start()
     q2.processAllAvailable(); q2.stop()
+    val tHop2 = System.nanoTime()
+    if (forensics) {
+      val batchMs2 = q2.recentProgress
+        .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)).sum
+      def sec(a: Long, b: Long) = (b - a) / 1e9
+      System.err.println(
+        f"""{"forensics":"stream_check","tws":$useTws,"feed_s":${sec(t0, tFeed)}%.3f,""" +
+        f""""hop1_collector_wall_s":${sec(tFeed, tHop1)}%.3f,"hop1_collector_batch_s":${batchMs1 / 1e3}%.3f,""" +
+        f""""hop2_wall_s":${sec(tHop1, tHop2)}%.3f,"hop2_batch_s":${batchMs2 / 1e3}%.3f}""")
+    }
     val flags = s.table(flagName)
       .select(col("walletId").cast("long").as("wallet_id"),
         col("flagged").as("above_threshold"))
