@@ -72,6 +72,46 @@ class StateTtlSpec extends AnyFunSuite with SparkSpec {
     assert(afterReturn.rollingPeriodStartUnix == 100L)
   }
 
+  /** Collector (O3) eviction on the REAL processor — same timeline shape:
+    * w1 deposits at t=100, w2's t=1000 deposit pushes the watermark past
+    * w1's idle timer (100 + 300), w1 returns at t=1100.
+    */
+  private def runCollector(wire: (org.apache.spark.sql.SparkSession,
+                                  org.apache.spark.sql.Dataset[TimedDeposit]) =>
+                                 org.apache.spark.sql.Dataset[DepositStreams.BalanceRow])
+      : Seq[DepositStreams.BalanceRow] = {
+    val input = MemoryStream[TimedDeposit]
+    val name = s"ttl_${n.incrementAndGet()}"
+    val q = wire(spark, input.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode("update").start()
+    input.addData(Seq(TimedDeposit("w1", 5.0, 100L, 1L)))
+    q.processAllAvailable()
+    input.addData(Seq(TimedDeposit("w2", 1.0, 1000L, 2L)))
+    q.processAllAvailable()
+    input.addData(Seq(TimedDeposit("w1", 7.0, 1100L, 3L)))
+    q.processAllAvailable()
+    val out = spark.table(name).as[DepositStreams.BalanceRow].collect().toSeq
+    q.stop()
+    out
+  }
+
+  test("idle wallet history is evicted past the watermark (zero-value row + restart)") {
+    val w1 = runCollector(CollectorProcessor.collectWithTtl(_, _,
+      idleTtlSec = 300L, delay = "10 seconds")).filter(_.walletId == "w1")
+    // Eviction emits the unknown-wallet zero-value row, and the returning
+    // deposit restarts the history from scratch (n=1, not n=2).
+    assert(w1.exists(r => r.nDeposits == 0L && r.balance == 0.0))
+    assert(w1.exists(r => r.nDeposits == 1L && r.balance == 7.0))
+    assert(!w1.exists(_.nDeposits == 2L))
+  }
+
+  test("unbounded collector retains history across the same timeline (reference parity)") {
+    val w1 = runCollector(CollectorProcessor.collect)
+      .filter(_.walletId == "w1")
+    assert(w1.exists(r => r.nDeposits == 2L && r.balance == 12.0))
+    assert(!w1.exists(_.nDeposits == 0L))
+  }
+
   test("processing-time TTLConfig is accepted on the value state") {
     // Wall-clock TTL can't be asserted deterministically; this pins the
     // plumbing: a processor constructed with a real TTLConfig runs green.
