@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: synthesize a ~10× corpus from sf0.1 and measure how the
+  * dedup / similarity / corpus heavy set scales, emitting per-query
+  * scaling exponents (PERF.md "Scale smoke" section).
+  *
+  * Corpus synthesis (union + id offset, replica i of `mult`):
+  *  - documents: every token gets a replica-specific `_i` suffix, so
+  *    replicas are DISSIMILAR (cross-replica Jaccard ≈ 0) while the
+  *    intra-replica near-dup structure is preserved exactly — pair
+  *    density scales linearly with the corpus, the realistic regime. A
+  *    naive copy would make every doc a 10-way exact dup and blow the
+  *    candidate space quadratically, measuring an artifact.
+  *  - embeddings: replica i rotates the vector by i dimensions —
+  *    norms and intra-replica dot products are preserved bit-for-bit,
+  *    cross-replica cosines decorrelate.
+  *  - id offset 100,000,000 per replica (preserves doc_id % 20, the
+  *    contamination bench split).
+  *
+  * Exponent = ln(t_big / t_base) / ln(mult); ~1.0 = linear, the banded /
+  * bucketed / broadcast claims hold. Each timing is the min of `runs`
+  * (noise floor); the base scale runs first as JIT/codegen warmup.
+  *
+  * dedup_semantic is measured in its documented operating regime — k
+  * grows with n (SemDeDup clusters of roughly constant size), so the
+  * big scale runs k×mult; at FIXED k its pairwise stage is quadratic in
+  * cluster size by construction.
+  */
+object ScaleSmoke {
+
+  private val Mult = 10
+  private val Offset = 100000000L
+
+  private def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until Mult).map { i =>
+      val txt =
+        if (i == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          tok => concat(tok, lit(s"_$i"))), " ")
+      docs.select((col("doc_id") + lit(i * Offset)).as("doc_id"), txt.as("text"),
+        col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until Mult).map { i =>
+      val v =
+        if (i == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
+          slice(col("embedding"), lit(1), lit(i)))
+      emb.select((col("vec_id") + lit(i * Offset)).as("vec_id"),
+        v.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$Mult"
+    synthesize(spark, baseDir, bigDir)
+
+    // The heavy set: every query here reads only documents/embeddings.
+    val names = Seq(
+      "dedup_exact", "dedup_chunks", "dedup_minhash_lsh", "dedup_minhash_estimate",
+      "dedup_ngram_jaccard", "dedup_char_jaccard", "dedup_simhash",
+      "dedup_components", "dedup_embedding_cosine",
+      "sim_topk_bruteforce", "sim_lsh_topk", "sim_lsh_multiprobe",
+      "sim_ivf_topk", "sim_pq_topk", "sim_pq_rerank",
+      "contamination_ngram", "tfidf_top_terms")
+
+    def semanticAt(dir: String, k: Int): DataFrame =
+      operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
+        k = k, threshold = 0.3)
+
+    def time(fn: () => DataFrame): Double =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn().count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val rows = (names.map { n =>
+      val fn = SparkEntry.queries(n)
+      val tBase = time(() => fn(spark, baseDir))
+      val tBig = time(() => fn(spark, bigDir))
+      (n, tBase, tBig)
+    } :+ {
+      val tBase = time(() => semanticAt(baseDir, 8))
+      val tBig = time(() => semanticAt(bigDir, 8 * Mult))
+      ("dedup_semantic_growk", tBase, tBig)
+    }).map { case (n, tBase, tBig) =>
+      val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)
+      f"""{"query":"$n","t_base_s":$tBase%.3f,"t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f}"""
+    }
+    rows.foreach(println)
+    spark.stop()
+  }
+}
