@@ -164,6 +164,74 @@ object StreamQueries {
     f.delete(): Unit
   }
 
+  /** Event-time tumbling-window aggregation through the REAL micro-batch
+    * engine (the registered `q_tumbling_window` is the batch analog): the
+    * deposit feed readStream → watermark → `window('1 day')` → windowed
+    * count/sum, update mode. Spark aligns windows to the epoch, so the
+    * oracle's `tsec // 86400 * 86400` bucket is the same window start.
+    * Money is summed scaled-int (engine-reassociation-proof). The feed is
+    * consumed in one micro-batch (see class doc), so the update-mode
+    * memory sink holds exactly one final row per window.
+    */
+  private def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val feed = depositFeed(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$unique"
+    val name = unique
+    val q = s.readStream
+      .schema(Encoders.product[TimedDeposit].schema)
+      .parquet(feed)
+      .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
+      .withWatermark("eventTime", "1 hour")
+      .groupBy(window(col("eventTime"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_deposits"),
+        (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
+      .select(unix_timestamp(col("w.start")).as("day_start"),
+        col("n_deposits"), col("total"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$work/cp")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val out = s.table(name).orderBy(col("day_start"))
+    s.catalog.dropTempView(name)
+    deleteRecursively(new java.io.File(work))
+    out
+  }
+
+  /** Exactly-once streaming dedup: the feed unioned with ITSELF (every
+    * deposit delivered twice — the at-least-once redelivery shape) →
+    * `dropDuplicatesWithinWatermark` on the event key, append mode; the
+    * deduped stream folds to per-wallet (count, total), which therefore
+    * must equal the ONCE-delivered aggregate the oracle computes. Dedup
+    * state is watermark-bounded — the 100-TB posture (unbounded
+    * `dropDuplicates` state grows with every key ever seen).
+    */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val feed = depositFeed(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$unique"
+    val name = unique
+    def src = s.readStream
+      .schema(Encoders.product[TimedDeposit].schema)
+      .parquet(feed)
+    val q = src.union(src)
+      .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
+      .withWatermark("eventTime", "1 hour")
+      .dropDuplicatesWithinWatermark("seq")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$work/cp")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = s.table(name)
+      .groupBy(col("walletId").cast("long").as("wallet_id"))
+      .agg(count(lit(1)).as("n_deposits"),
+        (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
+      .orderBy(col("wallet_id"))
+    s.catalog.dropTempView(name)
+    deleteRecursively(new java.io.File(work))
+    out
+  }
+
   /** DuckDB replay of the detector state machine, iterated as a recursive
     * CTE: step k joins each wallet's k-th event (by (tsec, seq)) onto its
     * state row. (A `list_reduce` fold would be more direct, but DuckDB
@@ -207,6 +275,25 @@ object StreamQueries {
     // oracle as the flatMapGroupsWithState form.
     Q("stream_check_tws", checkSql(86400L, 300.0)) {
       (s, d) => streamCheck(s, d, 86400L, 300.0, useTws = true)
+    },
+
+    // Event-time tumbling windows through the real micro-batch engine
+    // (epoch-aligned '1 day' windows = the oracle's integer day bucket).
+    Q("stream_window_agg",
+      "SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS day_start, " +
+        "COUNT(*) AS n_deposits, " +
+        "SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total " +
+        "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
+      (s, d) => streamWindowAgg(s, d)
+    },
+
+    // At-least-once redelivery (feed ∪ feed) collapsed by watermarked
+    // streaming dedup — per-wallet totals must equal once-delivery.
+    Q("stream_dedup",
+      "SELECT user_id AS wallet_id, COUNT(*) AS n_deposits, " +
+        "SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total " +
+        "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
+      (s, d) => streamDedup(s, d)
     }
   )
 }
