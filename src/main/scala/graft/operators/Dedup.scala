@@ -92,14 +92,15 @@ object Dedup {
   }
 
   /** Exact-Jaccard self-join over the length band |Δn_chars| ≤ maxDiff,
-    * with prefix-filtered candidate generation and a codegen'd merge
-    * verify. `base` must carry (doc_id, n_chars, sh64: SORTED DISTINCT
-    * array<long> of shingle hashes). Shape:
+    * with size-ADAPTIVE candidate generation (length-band bucket join
+    * below `prefixCutover` docs, df-ordered prefix filter above — see the
+    * in-line strategy note) and a codegen'd merge verify. `base` must
+    * carry (doc_id, n_chars, sh64: SORTED DISTINCT array<long> of shingle
+    * hashes). Shape:
     *
-    *  1. candidates: pairs sharing a PREFIX shingle (document-frequency
-    *     order — see in-line note) with |Δn_chars| ≤ maxDiff and the
-    *     t-implied size-ratio bound — keyed equi-joins moving only
-    *     (doc_id, sz, n_chars, h), never a cartesian;
+    *  1. candidates: a keyed equi-join moving only small metadata rows,
+    *     never a cartesian — bucket key or prefix-shingle key by corpus
+    *     size;
     *  2. the sorted hash arrays join in by id AFTER pair pruning;
     *  3. |A∩B| per pair via [[graft.plans.SortedIntersectCount]] — a
     *     two-pointer primitive-long merge inside whole-stage codegen —
@@ -111,12 +112,10 @@ object Dedup {
     * Σ_shingle c_s² pairs, which a small-vocab / hot-shingle corpus blows
     * up (280M enumerations measured on this one) — the df-ordered prefix
     * index is the principled middle: postings restricted to each set's
-    * (1−t)·|A|+1 rarest shingles; and length-banding ALONE (the previous
-    * candidate stage) is quadratic in band population — exponent 1.28
-    * measured on the 10× scale smoke vs ≈ 1 prefix-filtered.
-    * Jaccard over 64-bit hashes equals jaccard over the shingles themselves
-    * up to hash collisions (~n²/2⁶⁴ — the same risk class as the md5-prefix
-    * digests the DuckDB oracle compares).
+    * (1−t)·|A|+1 rarest shingles. Jaccard over 64-bit hashes equals
+    * jaccard over the shingles themselves up to hash collisions
+    * (~n²/2⁶⁴ — the same risk class as the md5-prefix digests the DuckDB
+    * oracle compares).
     *
     * The base is materialized ONCE, eagerly (localCheckpoint): the shingle
     * builder is an interpreted higher-order function, and left inline
@@ -126,8 +125,9 @@ object Dedup {
     * 326 s vs ~3 s at sf0.1). Checkpointing computes it once, in parallel;
     * executor-storage backed and spillable, the same postings
     * materialization any large-scale similarity join performs. */
-  private def jaccardPairsBanded(base: DataFrame, maxDiff: Int,
-                                 threshold: Double): DataFrame = {
+  private[graft] def jaccardPairsBanded(base: DataFrame, maxDiff: Int,
+                                        threshold: Double,
+                                        prefixCutover: Long = 20000L): DataFrame = {
     // The verify kernel is the registered `sorted_intersect_count`
     // expression; registration is idempotent, so self-register for callers
     // that never touched graft.sources.Tables.
@@ -135,41 +135,71 @@ object Dedup {
     val b = base.localCheckpoint()
     val arrs = b.select(col("doc_id"), size(col("sh64")).as("sz"), col("sh64"))
 
-    // Candidate generation: PREFIX FILTER (AllPairs/PPJoin), composed with
-    // the length band. Under any global total order of the shingle
-    // universe, J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A's first
-    // |A| − ⌈t·|A|⌉ + 1 elements and B's first |B| − ⌈t·|B|⌉ + 1 elements
-    // must share one — pairs sharing no prefix element cannot pass the
-    // threshold (lossless; the exact verify below is unchanged). The
-    // global order is ASCENDING DOCUMENT FREQUENCY (ties by hash): hot
-    // shingles sort last and land in almost no prefixes, which is what
-    // kills the Σ c² postings blowup of a naive inverted index — and,
-    // unlike length-banding alone, candidate volume tracks genuine
-    // similarity density instead of growing quadratically with band
-    // population (measured: the 10× scale smoke put banded char-jaccard
-    // at exponent 1.28; prefix-filtered runs ≈ linear, PERF.md round 6).
-    // Size filter t·|A| ≤ |B| is also implied by J ≥ t (|A∩B| ≤ min,
-    // |A∪B| ≥ max) and prunes before the distinct. The |Δn_chars| band
-    // is part of the operator's OUTPUT contract and stays.
-    val post = b.select(col("doc_id"), explode(col("sh64")).as("h"))
-    val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefixes = post.join(dfreq, "h")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("rs"))
-      .select(col("doc_id"), size(col("rs")).as("sz"),
-        explode(slice(col("rs"), lit(1),
-          (size(col("rs")) - ceil(size(col("rs")) * threshold) + 1).cast("int")))
-          .as("p"))
-      .select(col("doc_id"), col("sz"), col("p.h").as("h"))
-      .join(b.select(col("doc_id"), col("n_chars")), "doc_id")
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= maxDiff &&
-          col("b.sz") >= ceil(col("a.sz") * threshold) &&
-          col("a.sz") >= ceil(col("b.sz") * threshold))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    // Candidate generation is ADAPTIVE on corpus size (count is free: `b`
+    // is already materialized). Two lossless strategies — both produce
+    // every pair that can pass the threshold, so the exact verify below
+    // and the operator's output are identical either way (pinned by
+    // DedupEdgeSpec):
+    //
+    //  - small corpus → LENGTH-BAND bucket join: pairs with
+    //    |Δn_chars| ≤ maxDiff via a ±1 bucket explode. Near-zero fixed
+    //    cost, but candidate volume is quadratic in band population
+    //    (scale-smoke exponent 1.28) — fine only while bands are small.
+    //  - large corpus → PREFIX FILTER (AllPairs/PPJoin) composed with the
+    //    band: under any global total order of the shingle universe,
+    //    J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so A's first
+    //    |A| − ⌈t·|A|⌉ + 1 elements and B's first |B| − ⌈t·|B|⌉ + 1 must
+    //    share one. Order = ASCENDING DOCUMENT FREQUENCY (ties by hash):
+    //    hot shingles land in almost no prefixes, killing the Σ c²
+    //    postings blowup of a naive inverted index. Candidate volume
+    //    tracks similarity density (smoke exponent 0.72), at ~2.5 s of
+    //    df-rank index build.
+    //
+    // Measured crossover ≈ 100k docs at sf0.1-like documents (PERF.md
+    // round 6); the cutover sits at 20k — inside the ≤15 %-penalty zone —
+    // so the 10× scale smoke keeps the prefix path exercised.
+    // The t-implied size-ratio bound (t·|A| ≤ |B|, from |A∩B| ≤ min,
+    // |A∪B| ≥ max) prunes prefix candidates before the distinct. The
+    // |Δn_chars| band is part of the operator's OUTPUT contract and
+    // stays in both strategies.
+    val meta = b.select(col("doc_id"), col("n_chars"))
+    val prefixes = {
+      // collect_list + in-row sort/slice, NOT a row_number window: the
+      // windowed formulation re-measured slower at BOTH scales for char
+      // shingles (23.5 s vs 16.4 s at the 10× smoke) — the per-doc array
+      // rebuild is cheaper than the global partition sort here.
+      val post = b.select(col("doc_id"), explode(col("sh64")).as("h"))
+      val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      post.join(dfreq, "h")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("rs"))
+        .select(col("doc_id"), size(col("rs")).as("sz"),
+          explode(slice(col("rs"), lit(1),
+            (size(col("rs")) - ceil(size(col("rs")) * threshold) + 1).cast("int")))
+            .as("p"))
+        .select(col("doc_id"), col("sz"), col("p.h").as("h"))
+        .join(meta, "doc_id")
+    }
+    val bucketW = 2 * maxDiff
+    val bandedA = meta.withColumn("bucket",
+      explode(array((-1 to 1).map(o => floor(col("n_chars") / bucketW) + o): _*)))
+    val bandedB = meta.withColumn("bucket", floor(col("n_chars") / bucketW))
+    val cand =
+      if (b.count() < prefixCutover)
+        bandedA.as("a").join(bandedB.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.n_chars") - col("b.n_chars")) <= maxDiff)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      else
+        prefixes.as("a").join(prefixes.as("b"),
+            col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.n_chars") - col("b.n_chars")) <= maxDiff &&
+              col("b.sz") >= ceil(col("a.sz") * threshold) &&
+              col("a.sz") >= ceil(col("b.sz") * threshold))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
         col("sh64").as("sh_a")), "id_a")
@@ -200,12 +230,13 @@ object Dedup {
     * prior projection (hot-path rule — an inline split would re-run per
     * shingle in the interpreted lambda). */
   def ngramJaccardPairs(docs: DataFrame, maxDiff: Int = 10,
-                        threshold: Double = 0.3): DataFrame =
+                        threshold: Double = 0.3,
+                        prefixCutover: Long = 20000L): DataFrame =
     jaccardPairsBanded(
       docs.select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("n_chars"),
           hashedShingleSet(shinglesFromTokens(col("toks"), 3)).as("sh64")),
-      maxDiff, threshold)
+      maxDiff, threshold, prefixCutover)
 
   /** Character-level k-gram Jaccard pairs: same join shape as
     * [[ngramJaccardPairs]], but over char k-shingles of the normalized
@@ -215,7 +246,8 @@ object Dedup {
     * re-runs the two regexp_replaces PER POSITION — ~3M regex evaluations
     * at sf0.1 (measured 59 s → ~3 s with the bound column). */
   def charJaccardPairs(docs: DataFrame, k: Int = 8, maxDiff: Int = 10,
-                       threshold: Double = 0.4): DataFrame = {
+                       threshold: Double = 0.4,
+                       prefixCutover: Long = 20000L): DataFrame = {
     val norm = col("norm")
     val rawShingles =
       when(length(norm) >= k,
@@ -226,7 +258,7 @@ object Dedup {
       docs.select(col("doc_id"), col("n_chars"), normText(col("text")).as("norm"))
         .select(col("doc_id"), col("n_chars"),
           hashedShingleSet(rawShingles).as("sh64")),
-      maxDiff, threshold)
+      maxDiff, threshold, prefixCutover)
   }
 
   /** MinHash similarity ESTIMATION: jaccard ≈ fraction of agreeing

@@ -39,6 +39,30 @@ class DedupEdgeSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.ngramJaccardPairs(d).count() == 0)
   }
 
+  /** The two candidate strategies (length-band bucket join vs df-ordered
+    * prefix filter) are both lossless for the thresholded output, so
+    * forcing either via the cutover must give IDENTICAL pairs — on real
+    * near-dups, disjoint docs, and degenerate (empty-shingle) docs.
+    */
+  test("banded and prefix-filtered candidates produce identical jaccard pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      (1L, base, base.length.toLong),
+      (2L, base + " extra", (base.length + 6).toLong),    // near-dup of 1
+      (3L, "completely different words appear in this one", 46L),
+      (4L, "one two", 7L),                                // degenerate
+      (5L, base.replace("quick", "slow"), base.length.toLong))
+    def run(cutover: Long) = Seq(
+      Dedup.ngramJaccardPairs(d, prefixCutover = cutover),
+      Dedup.charJaccardPairs(d, prefixCutover = cutover))
+      .map(_.as[(Long, Long, Double)].collect().toSeq.sorted)
+    val Seq(ngramBanded, charBanded) = run(Long.MaxValue) // always banded
+    val Seq(ngramPrefix, charPrefix) = run(0L)            // always prefix
+    assert(ngramBanded == ngramPrefix)
+    assert(charBanded == charPrefix)
+    assert(ngramBanded.nonEmpty || charBanded.nonEmpty) // not vacuous
+  }
+
   // Semantic dedup threshold extremes: > 1 can never fire (cosine ≤ 1, and
   // grid-rounding keeps equal vectors at exactly 1.0), so everything is
   // kept; ≤ -1 marks every pair similar, so exactly the min id of each
