@@ -112,6 +112,24 @@ object SketchQueries {
             .as("tol_s"),
           withinTol(expr("hll_sketch_estimate(hll_union(sk_li, sk_s))"),
             col("exact_union"), 0.05).as("tol_union"))
+    },
+
+    // Frequent-items sketch (Spark 4 approx_top_k, DataSketches
+    // FrequentItems under the hood). With maxItemsTracked comfortably
+    // above the true distinct count the sketch is EXACT, so the oracle
+    // replays it as a plain count — the plumbing being checked is the
+    // sketch aggregate + struct-array explode. At 100 TB the sketch is
+    // the point: heavy-hitter counts merge map-side in bounded memory
+    // where a full GROUP BY would shuffle the whole key space.
+    Q("q_approx_topk",
+      "SELECT l_returnflag || l_linestatus AS item, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY 1 ORDER BY n DESC, item") { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(concat(col("l_returnflag"), col("l_linestatus")).as("item"))
+        .agg(expr("approx_top_k(item, 10, 1000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("item"))
     }
   )
 }
