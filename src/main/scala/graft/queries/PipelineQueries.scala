@@ -130,6 +130,46 @@ object PipelineQueries {
           countDistinct(col("source")).as("n_sources"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
+    },
+
+    // Sequence packing: concatenate-and-chunk documents into fixed
+    // token-budget training sequences (the GPT-style pretraining batch
+    // layout). Documents are packed GREEDILY IN doc_id ORDER within each
+    // language shard: a doc starts in sequence floor(tokens_before / B)
+    // and may straddle the boundary — exactly the concat-then-chunk
+    // semantics of packed pretraining. Per (lang, seq) the query reports
+    // docs started, tokens contributed, and the running fill.
+    //
+    // Scale shape: the running token total is a window ORDERED within a
+    // PARTITION (lang shard) — never a global single-partition cumsum; a
+    // 100-TB corpus packs each shard independently, which is how
+    // distributed packing is actually run (shard = worker's slice). One
+    // hash shuffle on lang, one window pass, one group-aggregate.
+    Q("pipeline_pack_sequences",
+      "WITH t AS (SELECT doc_id, lang, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT lang, doc_id, n_tok, " +
+        "SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS before " +
+        "FROM t), " +
+        "s AS (SELECT lang, doc_id, n_tok, CAST(before // 2048 AS BIGINT) AS seq_id FROM c) " +
+        "SELECT lang, seq_id, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS seq_tokens " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val budget = 2048L
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("seq_id", (col("before") / budget).cast("long"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("seq_tokens"))
+        .orderBy(col("lang"), col("seq_id"))
     }
   )
 }
