@@ -145,6 +145,36 @@ object PipelineQueries {
     // 100-TB corpus packs each shard independently, which is how
     // distributed packing is actually run (shard = worker's slice). One
     // hash shuffle on lang, one window pass, one group-aggregate.
+    // Temperature-resampled language mix: the multilingual upsampling
+    // step of a pretraining data recipe — natural share p_l per language,
+    // temperature-flattened weight p_l^α, resampled share and upsample
+    // factor per language. α = 0.5 (sqrt) deliberately: IEEE sqrt is
+    // correctly rounded in BOTH engines, so the oracle replays the exact
+    // doubles (a generic pow() differs in the last ulp across libms).
+    // Pure per-group arithmetic over a 5-row aggregate — the 100-TB cost
+    // is one count per language.
+    Q("pipeline_temperature_mix",
+      "WITH p AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1), " +
+        "s AS (SELECT lang, n_docs, " +
+        "n_docs::DOUBLE / (SELECT SUM(n_docs) FROM p) AS nat_share, " +
+        "sqrt(n_docs::DOUBLE) AS w FROM p) " +
+        "SELECT lang, n_docs, ROUND(nat_share, 6) AS nat_share, " +
+        "ROUND(w / (SELECT SUM(sqrt(n_docs::DOUBLE)) FROM p), 6) AS temp_share, " +
+        "ROUND((w / (SELECT SUM(sqrt(n_docs::DOUBLE)) FROM p)) / nat_share, 4) AS upsample " +
+        "FROM s ORDER BY lang") { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("tot"),
+        sum(sqrt(col("n_docs").cast("double"))).as("wtot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("tot"), 6).as("nat_share"),
+          round(sqrt(col("n_docs").cast("double")) / col("wtot"), 6).as("temp_share"),
+          round((sqrt(col("n_docs").cast("double")) / col("wtot"))
+            / (col("n_docs").cast("double") / col("tot")), 4).as("upsample"))
+        .orderBy(col("lang"))
+    },
+
     Q("pipeline_pack_sequences",
       "WITH t AS (SELECT doc_id, lang, " +
         "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok " +
