@@ -57,6 +57,20 @@ object ScaleSmoke {
         v.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // Events ×10 for the streaming-throughput smoke: wallet ids offset per
+    // replica (10× keys, each with its replica's intact per-wallet
+    // history), seqs offset to stay unique, ts kept as the raw nanos LONG
+    // (the synth dir round-trips through Tables.events' nanosAsLong read
+    // exactly like the driver testdata).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    (0 until Mult).map { i =>
+      ev.select((col("event_id") + lit(i * Offset)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * Offset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,6 +82,9 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,6 +121,14 @@ object ScaleSmoke {
       val tBase = time(() => semanticAt(baseDir, 8))
       val tBig = time(() => semanticAt(bigDir, 8 * Mult))
       ("dedup_semantic_growk", tBase, tBig)
+    } :+ {
+      // Streaming throughput scaling: the full detector→flagger+collector
+      // pipeline over 10× deposits AND 10× wallet keys (state scales with
+      // both). The feed parquet is rebuilt once per dir by the harness.
+      val fn = SparkEntry.queries("stream_check_tuned")
+      val tBase = time(() => fn(spark, baseDir))
+      val tBig = time(() => fn(spark, bigDir))
+      ("stream_check_tuned", tBase, tBig)
     }).map { case (n, tBase, tBig) =>
       val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)
       f"""{"query":"$n","t_base_s":$tBase%.3f,"t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f}"""
