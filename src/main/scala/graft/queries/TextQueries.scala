@@ -116,6 +116,37 @@ object TextQueries {
         .limit(20)
     },
 
+    // Sliding-window text chunking with overlap (chunk 64 tokens, stride
+    // 48 → 16-token overlap): the RAG / pretraining chunker. Chunk k of a
+    // doc starts at token 1 + k·48; the tail chunk is shorter. Each chunk
+    // carries a content digest so the split itself — boundaries, overlap,
+    // tail clipping — is hash-checked, not just counted. Per-row generator
+    // over a bound token array: no shuffle until the final sort.
+    Q("text_chunk_overlap",
+      "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS s FROM toks), " +
+        "c AS (SELECT doc_id, (s - 1) // 48 AS chunk_idx, CAST(s AS BIGINT) AS start_tok, " +
+        "t[s : s + 63] AS chunk FROM st) " +
+        "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, start_tok, " +
+        "CAST(len(chunk) AS BIGINT) AS chunk_tokens, " +
+        "md5(array_to_string(chunk, ' ')) AS digest " +
+        "FROM c ORDER BY doc_id, chunk_idx") { (s, d) =>
+      val C = 64; val S = 48
+      Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(1), size(col("t")), lit(S))).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          slice(col("t"), col("start"), lit(C)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("digest"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Fingerprinting: md5 of the normalized text + a polynomial rolling hash
     // (mod 1e9+7), both engine-portable.
     Q("text_fingerprint",
