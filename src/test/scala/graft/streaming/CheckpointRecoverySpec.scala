@@ -55,4 +55,48 @@ class CheckpointRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(events.map(_.flagRemoved) == Seq(true, false))
     assert(events.last.rollingPeriodStartUnix == 1000L)
   }
+
+  /** Same discipline for the Spark-4 StatefulProcessor collector: both its
+    * column families — the append-only `ListState[Deposit]` history AND the
+    * 16-byte running-balance `ValueState` — must come back after a restart
+    * (RocksDB changelog/snapshot recovery), and committed input must not
+    * be re-appended (an at-least-once replay would double the balance).
+    */
+  test("collector ListState history and running balance survive a query restart") {
+    val root = Files.createTempDirectory("graft_ckpt_tws").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    def writeBatch(rows: Seq[TimedDeposit]): Unit =
+      rows.toDS().repartition(1).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val deposits = spark.readStream
+        .schema("walletId STRING, amount DOUBLE, tsUnix LONG, seq LONG")
+        .parquet(in).as[TimedDeposit]
+      val q = CollectorProcessor.collect(spark, deposits)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[DepositStreams.BalanceRow], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    writeBatch(Seq(
+      TimedDeposit("w1", 100.0, 1000L, 1L),
+      TimedDeposit("w1", 50.0, 1010L, 2L)))
+    runOnce()
+    // Fresh incarnation, same checkpoint: one more deposit. n must reach 3
+    // and the balance 175 ONLY if both state columns were recovered and
+    // the first two deposits were NOT replayed.
+    writeBatch(Seq(TimedDeposit("w1", 25.0, 1020L, 3L)))
+    runOnce()
+
+    val rows = spark.read.parquet(out).as[DepositStreams.BalanceRow]
+      .collect().sortBy(_.nDeposits).toSeq
+    assert(rows.map(r => (r.nDeposits, r.balance)) == Seq((2L, 150.0), (3L, 175.0)))
+  }
 }
