@@ -170,6 +170,38 @@ object ExtrasQueries {
       s.sql("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > (SELECT 1.9 * avg(o_totalprice) FROM orders) " +
         "ORDER BY o_orderkey")
+    },
+
+    // Spark 4 SQL UDF DDL (CREATE FUNCTION ... RETURN <expr>): the
+    // declarative UDF path — the body is inlined into the plan by the
+    // analyzer, so it stays inside codegen like any built-in (unlike a
+    // JVM closure UDF, which is an opaque black box to the optimizer).
+    // The oracle states the inlined expression directly.
+    Q("q_sql_udf",
+      "SELECT l_returnflag, " +
+        "SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE) " +
+        "RETURNS DOUBLE RETURN p * (1 - d)")
+      // 10000.0 is a DECIMAL literal in Spark SQL (but a plain double in
+      // DuckDB and in the DataFrame API) — divide by a double explicitly.
+      s.sql("SELECT l_returnflag, " +
+        "SUM(CAST(ROUND(graft_disc_price(l_extendedprice, l_discount)*10000) AS BIGINT))/CAST(10000.0 AS DOUBLE) AS revenue " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")
+    },
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: per-region top-2
+    // nations by name — the SQL-standard lateral form of grouped top-k
+    // (the DataFrame form is q_window_rank's rank-filter).
+    Q("q_lateral_topk",
+      "SELECT r_name, n_name FROM region r, " +
+        "LATERAL (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey " +
+        "ORDER BY n_name LIMIT 2) t ORDER BY r_name, n_name") { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("SELECT r_name, n_name FROM region r, " +
+        "LATERAL (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey " +
+        "ORDER BY n_name LIMIT 2) t ORDER BY r_name, n_name")
     }
   )
 }
