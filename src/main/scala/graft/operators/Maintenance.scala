@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.io.File
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance operators. At 100 TB the small-files problem is an
+  * operational certainty — every streaming file sink, hourly batch
+  * append, and over-partitioned shuffle write leaves a long tail of
+  * KB-sized parquet files whose per-file open/footer cost eventually
+  * dominates scan time and whose listing cost dominates planning.
+  */
+object Maintenance {
+
+  /** Compact a parquet directory to ~`targetFileBytes` output files:
+    * sizes the output file count from the directory's ACTUAL bytes
+    * (never a guessed constant), rewrites atomically via a staging
+    * directory + rename, and preserves every row. The rewrite is
+    * `repartition(n)` (round-robin) — full-shuffle rather than
+    * `coalesce`, because coalesce(n) would collapse the PARALLELISM of
+    * the rewrite itself to n tasks and produce skewed files when input
+    * files vary in size; the shuffle cost is the price of evenly-sized
+    * output, which is the point of compaction.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquetFiles(d: String): Seq[File] = {
+      val all = Option(new File(d).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      all.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(dir)
+    require(before.nonEmpty, s"no parquet files under $dir")
+    val totalBytes = before.map(_.length()).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+
+    val staging = s"${dir}_compact_staging"
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(staging)
+
+    // Swap: the old directory is only removed once the staging write has
+    // fully committed (its _SUCCESS marker exists).
+    require(new File(staging, "_SUCCESS").exists(), "staging write did not commit")
+    def deleteRecursively(f: File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
+      f.delete(): Unit
+    }
+    deleteRecursively(new File(dir))
+    require(new File(staging).renameTo(new File(dir)), s"rename $staging -> $dir failed")
+    (before.size, parquetFiles(dir).size)
+  }
+}

@@ -172,6 +172,25 @@ object ExtrasQueries {
         "ORDER BY o_orderkey")
     },
 
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    // status group must match ITSELF across the self-join — a plain `=`
+    // join silently drops it (three-valued logic), which is exactly the
+    // bug class this operator exists to avoid in keyed merges with
+    // nullable keys.
+    Q("q_null_safe_join",
+      "WITH s AS (SELECT NULLIF(o_orderstatus, 'P') AS st, COUNT(*) AS n " +
+        "FROM orders GROUP BY 1) " +
+        "SELECT COALESCE(a.st, '(null)') AS status, a.n AS n_a, b.n AS n_b " +
+        "FROM s a JOIN s b ON a.st IS NOT DISTINCT FROM b.st ORDER BY status") { (s, d) =>
+      val base = Tables.orders(s, d)
+        .groupBy(nullif(col("o_orderstatus"), lit("P")).as("st"))
+        .agg(count(lit(1)).as("n"))
+      base.as("a").join(base.as("b"), col("a.st") <=> col("b.st"))
+        .select(coalesce(col("a.st"), lit("(null)")).as("status"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .orderBy(col("status"))
+    },
+
     // Spark 4 SQL UDF DDL (CREATE FUNCTION ... RETURN <expr>): the
     // declarative UDF path — the body is inlined into the plan by the
     // analyzer, so it stays inside codegen like any built-in (unlike a
