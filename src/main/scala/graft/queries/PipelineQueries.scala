@@ -145,6 +145,48 @@ object PipelineQueries {
     // 100-TB corpus packs each shard independently, which is how
     // distributed packing is actually run (shard = worker's slice). One
     // hash shuffle on lang, one window pass, one group-aggregate.
+    // ADAPTIVE quality gate: instead of one global cutoff, keep each
+    // language's top-75 % by the composite quality score (per-lang exact
+    // p25 threshold) — the shape real corpus recipes use, since absolute
+    // quality scores aren't comparable across languages. The quality
+    // expression replays text_quality's term order exactly (bit-identical
+    // doubles in both engines); `percentile` ↔ `quantile_cont` parity is
+    // the q_percentiles precedent. One aggregate + one broadcast-size
+    // join on lang — two passes over the corpus at any scale.
+    Q("pipeline_quality_gate",
+      "WITH f AS (SELECT doc_id, lang, " +
+        "0.4 * (len(regexp_extract_all(lower(text), '" + enPat + "'))::BIGINT " +
+        "/ len(string_split_regex(trim(text), '\\s+'))::DOUBLE) " +
+        "+ 0.3 * LEAST(1.0, len(string_split_regex(trim(text), '\\s+'))::BIGINT / 100.0) " +
+        "+ 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT " +
+        "/ length(text)::DOUBLE) AS quality FROM documents WHERE length(text) > 0), " +
+        "th AS (SELECT lang, quantile_cont(quality, 0.25) AS p25 FROM f GROUP BY 1) " +
+        "SELECT f.lang, COUNT(*) AS n_total, " +
+        "CAST(SUM(CASE WHEN quality >= p25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "ROUND(MAX(p25), 6) AS p25 " +
+        "FROM f JOIN th ON f.lang = th.lang GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val f = Tables.documents(s, d)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          langScore(col("text"), enPat).as("stop_hits"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+          length(col("text")).cast("long").as("n_len"))
+        .select(col("doc_id"), col("lang"),
+          (lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0))
+            + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_len").cast("double")))
+            .as("quality"))
+      val th = f.groupBy(col("lang"))
+        .agg(expr("percentile(quality, 0.25)").as("p25"))
+      f.join(broadcast(th), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("quality") >= col("p25"), 1L).otherwise(0L)).as("n_kept"),
+          round(max(col("p25")), 6).as("p25"))
+        .orderBy(col("lang"))
+    },
+
     // Temperature-resampled language mix: the multilingual upsampling
     // step of a pretraining data recipe — natural share p_l per language,
     // temperature-flattened weight p_l^α, resampled share and upsample
