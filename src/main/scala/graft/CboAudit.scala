@@ -72,6 +72,11 @@ object CboAudit {
       println(df.queryExecution.explainString(SimpleMode))
     }
 
+    // Untimed warmup: run both queries once before either timed pass, so
+    // the no-stats numbers aren't inflated by one-off JVM/codegen/footer
+    // costs and the before/after delta isolates the ANALYZE effect.
+    Seq(q7, q9).foreach(spark.sql(_).count())
+
     audit("no stats")
     tables.foreach { t =>
       // Not FOR ALL COLUMNS: stats on TIMESTAMP_NTZ columns MatchError in

@@ -48,27 +48,27 @@ object Dedup {
   /** The cached minhash signature plan feeds both band-join sides and the
     * verify joins of the SAME query, so it cannot be unpersisted before
     * the caller's action runs. To keep a long-lived service bounded
-    * anyway, each operator retains only its LATEST cached signature plan:
-    * on re-entry with a DIFFERENT input the previous entry is released
-    * (same input → Spark's CacheManager dedupes by analyzed plan, so the
-    * entry is shared and must NOT be dropped).
+    * anyway, a SINGLE slot (shared by both minhash operators — with equal
+    * parameters their plans are `sameResult`, so Spark's CacheManager
+    * gives them ONE shared entry; separate per-operator slots would let
+    * one operator's re-entry drop the entry the other still uses) retains
+    * only the latest cached signature plan: on re-entry with a DIFFERENT
+    * input the previous entry is released; same input is a no-op.
     */
-  private def swapCached(slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
-                         next: DataFrame): DataFrame = {
+  private def swapCached(next: DataFrame): DataFrame = {
     val cached = next.cache()
-    val prev = slot.getAndSet(cached)
+    val prev = lastSig.getAndSet(cached)
     if (prev != null &&
         !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)) {
       prev.unpersist(blocking = false)
     }
     cached
   }
-  private val lastLshSig = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private val lastEstSig = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val lastSig = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       rows: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val mh = swapCached(lastLshSig, minhashed(docs, k, bands, rows))
+    val mh = swapCached(minhashed(docs, k, bands, rows))
     val bandRows = mh.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("pos", "band")))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
@@ -268,7 +268,7 @@ object Dedup {
     * next to the exact jaccard so its quality is visible. */
   def minhashEstimatedPairs(docs: DataFrame, kHashes: Int = 12, bands: Int = 4,
                             rows: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val mh = swapCached(lastEstSig, minhashed(docs, kHashes, bands, rows))
+    val mh = swapCached(minhashed(docs, kHashes, bands, rows))
     val bandRows = mh.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("pos", "band")))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),

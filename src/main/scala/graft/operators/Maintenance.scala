@@ -13,13 +13,22 @@ object Maintenance {
 
   /** Compact a parquet directory to ~`targetFileBytes` output files:
     * sizes the output file count from the directory's ACTUAL bytes
-    * (never a guessed constant), rewrites atomically via a staging
-    * directory + rename, and preserves every row. The rewrite is
-    * `repartition(n)` (round-robin) — full-shuffle rather than
-    * `coalesce`, because coalesce(n) would collapse the PARALLELISM of
-    * the rewrite itself to n tasks and produce skewed files when input
-    * files vary in size; the shuffle cost is the price of evenly-sized
-    * output, which is the point of compaction.
+    * (never a guessed constant), rewrites via a staging directory, and
+    * preserves every row. The rewrite is `repartition(n)` (round-robin)
+    * — full-shuffle rather than `coalesce`, because coalesce(n) would
+    * collapse the PARALLELISM of the rewrite itself to n tasks and
+    * produce skewed files when input files vary in size; the shuffle
+    * cost is the price of evenly-sized output, which is the point of
+    * compaction.
+    *
+    * Crash safety: the swap is rename-aside (dir → dir_pre_compact),
+    * staging → dir, THEN delete the aside copy — at no point is the
+    * data deletable-only-in-staging, so a crash between any two steps
+    * leaves a complete copy recoverable by a rename. PRECONDITION: no
+    * concurrent writer on `dir` — a file appended after the staging
+    * read would be lost in the swap. Compact partitions the writer has
+    * finished with (e.g. closed hourly/daily dirs), exactly as
+    * production table services schedule it.
     *
     * Returns (filesBefore, filesAfter).
     */
@@ -37,16 +46,20 @@ object Maintenance {
     val staging = s"${dir}_compact_staging"
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(staging)
-
-    // Swap: the old directory is only removed once the staging write has
-    // fully committed (its _SUCCESS marker exists).
     require(new File(staging, "_SUCCESS").exists(), "staging write did not commit")
-    def deleteRecursively(f: File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
-      f.delete(): Unit
-    }
-    deleteRecursively(new File(dir))
+
+    val aside = new File(s"${dir}_pre_compact")
+    require(!aside.exists(), s"$aside exists — previous compaction did not finish; recover manually")
+    require(new File(dir).renameTo(aside), s"rename $dir -> $aside failed")
     require(new File(staging).renameTo(new File(dir)), s"rename $staging -> $dir failed")
+    deleteRecursively(aside)
     (before.size, parquetFiles(dir).size)
+  }
+
+  /** Recursive delete (symlink-free local trees). Shared by the stream
+    * harness's work-dir cleanup. */
+  def deleteRecursively(f: File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -22,16 +22,16 @@ import graft.sources.Tables
   */
 object LambdaQueries {
 
-  /** Per-invocation suffix for the recursive-CTE anchor view (concurrent
-    * runs on a shared session must not race on one global name), plus the
-    * previous invocation's checkpointed anchor so its blocks can be
-    * released on re-entry (a bench sweep re-invokes the query many times;
-    * without this each sweep pins another anchor's checkpoint blocks
-    * until RDD GC).
+  /** Per-invocation suffix for the recursive-CTE anchor view — concurrent
+    * runs on a shared session must not race on one global name. Anchor
+    * checkpoint blocks: `Dataset.unpersist` does NOT reach a
+    * localCheckpoint's blocks (it only uncaches CacheManager entries), so
+    * the release path is reference-drop → ContextCleaner GC, which
+    * retiring the view name and letting the Dataset go unreachable
+    * already provides; holding the previous anchor to "unpersist" it
+    * would only delay that.
     */
   private val anchorSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private val lastAnchor =
-    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame](null)
 
   val all: Seq[Q] = Seq(
 
@@ -149,11 +149,6 @@ object LambdaQueries {
           "event_id AS seq, value AS amount FROM events WHERE value > 0)) " +
           "WHERE rn <= 10")
         .localCheckpoint()
-      // Previous invocation's action is done by the time we're re-entered
-      // sequentially — release its pinned checkpoint blocks now. (Cannot
-      // unpersist THIS anchor before the caller's action: localCheckpoint
-      // blocks are the execution source, not a recomputable cache.)
-      Option(lastAnchor.getAndSet(anchor)).foreach(_.unpersist(blocking = false))
       val view = s"graft_rec_anchor_${anchorSeq.incrementAndGet()}"
       anchor.createOrReplaceTempView(view)
       val out = s.sql(

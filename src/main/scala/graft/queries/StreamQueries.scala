@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.model.TimedDeposit
+import graft.operators.Maintenance
 import graft.sources.Tables
 import graft.streaming.{CollectorProcessor, DepositStreams, DetectorLogic, DetectorProcessor}
 
@@ -85,83 +86,84 @@ object StreamQueries {
 
     def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$unique"
-
-    // Hop 1: deposits → detector → flag-event LOG (parquet sink = the
-    // flag_wallet topic stand-in; detector output is append by design).
-    val flagDir = s"$work/flag_events"
-    val detected =
-      if (useTws) DetectorProcessor.detect(s, deposits, windowSec, threshold)
-      else DepositStreams.detector(s, deposits, windowSec, threshold)
-    val q1 = detected.writeStream
-      .format("parquet").option("path", flagDir)
-      .option("checkpointLocation", s"$work/cp_detector")
-      .outputMode("append").start()
-
-    // Collector: parallel consumer group over the SAME feed — started
-    // before hop 1 is awaited, so both run concurrently.
     val balName = unique
-    val collected =
-      if (useTws) CollectorProcessor.collect(s, deposits)
-      else DepositStreams.collector(s, deposits)
-    val q3 = collected.writeStream
-      .format("memory").queryName(balName)
-      .option("checkpointLocation", s"$work/cp_collector")
-      .outputMode("update").start()
-
-    q1.processAllAvailable(); q1.stop()
-    q3.processAllAvailable(); q3.stop()
-    val tHop1 = System.nanoTime()
-    val batchMs1 = (q1.recentProgress ++ q3.recentProgress)
-      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)).sum
-
-    // Hop 2: flagger consumes the flag-event log (LWW state, update mode).
     val flagName = unique
-    val flagEvents = s.readStream
-      .schema(Encoders.product[graft.model.KeyedFlagEvent].schema)
-      .parquet(flagDir)
-      .as[graft.model.KeyedFlagEvent]
-    val q2 = DepositStreams.flagger(s, flagEvents).writeStream
-      .format("memory").queryName(flagName)
-      .option("checkpointLocation", s"$work/cp_flagger")
-      .outputMode("update").start()
-    q2.processAllAvailable(); q2.stop()
-    val tHop2 = System.nanoTime()
-    if (forensics) {
-      val batchMs2 = q2.recentProgress
-        .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)).sum
-      def sec(a: Long, b: Long) = (b - a) / 1e9
-      System.err.println(
-        f"""{"forensics":"stream_check","tws":$useTws,"feed_s":${sec(t0, tFeed)}%.3f,""" +
-        f""""hop1_collector_wall_s":${sec(tFeed, tHop1)}%.3f,"hop1_collector_batch_s":${batchMs1 / 1e3}%.3f,""" +
-        f""""hop2_wall_s":${sec(tHop1, tHop2)}%.3f,"hop2_batch_s":${batchMs2 / 1e3}%.3f}""")
+
+    // Any failure must not orphan a running query (it would keep
+    // executing no-data batches against the feed for the rest of the
+    // JVM) nor leak the memory-sink names / work dir.
+    val started = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+    try {
+      // Hop 1: deposits → detector → flag-event LOG (parquet sink = the
+      // flag_wallet topic stand-in; detector output is append by design).
+      val flagDir = s"$work/flag_events"
+      val detected =
+        if (useTws) DetectorProcessor.detect(s, deposits, windowSec, threshold)
+        else DepositStreams.detector(s, deposits, windowSec, threshold)
+      val q1 = detected.writeStream
+        .format("parquet").option("path", flagDir)
+        .option("checkpointLocation", s"$work/cp_detector")
+        .outputMode("append").start()
+      started += q1
+
+      // Collector: parallel consumer group over the SAME feed — started
+      // before hop 1 is awaited, so both run concurrently.
+      val collected =
+        if (useTws) CollectorProcessor.collect(s, deposits)
+        else DepositStreams.collector(s, deposits)
+      val q3 = collected.writeStream
+        .format("memory").queryName(balName)
+        .option("checkpointLocation", s"$work/cp_collector")
+        .outputMode("update").start()
+      started += q3
+
+      q1.processAllAvailable(); q1.stop()
+      q3.processAllAvailable(); q3.stop()
+      val tHop1 = System.nanoTime()
+
+      // Hop 2: flagger consumes the flag-event log (LWW state, update mode).
+      val flagEvents = s.readStream
+        .schema(Encoders.product[graft.model.KeyedFlagEvent].schema)
+        .parquet(flagDir)
+        .as[graft.model.KeyedFlagEvent]
+      val q2 = DepositStreams.flagger(s, flagEvents).writeStream
+        .format("memory").queryName(flagName)
+        .option("checkpointLocation", s"$work/cp_flagger")
+        .outputMode("update").start()
+      started += q2
+      q2.processAllAvailable(); q2.stop()
+      val tHop2 = System.nanoTime()
+      if (forensics) {
+        def batchSec(qs: org.apache.spark.sql.streaming.StreamingQuery*) = qs
+          .flatMap(_.recentProgress)
+          .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+          .sum / 1e3
+        def sec(a: Long, b: Long) = (b - a) / 1e9
+        System.err.println(
+          f"""{"forensics":"stream_check","tws":$useTws,"feed_s":${sec(t0, tFeed)}%.3f,""" +
+          f""""hop1_collector_wall_s":${sec(tFeed, tHop1)}%.3f,"hop1_collector_batch_s":${batchSec(q1, q3)}%.3f,""" +
+          f""""hop2_wall_s":${sec(tHop1, tHop2)}%.3f,"hop2_batch_s":${batchSec(q2)}%.3f}""")
+      }
+      val flags = s.table(flagName)
+        .select(col("walletId").cast("long").as("wallet_id"),
+          col("flagged").as("above_threshold"))
+
+      val balances = s.table(balName)
+        .select(col("walletId").cast("long").as("wallet_id"),
+          round(col("balance"), 2).as("balance"))
+
+      // Analyzed eagerly, so the plan holds the resolved memory-sink
+      // relations — the names and work dir can be retired in the finally.
+      balances.join(flags, Seq("wallet_id"), "left_outer")
+        .select(col("wallet_id"), col("balance"),
+          coalesce(col("above_threshold"), lit(false)).as("above_threshold"))
+        .orderBy(col("wallet_id"))
+    } finally {
+      started.foreach(q => try q.stop() catch { case _: Throwable => () })
+      s.catalog.dropTempView(balName)
+      s.catalog.dropTempView(flagName)
+      Maintenance.deleteRecursively(new java.io.File(work))
     }
-    val flags = s.table(flagName)
-      .select(col("walletId").cast("long").as("wallet_id"),
-        col("flagged").as("above_threshold"))
-
-    val balances = s.table(balName)
-      .select(col("walletId").cast("long").as("wallet_id"),
-        round(col("balance"), 2).as("balance"))
-
-    val out = balances.join(flags, Seq("wallet_id"), "left_outer")
-      .select(col("wallet_id"), col("balance"),
-        coalesce(col("above_threshold"), lit(false)).as("above_threshold"))
-      .orderBy(col("wallet_id"))
-
-    // `out` is analyzed eagerly, so its plan already holds the resolved
-    // memory-sink relations — the per-invocation names and work dir
-    // (checkpoints + flag log) can be retired now; repeated bench sweeps
-    // must not accumulate either.
-    s.catalog.dropTempView(balName)
-    s.catalog.dropTempView(flagName)
-    deleteRecursively(new java.io.File(work))
-    out
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Event-time tumbling-window aggregation through the REAL micro-batch
@@ -191,11 +193,14 @@ object StreamQueries {
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", s"$work/cp")
       .outputMode("update").start()
-    q.processAllAvailable(); q.stop()
-    val out = s.table(name).orderBy(col("day_start"))
-    s.catalog.dropTempView(name)
-    deleteRecursively(new java.io.File(work))
-    out
+    try {
+      q.processAllAvailable(); q.stop()
+      s.table(name).orderBy(col("day_start"))
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
   }
 
   /** Exactly-once streaming dedup: the feed unioned with ITSELF (every
@@ -221,15 +226,18 @@ object StreamQueries {
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", s"$work/cp")
       .outputMode("append").start()
-    q.processAllAvailable(); q.stop()
-    val out = s.table(name)
-      .groupBy(col("walletId").cast("long").as("wallet_id"))
-      .agg(count(lit(1)).as("n_deposits"),
-        (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
-      .orderBy(col("wallet_id"))
-    s.catalog.dropTempView(name)
-    deleteRecursively(new java.io.File(work))
-    out
+    try {
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .groupBy(col("walletId").cast("long").as("wallet_id"))
+        .agg(count(lit(1)).as("n_deposits"),
+          (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
+        .orderBy(col("wallet_id"))
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
   }
 
   /** DuckDB replay of the detector state machine, iterated as a recursive

@@ -65,9 +65,15 @@ class CollectorProcessor(ttl: TTLConfig = TTLConfig.NONE,
     }
     running.update(st)
     idleTtlSec.foreach { ttlSec =>
-      // Re-arm the idle timer: one live timer per key, at last-event + TTL.
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer((sorted.last.tsUnix + ttlSec) * 1000L)
+      // Re-arm the idle timer: one live timer per key at MAX-event-time +
+      // TTL. The max is against the existing deadline, not just this
+      // batch's events: a late-but-valid row (inside the watermark delay)
+      // must never move the eviction deadline BACKWARDS.
+      val newDeadline = (sorted.last.tsUnix + ttlSec) * 1000L
+      val existing = getHandle.listTimers().toSeq
+      val deadline = (existing :+ newDeadline).max
+      existing.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(deadline)
     }
     Iterator.single(BalanceRow(key, st.n, st.total))
   }

@@ -112,6 +112,34 @@ class StateTtlSpec extends AnyFunSuite with SparkSpec {
     assert(!w1.exists(_.nDeposits == 0L))
   }
 
+  test("a late-but-valid event never moves the eviction deadline backwards") {
+    // w1's first deposit at t=1000 arms the timer at 1300 (TTL 300). A
+    // LATE w1 row at t=960 (inside the 100 s watermark delay) must not
+    // re-arm to 1260: when the watermark then passes 1270 — but not 1300
+    // — the wallet must still be alive; eviction only at >= 1300.
+    val input = MemoryStream[TimedDeposit]
+    val name = s"ttl_${n.incrementAndGet()}"
+    val q = DetectorProcessor.detectWithTtl(spark, input.toDS(),
+        idleTtlSec = 300L, delay = "100 seconds",
+        windowSec = WindowSec, threshold = Threshold)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    input.addData(Seq(TimedDeposit("w1", 5000.0, 1000L, 1L)))
+    q.processAllAvailable()
+    input.addData(Seq(TimedDeposit("w1", 100.0, 960L, 2L))) // late, valid
+    q.processAllAvailable()
+    input.addData(Seq(TimedDeposit("w2", 1.0, 1370L, 3L))) // watermark -> 1270
+    q.processAllAvailable()
+    val mid = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+    assert(!mid.exists(_.seq == DetectorProcessor.EvictionSeq),
+      s"deadline shortened by the late event: $mid")
+    input.addData(Seq(TimedDeposit("w2", 1.0, 1410L, 4L))) // watermark -> 1310
+    q.processAllAvailable()
+    val end = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+    q.stop()
+    assert(end.count(e => e.seq == DetectorProcessor.EvictionSeq &&
+      e.walletId == "w1") == 1)
+  }
+
   test("processing-time TTLConfig is accepted on the value state") {
     // Wall-clock TTL can't be asserted deterministically; this pins the
     // plumbing: a processor constructed with a real TTLConfig runs green.
