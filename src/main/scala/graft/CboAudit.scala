@@ -88,6 +88,11 @@ object CboAudit {
         .map(_.name).mkString(", ")
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $cols")
     }
+    // Symmetric warmup: the rewired with-stats plans generate DIFFERENT
+    // code, so they too get one untimed compile/execute pass — otherwise
+    // the timed with-stats numbers carry first-execution codegen cost the
+    // no-stats numbers don't.
+    Seq(q7, q9).foreach(spark.sql(_).count())
     audit("with stats")
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()

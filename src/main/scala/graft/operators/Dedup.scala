@@ -54,6 +54,10 @@ object Dedup {
     * one operator's re-entry drop the entry the other still uses) retains
     * only the latest cached signature plan: on re-entry with a DIFFERENT
     * input the previous entry is released; same input is a no-op.
+    * Lifecycle assumption: build → run the action → next call. Building
+    * BOTH operators with different parameters before executing either
+    * falls back to recomputing the first one's signatures (correctness
+    * unaffected; the cache is a bounded accelerator, not a contract).
     */
   private def swapCached(next: DataFrame): DataFrame = {
     val cached = next.cache()

@@ -38,6 +38,12 @@ object Maintenance {
       val all = Option(new File(d).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       all.filter(f => f.isFile && f.getName.endsWith(".parquet"))
     }
+    // Stale-aside check FIRST: discovering a half-finished previous
+    // compaction only after re-reading and re-writing the whole table
+    // would waste the full rewrite and orphan a second staging dir.
+    val aside = new File(s"${dir}_pre_compact")
+    require(!aside.exists(), s"$aside exists — previous compaction did not finish; recover manually")
+
     val before = parquetFiles(dir)
     require(before.nonEmpty, s"no parquet files under $dir")
     val totalBytes = before.map(_.length()).sum
@@ -47,9 +53,6 @@ object Maintenance {
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(staging)
     require(new File(staging, "_SUCCESS").exists(), "staging write did not commit")
-
-    val aside = new File(s"${dir}_pre_compact")
-    require(!aside.exists(), s"$aside exists — previous compaction did not finish; recover manually")
     require(new File(dir).renameTo(aside), s"rename $dir -> $aside failed")
     require(new File(staging).renameTo(new File(dir)), s"rename $staging -> $dir failed")
     deleteRecursively(aside)

@@ -159,7 +159,8 @@ object StreamQueries {
           coalesce(col("above_threshold"), lit(false)).as("above_threshold"))
         .orderBy(col("wallet_id"))
     } finally {
-      started.foreach(q => try q.stop() catch { case _: Throwable => () })
+      started.foreach(q =>
+        try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       s.catalog.dropTempView(balName)
       s.catalog.dropTempView(flagName)
       Maintenance.deleteRecursively(new java.io.File(work))
@@ -180,24 +181,27 @@ object StreamQueries {
     def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$unique"
     val name = unique
-    val q = s.readStream
-      .schema(Encoders.product[TimedDeposit].schema)
-      .parquet(feed)
-      .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
-      .withWatermark("eventTime", "1 hour")
-      .groupBy(window(col("eventTime"), "1 day").as("w"))
-      .agg(count(lit(1)).as("n_deposits"),
-        (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
-      .select(unix_timestamp(col("w.start")).as("day_start"),
-        col("n_deposits"), col("total"))
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", s"$work/cp")
-      .outputMode("update").start()
+    // start() itself sits inside the try: a start-time failure (e.g.
+    // checkpoint dir creation) must still hit the cleanup.
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      q = s.readStream
+        .schema(Encoders.product[TimedDeposit].schema)
+        .parquet(feed)
+        .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
+        .withWatermark("eventTime", "1 hour")
+        .groupBy(window(col("eventTime"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_deposits"),
+          (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
+        .select(unix_timestamp(col("w.start")).as("day_start"),
+          col("n_deposits"), col("total"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("update").start()
       q.processAllAvailable(); q.stop()
       s.table(name).orderBy(col("day_start"))
     } finally {
-      try q.stop() catch { case _: Throwable => () }
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
       s.catalog.dropTempView(name)
       Maintenance.deleteRecursively(new java.io.File(work))
     }
@@ -219,14 +223,15 @@ object StreamQueries {
     def src = s.readStream
       .schema(Encoders.product[TimedDeposit].schema)
       .parquet(feed)
-    val q = src.union(src)
-      .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
-      .withWatermark("eventTime", "1 hour")
-      .dropDuplicatesWithinWatermark("seq")
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", s"$work/cp")
-      .outputMode("append").start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      q = src.union(src)
+        .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
+        .withWatermark("eventTime", "1 hour")
+        .dropDuplicatesWithinWatermark("seq")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append").start()
       q.processAllAvailable(); q.stop()
       s.table(name)
         .groupBy(col("walletId").cast("long").as("wallet_id"))
@@ -234,7 +239,7 @@ object StreamQueries {
           (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
         .orderBy(col("wallet_id"))
     } finally {
-      try q.stop() catch { case _: Throwable => () }
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
       s.catalog.dropTempView(name)
       Maintenance.deleteRecursively(new java.io.File(work))
     }

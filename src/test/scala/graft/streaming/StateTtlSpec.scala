@@ -123,21 +123,22 @@ class StateTtlSpec extends AnyFunSuite with SparkSpec {
         idleTtlSec = 300L, delay = "100 seconds",
         windowSec = WindowSec, threshold = Threshold)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
-    input.addData(Seq(TimedDeposit("w1", 5000.0, 1000L, 1L)))
-    q.processAllAvailable()
-    input.addData(Seq(TimedDeposit("w1", 100.0, 960L, 2L))) // late, valid
-    q.processAllAvailable()
-    input.addData(Seq(TimedDeposit("w2", 1.0, 1370L, 3L))) // watermark -> 1270
-    q.processAllAvailable()
-    val mid = spark.table(name).as[KeyedFlagEvent].collect().toSeq
-    assert(!mid.exists(_.seq == DetectorProcessor.EvictionSeq),
-      s"deadline shortened by the late event: $mid")
-    input.addData(Seq(TimedDeposit("w2", 1.0, 1410L, 4L))) // watermark -> 1310
-    q.processAllAvailable()
-    val end = spark.table(name).as[KeyedFlagEvent].collect().toSeq
-    q.stop()
-    assert(end.count(e => e.seq == DetectorProcessor.EvictionSeq &&
-      e.walletId == "w1") == 1)
+    try {
+      input.addData(Seq(TimedDeposit("w1", 5000.0, 1000L, 1L)))
+      q.processAllAvailable()
+      input.addData(Seq(TimedDeposit("w1", 100.0, 960L, 2L))) // late, valid
+      q.processAllAvailable()
+      input.addData(Seq(TimedDeposit("w2", 1.0, 1370L, 3L))) // watermark -> 1270
+      q.processAllAvailable()
+      val mid = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+      assert(!mid.exists(_.seq == DetectorProcessor.EvictionSeq),
+        s"deadline shortened by the late event: $mid")
+      input.addData(Seq(TimedDeposit("w2", 1.0, 1410L, 4L))) // watermark -> 1310
+      q.processAllAvailable()
+      val end = spark.table(name).as[KeyedFlagEvent].collect().toSeq
+      assert(end.count(e => e.seq == DetectorProcessor.EvictionSeq &&
+        e.walletId == "w1") == 1)
+    } finally q.stop()
   }
 
   test("processing-time TTLConfig is accepted on the value state") {
