@@ -1,26 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths, per the scale plan:
+  * Paths, per the scale plan:
   *  - [[bruteForceTopK]]: exact cosine top-k — the query side is broadcast
   *    (it is tiny), candidates stream through in one pass: correct baseline
   *    at any scale where queries fit in memory, O(|queries|·n) work.
   *  - [[lshBucketTopK]]: sign-bucket (random-hyperplane) LSH — candidates
   *    are equi-joined on the bucket key, so the pair space collapses from
   *    n² to per-bucket; the 100-TB shape (bucket = shuffle/partition key).
-  *    An IVF variant would swap the bucket fn for nearest-centroid; the
-  *    plumbing is identical.
+  *  - [[ivfTopK]] / [[pqTopK]]: centroid-model paths. The trained model
+  *    (k·d doubles) is a DRIVER-RESIDENT broadcast artifact, and every
+  *    full-corpus pass against it — cell assignment, PQ encoding — is a
+  *    NARROW codegen'd argmin over per-centroid distances (`array_min`
+  *    over `struct(dist, cid)` entries): no crossJoin row blow-up, no
+  *    window shuffle, embarrassingly parallel over the vector table. This
+  *    is the canonical distributed k-means/IVF dataflow — broadcast the
+  *    model, scan the data once.
   *
   * Ranking is deterministic: order by rounded cosine desc, then vec_id —
   * ties cannot reorder across engines.
   */
 object Similarity {
+
+  /** With SPARK_GRAFT_ANN_FORENSICS=1, model-build calls print one JSON
+    * line each to stderr: cache hit/miss, fingerprint cost, train cost —
+    * the train-vs-serve split for the bench forensics in PERF.md. */
+  private val forensics = sys.env.get("SPARK_GRAFT_ANN_FORENSICS").contains("1")
 
   /** Data-size-derived sign-LSH width: the smallest `bits` whose 2^bits
     * buckets hold ≤ `targetBucketRows` vectors each in expectation, so the
@@ -95,6 +107,111 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---------------------------------------------------------------------
+  // Centroid models (IVF cells, PQ codebooks): driver-resident artifacts.
+  // ---------------------------------------------------------------------
+
+  /** One IVF centroid / PQ code: id + vector. */
+  final case class Centroid(cid: Long, cv: Array[Double])
+
+  /** Content fingerprint of the embedding table — order-insensitive xor of
+    * per-row hashes + row count; one cheap aggregate pass. Keys the model
+    * cache and the persisted-index staleness check, so re-written files at
+    * the same path can never serve a stale model.
+    *
+    * The pass itself is memoized behind a METADATA check: if the plan
+    * (semantic hash) and its input files' (path, size, mtime) listing are
+    * unchanged, the content cannot have changed and the cached fingerprint
+    * is returned without a job — the same listing-level staleness contract
+    * an object store's etag check gives a production index service. A
+    * non-file source (empty `inputFiles`) always recomputes. */
+  private val fpCache = new ConcurrentHashMap[String, String]()
+
+  private def contentFp(emb: DataFrame): String = {
+    val files = emb.inputFiles.sorted
+    val listingKey =
+      if (files.isEmpty) ""
+      else {
+        val listing = files.map { u =>
+          val f = new java.io.File(new java.net.URI(u).getPath)
+          s"${f.getPath}:${f.length}:${f.lastModified}"
+        }.mkString(",")
+        s"${emb.queryExecution.analyzed.semanticHash()}|$listing"
+      }
+    def compute: String = {
+      val fp = emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
+        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
+      s"${fp.getLong(0)}|${fp.getLong(1)}"
+    }
+    if (listingKey.isEmpty) compute
+    else fpCache.computeIfAbsent(listingKey, _ => compute)
+  }
+
+  /** Trained-model cache: bounded LRU (a JVM serves a handful of live
+    * indexes, not an unbounded history), keyed by CONTENT fingerprint +
+    * hyperparameters — never the plan string. */
+  private val MaxCachedModels = 8
+  private val trainedModels: java.util.Map[String, AnyRef] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, AnyRef]): Boolean =
+          size() > MaxCachedModels
+      })
+
+  /** Cache-through build: returns the cached model for (kind, fp, params)
+    * or trains and caches, printing forensics either way. */
+  private def cachedModel[T <: AnyRef](kind: String, emb: DataFrame,
+                                       params: String)(train: => T): T = {
+    val t0 = System.nanoTime()
+    val fp = contentFp(emb)
+    val tFp = System.nanoTime()
+    val key = s"$kind|$fp|$params"
+    val hit = trainedModels.get(key)
+    if (hit != null) {
+      if (forensics) System.err.println(
+        f"""{"forensics":"${kind}_model","cache":"hit","fp_s":${(tFp - t0) / 1e9}%.3f}""")
+      return hit.asInstanceOf[T]
+    }
+    val model = train
+    trainedModels.put(key, model)
+    if (forensics) System.err.println(
+      f"""{"forensics":"${kind}_model","cache":"miss","fp_s":${(tFp - t0) / 1e9}%.3f,""" +
+      f""""train_s":${(System.nanoTime() - tFp) / 1e9}%.3f}""")
+    model
+  }
+
+  /** `struct(round(dist2(v, cv)), cid)` — struct ordering on (dist, cid)
+    * makes `min`/`array_sort` over these entries exactly the rounded-
+    * distance + cid-tie-break (arg)min/sort the oracle replays. */
+  private def distEntry(v: Column): Column =
+    struct(round(dist2(v, col("cv")), 6).as("dist"), col("cid"))
+
+  /** Assignment kernel: corpus × broadcast k-row model (nested-loop on the
+    * tiny side) → per-vector `min(struct(dist, cid))`. The k entries for a
+    * vector are produced consecutively in its own partition, so partial
+    * aggregation completes map-side and the only shuffled bytes are ONE
+    * pre-aggregated row per vector — the corpus itself is never shuffled,
+    * and no window sort runs anywhere. `carry` columns ride along
+    * (constant per vector, so `first` is deterministic). */
+  private def assignNearest(vecs: DataFrame, model: DataFrame,
+                            carry: Seq[String]): DataFrame = {
+    val aggs = min(distEntry(col("v"))).as("mc") +:
+      carry.map(c => first(col(c)).as(c))
+    vecs.crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** First-`nCells` seed centroids (vec_id < nCells), the deterministic
+    * Lloyd seeding — a bounded k·d model artifact, collected like one. */
+  private def seedCentroids(emb: DataFrame, nCells: Int): Array[Centroid] =
+    emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("long"), asDouble(col("embedding")))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_.cid)
+
   /** Fixed-iteration, seeded Lloyd k-means over the embedding column —
     * the IVF centroid trainer. Deterministic and oracle-replayable by
     * construction: seeds are the first `nCells` vectors by id, each
@@ -104,97 +221,197 @@ object Similarity {
     * means rounded onto the same grid — so a DuckDB replay of the same
     * arithmetic reproduces every assignment bit-for-bit.
     *
-    * Scale shape: the canonical distributed k-means — per-iteration work is
-    * one broadcast of k·d doubles, one codegen'd assignment pass over the
-    * vectors, and one partial-aggregated per-(cell, dim) mean; nothing
-    * driver-side grows with n. `localCheckpoint` bounds plan depth across
-    * iterations (fixed, small count).
+    * Scale shape: the canonical distributed k-means — per iteration, the
+    * k·d-double model is broadcast against the corpus (the map-side-
+    * complete [[assignNearest]] kernel), and the only real shuffle is the
+    * per-(cell, dim) partial-aggregated mean; the k-row result returns to
+    * the driver (8 KB at k=16·d=64). Nothing driver-side grows with n.
     */
-  def trainIvfCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
-    // Trained-model reuse: k-means is a BUILD step, not a query step — a
-    // production IVF index trains once and serves many probes. Training is
-    // deterministic (seeded, fixed iterations, grid-rounded), so replaying
-    // it per invocation only re-derives the identical k·d-double table;
-    // cache it keyed by a content fingerprint (one cheap aggregate pass —
-    // order-insensitive xor of per-row hashes — vs `iters` full k-means
-    // passes) + hyperparameters. The payload is tiny (nCells × dim
-    // doubles) and lives on the driver, exactly like a broadcast model
-    // artifact.
-    val fp = emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
-    val key = s"${fp.getLong(0)}|${fp.getLong(1)}|$nCells|$iters"
-    val spark = emb.sparkSession
-    val cached = trainedCentroids.get(key)
-    if (cached != null) {
-      import scala.jdk.CollectionConverters._
-      return spark.createDataFrame(cached.toSeq.asJava, centroidSchema)
+  def trainIvfCentroidsArray(emb: DataFrame, nCells: Int,
+                             iters: Int): Array[Centroid] =
+    cachedModel(s"ivf", emb, s"$nCells|$iters") {
+      val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      var cents = seedCentroids(emb, nCells)
+      for (_ <- 1 to iters) {
+        cents = assignNearest(e, centroidDf(emb.sparkSession, cents), Seq("v"))
+          .select(col("mc.cid").as("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("val")), 6).as("val"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
+            .as("cv"))
+          .collect()
+          .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_.cid)
+      }
+      cents
     }
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    var cents = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("dist", round(dist2(col("v"), col("cv")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-      cents = assigned.join(e, "vec_id")
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("val")), 6).as("val"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
-          .as("cv"))
-        .localCheckpoint()
-    }
-    trainedCentroids.put(key, cents.collect())
+
+  private val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType), nullable = false)))
+
+  private def centroidDf(spark: SparkSession,
+                         cents: Seq[Centroid]): DataFrame = {
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(trainedCentroids.get(key).toSeq.asJava, centroidSchema)
+    spark.createDataFrame(
+      cents.map(c => org.apache.spark.sql.Row(c.cid, c.cv.toSeq)).asJava,
+      centroidSchema)
+  }
+
+  /** DataFrame view of [[trainIvfCentroidsArray]] (specs, oracle builds). */
+  def trainIvfCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame =
+    centroidDf(emb.sparkSession, trainIvfCentroidsArray(emb, nCells, iters))
+
+  // ------------------------- IVF index lifecycle -------------------------
+
+  /** Persist the trained IVF centroid table as a parquet index artifact:
+    * the `cid → cv` rows plus a `fingerprint` column recording the source
+    * table's content fingerprint — index metadata, so a serve-time reader
+    * can detect staleness without retraining. This is the missing piece
+    * between an in-JVM model cache and a real index lifecycle: TRAINING is
+    * a build step (run once, e.g. nightly), SERVING reads the artifact. */
+  def writeIvfIndex(emb: DataFrame, nCells: Int, iters: Int,
+                    path: String): Unit = {
+    val cents = trainIvfCentroidsArray(emb, nCells, iters)
+    centroidDf(emb.sparkSession, cents)
+      .withColumn("fingerprint", lit(contentFp(emb)))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted IVF index; returns (centroids, fingerprint). */
+  def readIvfIndex(spark: SparkSession,
+                   path: String): (Array[Centroid], String) = {
+    val rows = spark.read.parquet(path)
+      .select(col("cid"), col("cv"), col("fingerprint")).collect()
+    (rows.map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_.cid),
+      rows.headOption.map(_.getString(2)).getOrElse(""))
+  }
+
+  /** Serve IVF top-k from an already-built centroid model: map-side
+    * assignment pass over the corpus ([[assignNearest]]), probe expansion
+    * over the (tiny) query set, then one broadcast equi-join on the cell
+    * id — the corpus is never shuffled. */
+  private def ivfServe(emb: DataFrame, queries: DataFrame, k: Int,
+                       nProbe: Int, cents: Array[Centroid]): DataFrame = {
+    val model = centroidDf(emb.sparkSession, cents)
+    val n = prep(emb)
+    val cells = assignNearest(n, model, Seq("v", "nrm"))
+      .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
+        col("v").as("nv"), col("nrm").as("nn"))
+    // nProbe nearest cells per query: the query side is tiny, so a
+    // collect_list + array_sort per query replaces any window.
+    val probes = n.join(queries.select(col("vec_id")), "vec_id")
+      .crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .select(col("vec_id").as("qid"), explode(col("pcs")).as("pc"),
+        col("qv"), col("qn"))
+      .select(col("qid"), col("pc.cid").as("cid"), col("qv"), col("qn"))
+    val scored = cells.join(broadcast(probes), "cid")
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF (inverted-file) top-k: vectors are assigned to their nearest
+    * centroid's cell; a query probes only its `nProbe` nearest cells. The
+    * cell id is the equi-join key — the IVF counterpart of
+    * [[lshBucketTopK]]'s sign bucket, with better-balanced cells on
+    * clustered data.
+    *
+    * `trainIters` > 0 k-means-trains the centroids
+    * ([[trainIvfCentroidsArray]]); 0 keeps the untrained first-`nCells`
+    * seeds (the plumbing baseline). Assignment distance is the rounded
+    * [[graft.plans.L2Dist2]] with a cid tie-break in both modes, so the
+    * DuckDB oracle replays it exactly.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+              nProbe: Int = 2, trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) trainIvfCentroidsArray(emb, nCells, trainIters)
+      else seedCentroids(emb, nCells)
+    ivfServe(emb, queries, k, nProbe, cents)
+  }
+
+  /** IVF served from a persisted index ([[writeIvfIndex]]): reads the
+    * k-row artifact, verifies its recorded fingerprint against the live
+    * table (one cheap aggregate — the staleness check a real index
+    * service performs), and serves; stale index ⇒ IllegalStateException
+    * (rebuild is the caller's build step, not a serve-time side effect). */
+  def ivfTopKServed(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+                    indexPath: String): DataFrame = {
+    val (cents, recordedFp) = readIvfIndex(emb.sparkSession, indexPath)
+    val liveFp = contentFp(emb)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    ivfServe(emb, queries, k, nProbe, cents)
+  }
+
+  // ------------------------------- PQ -----------------------------------
+
+  /** One PQ code: subspace + code id + subvector. */
+  final case class SubCentroid(sub: Int, cid: Long, cv: Array[Double])
+
+  /** PQ encode kernel: subvectors × broadcast codebook table equi-joined
+    * on `sub`, then per-(vector, sub) `min(struct(dist, cid))` — as in
+    * [[assignNearest]], the nCodes entries for one subvector are produced
+    * consecutively in its partition, so partial aggregation completes
+    * map-side and only one pre-aggregated row per (vector, sub) moves. */
+  private def assignCodes(sv: DataFrame, cbDf: DataFrame,
+                          carry: Seq[String] = Seq.empty): DataFrame = {
+    val aggs = min(struct(round(dist2(col("sv"), col("cv")), 6).as("dist"),
+      col("cid"))).as("mc") +: carry.map(c => first(col(c)).as(c))
+    sv.join(broadcast(cbDf), "sub")
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def pqCodebookDf(spark: SparkSession,
+                           cbs: Seq[SubCentroid]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cbs.map(c => org.apache.spark.sql.Row(c.sub, c.cid, c.cv.toSeq)).asJava,
+      pqCodebookSchema)
   }
 
   /** PQ codebook training — the same seeded, grid-rounded Lloyd as
-    * [[trainIvfCentroids]] run once per subspace (`sub` is just another
-    * grouping key), with the same content-fingerprint cache: codebooks are
-    * a BUILD artifact (m·nCodes·(d/m) doubles, driver-resident like a
-    * broadcast model), trained once and served to every subsequent probe.
-    * Deterministic, so a cache miss only re-derives the identical table. */
-  private def trainPqCodebooks(emb: DataFrame, sv: DataFrame, m: Int,
-                               nCodes: Int, iters: Int): DataFrame = {
-    val fp = emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
-    val key = s"pq|${fp.getLong(0)}|${fp.getLong(1)}|$m|$nCodes|$iters"
-    val spark = emb.sparkSession
-    val cached = trainedCentroids.get(key)
-    if (cached != null) {
-      import scala.jdk.CollectionConverters._
-      return spark.createDataFrame(cached.toSeq.asJava, pqCodebookSchema)
+    * [[trainIvfCentroidsArray]] run once per subspace (`sub` is just
+    * another grouping key), with the same content-fingerprint cache:
+    * codebooks are a BUILD artifact (m·nCodes·(d/m) doubles,
+    * driver-resident like a broadcast model), trained once and served to
+    * every subsequent probe. Deterministic, so a cache miss only
+    * re-derives the identical table. */
+  private def trainPqCodebooksArray(emb: DataFrame, sv: DataFrame, m: Int,
+                                    nCodes: Int, iters: Int): Array[SubCentroid] =
+    cachedModel(s"pq", emb, s"$m|$nCodes|$iters") {
+      var cents = sv.where(col("vec_id") < nCodes)
+        .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv"))
+        .collect()
+        .map(r => SubCentroid(r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+        .sortBy(c => (c.sub, c.cid))
+      for (_ <- 1 to iters) {
+        cents = assignCodes(sv, pqCodebookDf(emb.sparkSession, cents), Seq("sv"))
+          .select(col("sub"), col("mc.cid").as("cid"),
+            posexplode(col("sv")).as(Seq("pos", "val")))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg(round(avg(col("val")), 6).as("val"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
+            .as("cv"))
+          .collect()
+          .map(r => SubCentroid(r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+          .sortBy(c => (c.sub, c.cid))
+      }
+      cents
     }
-    var cents = sv.where(col("vec_id") < nCodes)
-      .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val a = sv.join(broadcast(cents), "sub")
-        .withColumn("dist", round(dist2(col("sv"), col("cv")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub"))
-            .orderBy(col("dist"), col("cid"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid"))
-      cents = a.join(sv, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "val")))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(round(avg(col("val")), 6).as("val"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, val))), s -> s.val)")
-          .as("cv"))
-        .localCheckpoint()
-    }
-    trainedCentroids.put(key, cents.select(col("sub"), col("cid"), col("cv")).collect())
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(trainedCentroids.get(key).toSeq.asJava, pqCodebookSchema)
-  }
 
   private val pqCodebookSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("sub",
@@ -205,61 +422,6 @@ object Similarity {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType), nullable = false)))
 
-  private val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("cid",
-      org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("cv",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType), nullable = false)))
-
-  /** Trained-model cache: bounded LRU (a JVM serves a handful of live IVF
-    * indexes, not an unbounded history), keyed by a CONTENT fingerprint —
-    * not the plan string — so re-written files at the same path can never
-    * serve stale centroids. */
-  private val MaxCachedModels = 8
-  private val trainedCentroids: java.util.Map[String, Array[org.apache.spark.sql.Row]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[org.apache.spark.sql.Row]]): Boolean =
-          size() > MaxCachedModels
-      })
-
-  /** IVF (inverted-file) top-k: vectors are assigned to their nearest
-    * centroid's cell; a query probes only its `nProbe` nearest cells. The
-    * cell id is the shuffle key — the IVF counterpart of [[lshBucketTopK]]'s
-    * sign bucket, with better-balanced cells on clustered data.
-    *
-    * `trainIters` > 0 k-means-trains the centroids ([[trainIvfCentroids]]);
-    * 0 keeps the untrained first-`nCells` seeds (the plumbing baseline).
-    * Assignment distance is the rounded [[graft.plans.L2Dist2]] with a cid
-    * tie-break in both modes, so the DuckDB oracle replays it exactly.
-    */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
-              nProbe: Int = 2, trainIters: Int = 0): DataFrame = {
-    val n = prep(emb)
-    val cents =
-      if (trainIters > 0) trainIvfCentroids(emb, nCells, trainIters)
-      else n.select(col("vec_id").cast("long").as("cid"), col("v").as("cv"))
-        .filter(col("cid") < nCells)
-    def cellRank(vs: DataFrame) = vs.crossJoin(broadcast(cents))
-      .withColumn("dist", round(dist2(col("v"), col("cv")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))))
-    val cells = cellRank(n).where(col("rn") === 1)
-      .select(col("vec_id").as("nid"), col("cid"), col("v").as("nv"),
-        col("nrm").as("nn"))
-    val probes = cellRank(n.join(queries.select(col("vec_id")), "vec_id"))
-      .where(col("rn") <= nProbe)
-      .select(col("vec_id").as("qid"), col("cid"), col("v").as("qv"),
-        col("nrm").as("qn"))
-    val scored = probes.join(cells, "cid")
-      .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
-    rankTopK(scored, k)
-  }
-
   /** Product-quantization (PQ) top-k with asymmetric distance (ADC) — the
     * memory-compression path for 100-TB vector corpora: each vector is
     * stored as `m` codebook ids (64 float dims → 8 bytes at m=8/nCodes=16,
@@ -267,14 +429,12 @@ object Similarity {
     * the sum of per-subspace query-to-centroid distances, i.e. `m` table
     * lookups instead of a full d-dim kernel.
     *
-    * Training is the same seeded, grid-rounded Lloyd as
-    * [[trainIvfCentroids]], run once per subspace — the subspace index is
-    * just another grouping key, so one codebook DataFrame (m·nCodes rows,
-    * tiny, broadcast) carries all `m` codebooks and the DuckDB oracle
-    * replays the whole build bit-for-bit. Scale shape: codes are built in
-    * one assignment pass and repartitioned by vector id so ADC scoring
-    * combines the m per-subspace partial sums map-side; the per-query
-    * distance table (|q|·m·nCodes rows) is broadcast.
+    * Scale shape: encoding is the map-side-complete [[assignCodes]]
+    * kernel (codes are built in one scan against the broadcast codebook
+    * table; subvectors of one vector explode from the same input row, so
+    * nothing corpus-sized is shuffled); the per-query distance table
+    * (|q|·m·nCodes rows) is broadcast; the only real shuffle is the final
+    * (qid, nid) partial-aggregated ADC sum.
     */
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
              nCodes: Int = 16, iters: Int = 2): DataFrame = {
@@ -284,23 +444,18 @@ object Similarity {
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * subLen + 1, subLen).as("sv"))
-    val cents = trainPqCodebooks(emb, sv, m, nCodes, iters)
-    // Distance of every subvector to every centroid of its subspace, with
-    // the nearest-code rank (rounded dist + cid tie-break, as in IVF).
-    def assign(rows: DataFrame) = rows.join(broadcast(cents), "sub")
-      .withColumn("dist", round(dist2(col("sv"), col("cv")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dist"), col("cid"))))
-    val asg = assign(sv)
-    // The PQ index: m small ints per vector — the only per-vector state ADC
-    // reads. Repartitioned by id so the final sum combines map-side.
-    val codes = asg.where(col("rn") === 1)
-      .select(col("vec_id").as("nid"), col("sub"), col("cid"))
-      .repartition(col("nid"))
-    // Per-query ADC table: distance from each query subvector to every code.
-    val dtab = assign(sv.join(queries.select(col("vec_id")), "vec_id"))
-      .select(col("vec_id").as("qid"), col("sub"), col("cid"), col("dist").as("d"))
+    val cbs = trainPqCodebooksArray(emb, sv, m, nCodes, iters)
+    val cbDf = pqCodebookDf(emb.sparkSession, cbs)
+    // The PQ index: m small ints per vector — the only per-vector state
+    // ADC reads. Map-side-complete argmin encode (assignCodes).
+    val codes = assignCodes(sv, cbDf)
+      .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
+    // Per-query ADC table: distance from each query subvector to EVERY
+    // code of its subspace (not just the nearest) — tiny, broadcast.
+    val dtab = sv.join(queries.select(col("vec_id")), "vec_id")
+      .join(broadcast(cbDf), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        round(dist2(col("sv"), col("cv")), 6).as("d"))
     val scored = codes.join(broadcast(dtab), Seq("sub", "cid"))
       .where(col("nid") =!= col("qid"))
       .groupBy(col("qid"), col("nid"))

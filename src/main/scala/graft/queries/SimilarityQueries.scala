@@ -1,8 +1,11 @@
 package graft.queries
 
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.operators.Similarity
+import graft.operators.{Maintenance, Similarity}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table: exact brute-force cosine
@@ -11,6 +14,37 @@ import graft.sources.Tables
   * cosine, id tie-break).
   */
 object SimilarityQueries {
+
+  /** Per-JVM root for persisted ANN index artifacts, removed on exit. */
+  private lazy val idxRoot: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+      UUID.randomUUID().toString.replace("-", "")
+    new java.io.File(p).mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Maintenance.deleteRecursively(new java.io.File(p))))
+    p
+  }
+
+  /** BUILD step of the IVF index lifecycle: train once per (JVM, sf dir)
+    * and persist the centroid table as a parquet artifact; every serve
+    * reads the artifact (and staleness-checks its recorded fingerprint). */
+  private val ivfIndexCache = new ConcurrentHashMap[String, String]()
+  private def ivfIndexFor(s: SparkSession, d: String): String =
+    ivfIndexCache.computeIfAbsent(d, { _ =>
+      val path = s"$idxRoot/ivf_" + UUID.randomUUID().toString.replace("-", "")
+      Similarity.writeIvfIndex(emb(s, d), nCells = 16,
+        iters = 3, path = path)
+      path
+    })
+
+  /** The embeddings table WITHOUT [[Tables.embeddings]]'s parallelism
+    * repartition: every ANN kernel here is either followed by its own
+    * shuffle (rank/ADC aggregation re-spreads the work) or map-side
+    * against a broadcast model, so the up-front `repartition(32)` would
+    * only add one full-table exchange per scan — and these queries scan
+    * the table 2–5 times each. At real scale the source is already
+    * many-way partitioned and the two loaders are identical. */
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
   private val normsCte =
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
@@ -30,8 +64,8 @@ object SimilarityQueries {
         "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
         "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 5 ORDER BY qid, rank") {
       (s, d) =>
-        val emb = Tables.embeddings(s, d)
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        val embT = emb(s, d)
+        Similarity.bruteForceTopK(embT, embT.filter(col("vec_id") < 10), k = 5)
           .orderBy(col("qid"), col("rank"))
     },
 
@@ -49,8 +83,8 @@ object SimilarityQueries {
         "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
         "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 3 ORDER BY qid, rank"
     }) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshBucketTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+      val embT = emb(s, d)
+      Similarity.lshBucketTopK(embT, embT.filter(col("vec_id") < 10), k = 3,
           bucketBits = 4)
         .orderBy(col("qid"), col("rank"))
     },
@@ -75,8 +109,8 @@ object SimilarityQueries {
         "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
         "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 3 ORDER BY qid, rank"
     }) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+      val embT = emb(s, d)
+      Similarity.lshMultiProbeTopK(embT, embT.filter(col("vec_id") < 10), k = 3,
           bucketBits = 4)
         .orderBy(col("qid"), col("rank"))
     },
@@ -88,9 +122,23 @@ object SimilarityQueries {
     // divergence anywhere in assign → average → re-assign breaks the hash.
     Q("sim_ivf_topk", ivfKmeansSql(nCells = 16, iters = 3, k = 3, nProbe = 2,
       nQueries = 10)) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+      val embT = emb(s, d)
+      Similarity.ivfTopK(embT, embT.filter(col("vec_id") < 10), k = 3,
           nCells = 16, nProbe = 2, trainIters = 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // The same trained IVF probe served from a PERSISTED index: training
+    // runs once as a build step and writes the centroid table to parquet
+    // (with the source fingerprint as index metadata); the query is pure
+    // serve — read the k-row artifact, staleness-check, assign + probe.
+    // Same oracle as sim_ivf_topk: the artifact round trip must be
+    // invisible in the results.
+    Q("sim_ivf_served", ivfKmeansSql(nCells = 16, iters = 3, k = 3, nProbe = 2,
+      nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      Similarity.ivfTopKServed(embT, embT.filter(col("vec_id") < 10), k = 3,
+          nProbe = 2, indexPath = ivfIndexFor(s, d))
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -100,8 +148,8 @@ object SimilarityQueries {
     // distance-table scoring — the full PQ build/serve cycle in SQL.
     Q("sim_pq_topk", pqSql(m = 8, nCodes = 16, iters = 2, k = 3,
       nQueries = 10)) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+      val embT = emb(s, d)
+      Similarity.pqTopK(embT, embT.filter(col("vec_id") < 10), k = 3,
           m = 8, nCodes = 16, iters = 2)
         .orderBy(col("qid"), col("rank"))
     },
@@ -110,8 +158,8 @@ object SimilarityQueries {
     // shape; recovers 25/30 of the exact top-3 where pure ADC gets 7/30.
     Q("sim_pq_rerank", pqRerankSql(m = 8, nCodes = 16, iters = 2, k = 3,
       shortlist = 50, nQueries = 10)) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+      val embT = emb(s, d)
+      Similarity.pqRerankTopK(embT, embT.filter(col("vec_id") < 10), k = 3,
           shortlist = 50, m = 8, nCodes = 16, iters = 2)
         .orderBy(col("qid"), col("rank"))
     }
