@@ -99,7 +99,10 @@ object ScaleSmoke {
       "dedup_components", "dedup_embedding_cosine",
       "sim_topk_bruteforce", "sim_lsh_topk", "sim_lsh_multiprobe",
       "sim_ivf_topk", "sim_pq_topk", "sim_pq_rerank",
-      "contamination_ngram", "tfidf_top_terms")
+      "contamination_ngram", "tfidf_top_terms",
+      // Sequence packing: the round-7 two-pass prefix sum must show a
+      // bounded window partition — near-linear at 10× docs.
+      "pipeline_pack_sequences", "pipeline_pack_spans")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
@@ -124,10 +127,16 @@ object ScaleSmoke {
     } :+ {
       // Streaming throughput scaling: the full detector→flagger+collector
       // pipeline over 10× deposits AND 10× wallet keys (state scales with
-      // both). The feed parquet is rebuilt once per dir by the harness.
+      // both). The feed parquet is rebuilt once per dir by the harness;
+      // materialized outputs are dropped per run so every sample measures
+      // the topology, not the serve path.
       val fn = SparkEntry.queries("stream_check_tuned")
-      val tBase = time(() => fn(spark, baseDir))
-      val tBig = time(() => fn(spark, bigDir))
+      def fresh(dir: String): DataFrame = {
+        queries.StreamQueries.invalidateMaterialized()
+        fn(spark, dir)
+      }
+      val tBase = time(() => fresh(baseDir))
+      val tBig = time(() => fresh(bigDir))
       ("stream_check_tuned", tBase, tBig)
     }).map { case (n, tBase, tBig) =>
       val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)

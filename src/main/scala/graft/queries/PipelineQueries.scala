@@ -217,6 +217,28 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // Sequence packing: concatenate-and-chunk documents into fixed
+    // token-budget training sequences (the GPT-style pretraining batch
+    // layout). Documents are packed GREEDILY IN doc_id ORDER within each
+    // language shard: a doc starts in sequence floor(tokens_before / B)
+    // and may straddle the boundary — exactly the concat-then-chunk
+    // semantics of packed pretraining. Per (lang, seq) the query reports
+    // docs started, tokens contributed, and the running fill.
+    //
+    // Scale shape — DISTRIBUTED TWO-PASS PREFIX SUM (round-7 verdict
+    // item 3; `lang` alone is NOT a bounded partition — at 100 TB the
+    // English shard would serialize one window task):
+    //   pass 1: cumsum within (lang, doc_id div W) RANGE sub-shards —
+    //           every window partition is bounded by W docs;
+    //   pass 2: per-shard token totals (one row per shard) get a running
+    //           offset via a window over n/W one-row records, then
+    //           before = shard offset + within-shard cumsum.
+    // Range (not hash) sub-shards keep doc_id order intact, so the
+    // composition is EXACTLY the per-lang cumsum — the oracle keeps the
+    // single-window formulation as an independent spec of the same
+    // function. W=128 exercises multi-shard composition at sf0.01; at
+    // real scale W grows so the pass-2 window stays small (and composes
+    // recursively if n/W itself ever gets big — it is the same operator).
     Q("pipeline_pack_sequences",
       "WITH t AS (SELECT doc_id, lang, " +
         "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok " +
@@ -229,19 +251,79 @@ object PipelineQueries {
         "SELECT lang, seq_id, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_tok) AS BIGINT) AS seq_tokens " +
         "FROM s GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
-      val budget = 2048L
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .where(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("before", sum(col("n_tok")).over(w) - col("n_tok"))
-        .withColumn("seq_id", (col("before") / budget).cast("long"))
+      packedDocs(s, d)
         .groupBy(col("lang"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast("long").as("seq_tokens"))
         .orderBy(col("lang"), col("seq_id"))
+    },
+
+    // Document-boundary packing with span output — what a dataloader
+    // actually consumes: one row per (doc, sequence) overlap carrying the
+    // doc's token span [start_tok, end_tok) WITHIN the sequence, so loss
+    // masks / attention resets can be built per sequence. Pure arithmetic
+    // over the same two-pass running offset: a doc occupying global
+    // tokens [before, before + n_tok) intersects sequences
+    // floor(before/B) .. floor((before+n_tok-1)/B). Spans of one sequence
+    // tile it disjointly, so (lang, seq_id, start_tok) is a total order.
+    Q("pipeline_pack_spans",
+      "WITH t AS (SELECT doc_id, lang, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "c AS (SELECT lang, doc_id, n_tok, " +
+        "CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS before " +
+        "FROM t), " +
+        "x AS (SELECT lang, doc_id, n_tok, before, " +
+        "unnest(range(before // 2048, (before + n_tok - 1) // 2048 + 1)) AS seq_id " +
+        "FROM c) " +
+        "SELECT lang, seq_id, doc_id, " +
+        "GREATEST(before - seq_id * 2048, 0) AS start_tok, " +
+        "LEAST(before + n_tok - seq_id * 2048, 2048) AS end_tok " +
+        "FROM x ORDER BY lang, seq_id, start_tok, doc_id") { (s, d) =>
+      val budget = 2048L
+      packedDocs(s, d)
+        .withColumn("s1", ((col("before") + col("n_tok") - 1) / budget).cast("long"))
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("before"),
+          explode(sequence(col("seq_id"), col("s1"))).as("seq_id"))
+        .select(col("lang"), col("seq_id"), col("doc_id"),
+          greatest(col("before") - col("seq_id") * budget, lit(0L)).as("start_tok"),
+          least(col("before") + col("n_tok") - col("seq_id") * budget,
+            lit(budget)).as("end_tok"))
+        .orderBy(col("lang"), col("seq_id"), col("start_tok"), col("doc_id"))
     }
   )
+
+  /** Shared packing core: (doc_id, lang, n_tok, before, seq_id) with
+    * `before` = per-lang running token count ahead of the doc, computed by
+    * the bounded-shard two-pass prefix sum described on
+    * `pipeline_pack_sequences`. */
+  private def packedDocs(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val budget = 2048L
+    val shardW = 128L
+    val t = Tables.documents(s, d)
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        expr(s"doc_id div $shardW").as("shard"))
+    // Pass 1: cumsum inside the bounded (lang, shard) range sub-shard.
+    val wShard = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = t.withColumn("within", sum(col("n_tok")).over(wShard) - col("n_tok"))
+    // Pass 2: one row per shard; running offset over those rows is a
+    // window over n/W one-row records (tiny — and recursively shardable
+    // with the same operator if it ever isn't).
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = t.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("shard_off", sum(col("shard_tok")).over(wOff) - col("shard_tok"))
+      .select(col("lang"), col("shard"), col("shard_off"))
+    within.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("before", col("shard_off") + col("within"))
+      .withColumn("seq_id", (col("before") / budget).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("before"), col("seq_id"))
+  }
 }

@@ -152,6 +152,11 @@ object StreamQueries {
   private final case class Materialized(feedFp: String, path: String)
   private val outputs = new ConcurrentHashMap[String, Materialized]()
 
+  /** Drop every materialized output — for harnesses that must re-measure
+    * the full topology stand-up per run (ScaleSmoke's streaming-throughput
+    * row would otherwise time the serve path). */
+  def invalidateMaterialized(): Unit = outputs.clear()
+
   /** Feed-dir file listing fingerprint — the file-source analog of Kafka
     * committed offsets: unchanged listing ⇒ the topology has nothing to
     * catch up on. Local listing of a handful of files; no data read.
