@@ -58,6 +58,10 @@ object Dedup {
     * BOTH operators with different parameters before executing either
     * falls back to recomputing the first one's signatures (correctness
     * unaffected; the cache is a bounded accelerator, not a contract).
+    * The slot is process-global across sessions/threads: concurrent
+    * dedups over DIFFERENT inputs evict each other (still correct, just
+    * uncached) — if concurrent multi-tenant use becomes real, key the
+    * slot per-session (weak map on SparkSession) instead.
     */
   private def swapCached(next: DataFrame): DataFrame = {
     val cached = next.cache()
@@ -178,8 +182,15 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("rs"))
         .select(col("doc_id"), size(col("rs")).as("sz"),
+          // ⌈t·sz⌉ computed as ceil(t·sz − ε): the float product can land
+          // an ulp ABOVE the exact integer (0.4·5 = 2.0000000000000004),
+          // and a bare ceil would then overestimate the bound by 1 —
+          // shortening the prefix and dropping an exact-boundary J = t
+          // pair the banded path keeps. ε = 1e-7 clears the product's
+          // representation error for any realistic shingle count while
+          // staying far below legitimate fractional parts.
           explode(slice(col("rs"), lit(1),
-            (size(col("rs")) - ceil(size(col("rs")) * threshold) + 1).cast("int")))
+            (size(col("rs")) - ceil(size(col("rs")) * threshold - 1e-7) + 1).cast("int")))
             .as("p"))
         .select(col("doc_id"), col("sz"), col("p.h").as("h"))
         .join(meta, "doc_id")
@@ -200,8 +211,8 @@ object Dedup {
             col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id") &&
               abs(col("a.n_chars") - col("b.n_chars")) <= maxDiff &&
-              col("b.sz") >= ceil(col("a.sz") * threshold) &&
-              col("a.sz") >= ceil(col("b.sz") * threshold))
+              col("b.sz") >= ceil(col("a.sz") * threshold - 1e-7) &&
+              col("a.sz") >= ceil(col("b.sz") * threshold - 1e-7))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
     cand

@@ -30,10 +30,24 @@ object Maintenance {
     * finished with (e.g. closed hourly/daily dirs), exactly as
     * production table services schedule it.
     *
+    * PRECONDITION (validated): `dir` is a FLAT LOCAL directory of
+    * parquet files — one leaf partition of a table, which is the unit
+    * production compaction works on. Hive-partitioned roots (subdirs)
+    * are rejected rather than silently mis-sized, and the rename-aside
+    * swap relies on same-filesystem `File.renameTo`, so remote/URI
+    * paths are rejected too. Compact a partitioned table by calling
+    * this per leaf directory.
+    *
     * Returns (filesBefore, filesAfter).
     */
   def compactParquet(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(!dir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
+      s"compactParquet needs a local filesystem path, got URI: $dir")
+    require(
+      !Option(new File(dir).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .exists(f => f.isDirectory && !f.getName.startsWith("_")),
+      s"$dir has subdirectories — compact per leaf partition dir, not the table root")
     def parquetFiles(d: String): Seq[File] = {
       val all = Option(new File(d).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       all.filter(f => f.isFile && f.getName.endsWith(".parquet"))

@@ -1,8 +1,10 @@
 package graft.queries
 
+import java.util.UUID
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFunctions
+import graft.operators.Maintenance
 import graft.sources.Tables
 
 /** Remaining SURVEY §2.2 categories: event-time tumbling/sliding windows,
@@ -11,7 +13,39 @@ import graft.sources.Tables
   * the SQL-text layer with a scalar subquery. */
 object ExtrasQueries {
 
+  /** Per-JVM scratch root for the maintenance roundtrip (the compacted
+    * dir must outlive the returned lazy DataFrame); removed on exit. */
+  private lazy val scratchRoot: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_extras_" +
+      UUID.randomUUID().toString.replace("-", "")
+    new java.io.File(p).mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Maintenance.deleteRecursively(new java.io.File(p))))
+    p
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Table maintenance exercised INSIDE a registered query (round-7
+    // verdict item 6): the supplier table re-written as a 32-file spray
+    // (the streaming-sink/over-partitioned-append shape), compacted by
+    // the staged commit-gated rename-aside rewrite, re-read, aggregated.
+    // The oracle reads the ORIGINAL table — compaction must be invisible
+    // in the result — and the file count must actually collapse.
+    Q("q_compaction_roundtrip",
+      "SELECT s_nationkey, COUNT(*) AS n_suppliers, " +
+        "ROUND(SUM(s_acctbal), 2) AS total_acctbal " +
+        "FROM supplier GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dir = s"$scratchRoot/frag_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.supplier(s, d).repartition(32).write.parquet(dir)
+      val (before, after) = Maintenance.compactParquet(s, dir)
+      require(after < before, s"compaction did not reduce files: $before -> $after")
+      s.read.parquet(dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("s_nationkey"))
+    },
 
     // Tumbling event-time window (6 h), the batch form of the streaming
     // `window()` aggregation; start emitted as epoch seconds.
