@@ -31,7 +31,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table (footer reads + codegen paths) once.
-    sources.Tables.names.foreach { t =>
+    // events goes through its loader — a plain read throws on its
+    // TIMESTAMP(NANOS) column and only spams the log.
+    sources.Tables.names.filterNot(_ == "events").foreach { t =>
       try sources.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
