@@ -56,13 +56,17 @@ object TpchFinalQueries {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      // Per-part min as a window over the single euSupply pass — same
+      // rows as the agg + self-join decorrelation (ties all kept) but
+      // lineitem is scanned and the 3-way join built ONCE; the window
+      // partition (suppliers per part) is bounded at any scale.
       val euSupply = ps.join(eu, col("ps_suppkey") === col("s_suppkey"))
-      val minCost = euSupply.groupBy(col("ps_partkey").as("mc_partkey"))
-        .agg(min("ps_cost_cents").as("min_cost"))
       euSupply
-        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
-          col("ps_cost_cents") === col("min_cost"))
-        .join(Tables.part(s, d).filter(col("p_size") === 25 && col("p_type") === "LARGE"),
+        .withColumn("min_cost", min(col("ps_cost_cents")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("ps_partkey"))))
+        .where(col("ps_cost_cents") === col("min_cost"))
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_size") === 25 && col("p_type") === "LARGE")),
           col("p_partkey") === col("ps_partkey"))
         .select((round(col("s_acctbal") * 100).cast("long") / 100.0).as("s_acctbal"),
           col("s_name"), col("n_name"), col("p_partkey"), col("p_name"))
@@ -143,13 +147,15 @@ object TpchFinalQueries {
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
       // One pass over the order's lineitems replaces both correlated scans:
       // l1.late && n_supp >= 2 && n_late_supp == 1  ⟺  l1's supplier is
-      // the only late one on a multi-supplier order.
-      val census = l.groupBy("l_orderkey").agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      l.filter(col("late"))
-        .join(census, "l_orderkey")
-        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      // the only late one on a multi-supplier order. The census rides as
+      // whole-partition window aggregates (partition = one order's lines,
+      // bounded ~7 at any scale), so the lineitem⋈orders subtree is built
+      // ONCE — the former groupBy + self-join shape scanned it twice.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+      l.withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supp",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)
           .filter(col("n_name").isin("NATION_3", "NATION_8"))),
