@@ -4,18 +4,18 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway stage-level profiler for hotspot queries (not part of the
   * driver contract; run by hand while optimizing). Current target: the
-  * PQ serve path (round-7 verdict item 2).
+  * char-jaccard prefix path at the 10× smoke scale.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale_x10")
     val spark = GraftSession.local("profile")
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.Similarity
+    import graft.functions.TextFunctions._
     import graft.sources.Tables
 
-    val emb = Tables.embeddings(spark, sfDir)
-    emb.count()
+    val docs = Tables.documents(spark, sfDir)
+    println(s"docs = ${docs.count()}")
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -23,29 +23,48 @@ object Profile {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
 
-    val q = emb.filter(col("vec_id") < 10)
-    // Warm the model caches (training measured separately by forensics).
-    Similarity.pqTopK(emb, q, 3).count()
-    Similarity.ivfTopK(emb, q, 3, trainIters = 3).count()
+    val threshold = 0.4
+    val b = docs
+      .where(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("n_chars"),
+        array_sort(array_distinct(transform(charShingles(normText(col("text")), 8),
+          x => xxhash64(x)))).as("sh64"))
+      .localCheckpoint()
 
-    for (round <- 1 to 3) {
-      println(s"-- round $round")
-      time("fingerprint")(
-        emb.select(xxhash64(col("vec_id"), col("embedding")).as("h"))
-          .agg(expr("bit_xor(h)"), count(lit(1))).count())
-      val e = emb.select(col("vec_id"),
-        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-      val sv = e.select(col("vec_id"),
-          explode(sequence(lit(0), lit(7))).as("sub"), col("v"))
-        .select(col("vec_id"), col("sub"),
-          slice(col("v"), col("sub") * 8 + 1, lit(8)).as("sv"))
-      time("sv scan")(sv.count())
-      time("pq_topk serve")(Similarity.pqTopK(emb, q, 3).count())
-      time("pq_rerank serve")(Similarity.pqRerankTopK(emb, q, 3, 50).count())
-      time("ivf serve")(Similarity.ivfTopK(emb, q, 3, trainIters = 3).count())
-      time("ivf untrained")(Similarity.ivfTopK(emb, q, 3, trainIters = 0).count())
-      time("brute serve")(Similarity.bruteForceTopK(emb, q, 3).count())
-    }
+    time("shingle+checkpoint (cached)")(b.count())
+
+    val post = b.select(col("doc_id"), explode(col("sh64")).as("h"))
+    time("postings")(post.count())
+    val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    time("dfreq")(dfreq.count())
+    val prefixes = post.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("rs"))
+      .select(col("doc_id"), size(col("rs")).as("sz"),
+        posexplode(slice(col("rs"), lit(1),
+          (size(col("rs")) - ceil(size(col("rs")) * threshold - 1e-7) + 1).cast("int")))
+          .as(Seq("pos0", "p")))
+      .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"), col("p.h").as("h"))
+      .join(b.select(col("doc_id"), col("n_chars")), "doc_id")
+    time("prefix build")(prefixes.count())
+    val pch = prefixes.localCheckpoint()
+    val c = threshold / (1 + threshold)
+    val joined = pch.as("a").join(pch.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 10 &&
+        col("b.sz") >= ceil(col("a.sz") * threshold - 1e-7) &&
+        col("a.sz") >= ceil(col("b.sz") * threshold - 1e-7))
+    time("prefix join, NO pos filter")(joined.count())
+    val joinedPos = pch.as("a").join(pch.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= 10 &&
+        col("b.sz") >= ceil(col("a.sz") * threshold - 1e-7) &&
+        col("a.sz") >= ceil(col("b.sz") * threshold - 1e-7) &&
+        lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+          ceil((col("a.sz") + col("b.sz")) * c - 1e-7))
+    time("prefix join, pos filter")(joinedPos.count())
+    time("pos-filter candidates distinct")(
+      joinedPos.select(col("a.doc_id"), col("b.doc_id")).distinct().count())
     spark.stop()
   }
 }

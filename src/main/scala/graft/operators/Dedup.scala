@@ -189,10 +189,11 @@ object Dedup {
           // pair the banded path keeps. ε = 1e-7 clears the product's
           // representation error for any realistic shingle count while
           // staying far below legitimate fractional parts.
-          explode(slice(col("rs"), lit(1),
+          posexplode(slice(col("rs"), lit(1),
             (size(col("rs")) - ceil(size(col("rs")) * threshold - 1e-7) + 1).cast("int")))
-            .as("p"))
-        .select(col("doc_id"), col("sz"), col("p.h").as("h"))
+            .as(Seq("pos0", "p")))
+        .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"),
+          col("p.h").as("h"))
         .join(meta, "doc_id")
     }
     val bucketW = 2 * maxDiff
@@ -206,15 +207,27 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id") &&
               abs(col("a.n_chars") - col("b.n_chars")) <= maxDiff)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      else
+      else {
+        // PPJoin positional filter on top of the prefix match (lossless:
+        // for the FIRST token a true pair shares in the global order, all
+        // of A∩B sits at positions ≥ (i, j), so |A∩B| ≤ 1 + min(|A|−i,
+        // |B|−j); and J ≥ t forces |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — so that
+        // token always passes, while most coincidental single-token
+        // matches fail the bound and never reach the distinct). Same −ε
+        // guard so the required-overlap ceil can never round UP past the
+        // exact integer and prune a boundary pair.
+        val c = threshold / (1 + threshold)
         prefixes.as("a").join(prefixes.as("b"),
             col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id") &&
               abs(col("a.n_chars") - col("b.n_chars")) <= maxDiff &&
               col("b.sz") >= ceil(col("a.sz") * threshold - 1e-7) &&
-              col("a.sz") >= ceil(col("b.sz") * threshold - 1e-7))
+              col("a.sz") >= ceil(col("b.sz") * threshold - 1e-7) &&
+              lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+                ceil((col("a.sz") + col("b.sz")) * c - 1e-7))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
+      }
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
         col("sh64").as("sh_a")), "id_a")
