@@ -23,6 +23,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffles to the advisory size rather than keeping
+      // one partition per core — the production-recommended AQE setting
+      // (idle-core scheduling overhead dominates tiny post-shuffle stages;
+      // big shuffles still split by size).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")

@@ -20,6 +20,11 @@ object GraftSession {
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffles to the advisory size rather than keeping
+      // one partition per core — the production-recommended AQE setting
+      // (idle-core scheduling overhead dominates tiny post-shuffle stages;
+      // big shuffles still split by size).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.streaming.stateStore.providerClass",

@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffles to the advisory size rather than keeping
+      // one partition per core — the production-recommended AQE setting
+      // (idle-core scheduling overhead dominates tiny post-shuffle stages;
+      // big shuffles still split by size).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // Write micros (not INT96) so any parquet reader sees the same instants.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // transformWithState state needs multiple column families.

@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.functions.TextFunctions._
 import graft.operators.Dedup
 import graft.sources.Tables
 
@@ -157,6 +159,71 @@ object DedupQueries {
         Dedup.connectedComponents(pairs)
           .select(col("id").as("doc_id"), col("comp"))
           .orderBy(col("doc_id"))
+    },
+
+    // Canonical-doc selection — what a dedup pipeline actually EMITS: per
+    // near-dup component keep the best-quality member (composite quality
+    // score, ties to the lowest doc_id) and list every other member as a
+    // drop row with its keeper. Components ∘ quality composed end-to-end;
+    // the oracle replays LSH → verify → reachability → the same quality
+    // arithmetic (bit-identical doubles — the pipeline_quality_gate
+    // precedent) → FIRST_VALUE per component.
+    Q("dedup_canonical", {
+      val enPat = langMarkers.toMap.apply("en")
+      s"WITH RECURSIVE $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
+        "FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "p AS (SELECT id_a, id_b FROM cand JOIN sh sa ON sa.doc_id = id_a " +
+        "JOIN sh sb ON sb.doc_id = id_b " +
+        "WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "reach AS (SELECT id AS a, id AS b FROM nodes " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+        "comp AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a), " +
+        "q AS (SELECT doc_id, " +
+        s"0.4 * (len(regexp_extract_all(lower(text), '$enPat'))::BIGINT " +
+        "/ len(string_split_regex(trim(text), '\\s+'))::DOUBLE) " +
+        "+ 0.3 * LEAST(1.0, len(string_split_regex(trim(text), '\\s+'))::BIGINT / 100.0) " +
+        "+ 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT " +
+        "/ length(text)::DOUBLE) AS quality FROM documents WHERE length(text) > 0), " +
+        "ranked AS (SELECT c.doc_id, c.comp, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY q.quality DESC, c.doc_id) AS rn, " +
+        "FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.comp ORDER BY q.quality DESC, c.doc_id) AS keep_id " +
+        "FROM comp c JOIN q USING (doc_id)) " +
+        "SELECT doc_id, comp, keep_id FROM ranked WHERE rn > 1 ORDER BY doc_id"
+    }) { (s, d) =>
+      val enPat = langMarkers.toMap.apply("en")
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, k = 12, bands = 4, rows = 3,
+        threshold = 0.5)
+      val comp = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp"))
+      val q = docs.where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          langScore(col("text"), enPat).as("stop_hits"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+          length(col("text")).cast("long").as("n_len"))
+        .select(col("doc_id"),
+          (lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0))
+            + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_len").cast("double")))
+            .as("quality"))
+      // Keeper = best quality, ties to lowest id; window partition = one
+      // near-dup component (bounded: a dup cluster, not the corpus).
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      comp.join(q, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("keep_id", first(col("doc_id")).over(w))
+        .where(col("rn") > 1)
+        .select(col("doc_id"), col("comp"), col("keep_id"))
+        .orderBy(col("doc_id"))
     },
 
     // Embedding-cosine near-dup over sign-bucket LSH candidates.
