@@ -125,6 +125,48 @@ object AnalyticsQueries {
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), " +
         "(l_linestatus), ()) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+    },
+
+    // Exponentially-decayed running engagement score (half-life-style
+    // recency weighting, λ = 1/week): score_i = Σ_{j≤i} value_j ·
+    // exp(-λ(t_i − t_j)). A naive formulation needs a per-row backward
+    // scan (quadratic) or a non-associative stateful fold (UDF); the
+    // associative reformulation used here is score_i =
+    // exp(-λ(t_i−t0)) · Σ_{j≤i} value_j·exp(λ(t_j−t0)) — an ordered
+    // window CUMSUM of a map-side projected term, fully codegen'd. t0 =
+    // per-user min keeps the exponent span at data span / 1 week (≈4.3
+    // e-folds on this feed), so no overflow and no precision loss; the
+    // window partition is one user's events — bounded at any corpus
+    // size. Both engines sum the frame in ORDER (ts, event_id), so the
+    // doubles agree; round(4) absorbs the last-bit difference.
+    Q("q_ema_decay",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value " +
+        "FROM events WHERE user_id < 20), " +
+        "b AS (SELECT user_id, MIN(t_us) AS t0 FROM e GROUP BY 1), " +
+        "u AS (SELECT e.user_id, event_id, t_us, (t_us - t0) AS dt, " +
+        "value * exp((t_us - t0) / 604800e6) AS up FROM e JOIN b USING (user_id)), " +
+        "c AS (SELECT user_id, event_id, " +
+        "SUM(up) OVER (PARTITION BY user_id ORDER BY t_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "* exp(-dt / 604800e6) AS score FROM u) " +
+        "SELECT user_id, event_id, ROUND(score, 4) AS score FROM c " +
+        "ORDER BY user_id, event_id") { (s, d) =>
+      val e = Tables.events(s, d).where(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("t_us"), col("value"))
+      val t0 = e.groupBy(col("user_id")).agg(min(col("t_us")).as("t0"))
+      val lambdaUs = 604800e6 // one-week e-fold time, in microseconds
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(t0, "user_id")
+        .select(col("user_id"), col("event_id"),
+          col("t_us"), (col("t_us") - col("t0")).as("dt"),
+          (col("value") * exp((col("t_us") - col("t0")) / lambdaUs)).as("up"))
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("up")).over(w) * exp(-col("dt") / lambdaUs), 4)
+            .as("score"))
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
 }

@@ -226,6 +226,50 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Exact duplicated-SPAN profiling (the substring-level dedup signal of
+    // "Deduplicating Training Data Makes Language Models Better": a doc
+    // can be globally unique yet largely assembled from spans that occur
+    // verbatim elsewhere). Every positional token 8-gram (NOT distinct —
+    // in-doc repeats count) is digested; a span is duplicated when it
+    // appears in ≥2 distinct docs; per doc report the duplicated-span
+    // fraction. Linear blow-up (one span row per token), one shuffle to
+    // count doc-spread per digest, one digest-keyed equi-join back, one
+    // per-doc agg — no pairwise comparison anywhere, so the shape holds
+    // at corpus scale.
+    Q("dedup_duplicate_spans",
+      "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7), " +
+        "i -> md5(array_to_string(toks[(i+1):(i+8)], ' ')))) AS span " +
+        "FROM t WHERE len(toks) >= 8), " +
+        "d AS (SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1), " +
+        "p AS (SELECT doc_id, COUNT(*) AS n_spans, " +
+        "CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
+        "FROM g JOIN d USING (span) GROUP BY doc_id) " +
+        "SELECT doc_id, n_spans, n_dup, ROUND(n_dup / n_spans::DOUBLE, 4) AS dup_frac " +
+        "FROM p ORDER BY doc_id") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 8)
+      // Positional 8-grams digested inside the projection lambda over the
+      // BOUND toks column (hot-path rule: never inline tokens() here).
+      val spans = toks.select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 7),
+          i => md5(concat_ws(" ",
+            (0 until 8).map(o => element_at(col("toks"), i + o)): _*))))
+        .as("span"))
+      val spread = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      spans.join(spread, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          round(col("n_dup") / col("n_spans").cast("double"), 4).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding-cosine near-dup over sign-bucket LSH candidates.
     Q("dedup_embedding_cosine", {
       val bucket = (1 to 4).map(i =>

@@ -255,6 +255,57 @@ object ExtrasQueries {
       s.sql("SELECT r_name, n_name FROM region r, " +
         "LATERAL (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey " +
         "ORDER BY n_name LIMIT 2) t ORDER BY r_name, n_name")
+    },
+
+    // MERGE INTO (Delta-style CDC apply) as one full-outer shuffle on the
+    // key: target = per-user balance snapshot through Jan 15, source =
+    // per-user change batch after it (net delta + last event type, the
+    // "latest wins" CDC convention via max_by on the (ts, event_id)
+    // order). Row action is the standard matrix — unmatched source ⇒
+    // insert, unmatched target ⇒ keep, matched with last_type='error' ⇒
+    // delete (tombstone), else update — and deletes drop out of the
+    // output. At scale this is exactly one co-partitioned full-outer
+    // join (both sides pre-aggregated on the join key, map-side
+    // combined); no driver round trip, no row-at-a-time apply loop.
+    Q("q_merge_upsert",
+      "WITH base AS (SELECT user_id, SUM(value) AS bal FROM events " +
+        "WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1), " +
+        // (ts, event_id) tiebreak as one zero-padded string key:
+        // lexicographic order = numeric order, and DuckDB's arg_max
+        // lacks a composite-key overload.
+        "chg AS (SELECT user_id, SUM(value) AS delta, " +
+        "arg_max(event_type, lpad(epoch_us(ts)::VARCHAR, 20, '0') || " +
+        "lpad(event_id::VARCHAR, 10, '0')) AS last_type FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1), " +
+        "m AS (SELECT COALESCE(base.user_id, chg.user_id) AS user_id, " +
+        "ROUND(COALESCE(bal, 0) + COALESCE(delta, 0), 2) AS balance, " +
+        "CASE WHEN base.user_id IS NULL THEN 'insert' " +
+        "WHEN chg.user_id IS NULL THEN 'keep' " +
+        "WHEN last_type = 'error' THEN 'delete' ELSE 'update' END AS action " +
+        "FROM base FULL OUTER JOIN chg ON base.user_id = chg.user_id) " +
+        "SELECT user_id, balance, action FROM m WHERE action != 'delete' " +
+        "ORDER BY user_id") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      // Both sides derive from the same scan — aliased (self-join rule).
+      val base = ev.where(col("ts") < split)
+        .groupBy(col("user_id").as("bk")).agg(sum(col("value")).as("bal"))
+      val chg = ev.where(col("ts") >= split)
+        .groupBy(col("user_id").as("ck")).agg(sum(col("value")).as("delta"),
+          max_by(col("event_type"),
+            concat(lpad(expr("unix_micros(ts)").cast("string"), 20, "0"),
+              lpad(col("event_id").cast("string"), 10, "0"))).as("last_type"))
+      base.join(chg, col("bk") === col("ck"), "full_outer")
+        .select(
+          coalesce(col("bk"), col("ck")).as("user_id"),
+          round(coalesce(col("bal"), lit(0)) + coalesce(col("delta"), lit(0)), 2)
+            .as("balance"),
+          when(col("bk").isNull, "insert")
+            .when(col("ck").isNull, "keep")
+            .when(col("last_type") === "error", "delete")
+            .otherwise("update").as("action"))
+        .where(col("action") =!= "delete")
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -115,6 +115,48 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // ANN quality evaluation: recall@3 of the sign-bucket LSH index
+    // against the exact brute-force neighbors, per query — the metric an
+    // index deployment is actually judged by (an ANN result with
+    // unmeasured recall is a guess). Ground truth and index answer are
+    // the two existing kernels; the eval itself is a (qid, nid)-keyed
+    // left join + per-query count, so its cost is O(queries·k) on top of
+    // whatever the two kernels cost. The oracle replays both kernels and
+    // the same join.
+    Q("sim_recall_eval", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"WITH $normsCte, " +
+        s"nb AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n), " +
+        "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "bfs AS (SELECT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS cosine FROM q, n c WHERE c.vec_id != qid), " +
+        "bf AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bfs) WHERE rnk <= 3), " +
+        "qb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < 10), " +
+        "ls AS (SELECT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS cosine FROM qb JOIN nb c USING (bucket) WHERE c.vec_id != qid), " +
+        "lsh AS (SELECT qid, nid, 1 AS hit FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM ls) WHERE rnk <= 3) " +
+        "SELECT bf.qid, CAST(COUNT(lsh.hit) AS BIGINT) AS n_hit, " +
+        "ROUND(COUNT(lsh.hit) / 3.0, 4) AS recall " +
+        "FROM bf LEFT JOIN lsh USING (qid, nid) GROUP BY bf.qid ORDER BY qid"
+    }) { (s, d) =>
+      val embT = emb(s, d)
+      val qs = embT.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(embT, qs, k = 3)
+        .select(col("qid"), col("nid"))
+      val lsh = Similarity.lshBucketTopK(embT, qs, k = 3, bucketBits = 4)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      bf.join(lsh, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 3.0, 4).as("recall"))
+        .orderBy(col("qid"))
+    },
+
     // IVF top-3 with k-means-trained centroids: 3 seeded Lloyd iterations
     // (deterministic — 6-dp distance/centroid grids + cid tie-break), then
     // nearest-cell assignment and a 2-cell probe. The oracle replays the
