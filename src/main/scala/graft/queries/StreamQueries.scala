@@ -105,6 +105,21 @@ object StreamQueries {
       path
     })
 
+  /** Typed full-event feed (type column retained) for the stream-stream
+    * join; written once per (JVM, sf dir) like [[depositFeed]]. */
+  private val eventsFeedCache = new ConcurrentHashMap[String, String]()
+
+  private def eventsFeed(s: SparkSession, dir: String): String =
+    eventsFeedCache.computeIfAbsent(dir, { _ =>
+      val path = s"$wsRoot/evfeed_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.events(s, dir)
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          col("event_type").as("eventType"), col("value"),
+          expr("unix_micros(ts)").as("tsUs"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Chunked-replay feed: the same deposits re-written as three
     * time-range slices (by equal thirds of the [min, max] tsUnix span),
     * each a SINGLE file, written sequentially so file modification order =
@@ -357,6 +372,53 @@ object StreamQueries {
     }
   }
 
+  /** Stream-STREAM inner join through the micro-batch engine: click →
+    * purchase attribution (each purchase matched to the same user's
+    * clicks in the preceding hour). Both sides carry watermarks and the
+    * join condition carries the event-time range, so Spark derives a
+    * state-eviction bound for BOTH buffers — a click older than the
+    * watermark minus the range can never match a future purchase and its
+    * state row is dropped. That bounded-state property is the whole
+    * point: an un-watermarked stream-stream join buffers each side
+    * forever. State is keyed by user — the shuffle key — so at scale the
+    * join partitions by user exactly like the batch equivalent.
+    */
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val feed = eventsFeed(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val name = unique
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      def ev = s.readStream
+        .schema(Encoders.product[graft.model.TypedEvent].schema)
+        .parquet(feed)
+      val clicks = ev.filter(col("eventType") === "click")
+        .select(col("userId").as("c_uid"), col("eventId").as("click_id"),
+          timestamp_micros(col("tsUs")).as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = ev.filter(col("eventType") === "purchase")
+        .select(col("userId").as("user_id"), col("eventId").as("purchase_id"),
+          col("value"), timestamp_micros(col("tsUs")).as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      q = purchases.join(clicks,
+          col("user_id") === col("c_uid") &&
+            col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+            col("click_ts") <= col("purchase_ts"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("value"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).orderBy(col("purchase_id"), col("click_id"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
+  }
+
   /** Exactly-once streaming dedup: the feed unioned with ITSELF (every
     * deposit delivered twice — the at-least-once redelivery shape) →
     * `dropDuplicatesWithinWatermark` on the event key, append mode; the
@@ -463,6 +525,19 @@ object StreamQueries {
         "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
       (s, d) => materialized(s, "stream_window_agg", depositFeed(s, d))(
         streamWindowAgg(s, d))(_.orderBy(col("day_start")))
+    },
+
+    // Stream-stream inner join (click→purchase attribution within 1 hour)
+    // with watermark-bounded state on both sides; the oracle is the batch
+    // time-range join over the same events.
+    Q("stream_join",
+      "SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id, " +
+        "p.value FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts " +
+        "ORDER BY purchase_id, click_id") {
+      (s, d) => materialized(s, "stream_join", eventsFeed(s, d))(
+        streamStreamJoin(s, d))(_.orderBy(col("purchase_id"), col("click_id")))
     },
 
     // At-least-once redelivery (feed ∪ feed) collapsed by watermarked
