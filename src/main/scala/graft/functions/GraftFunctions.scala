@@ -55,6 +55,18 @@ object GraftFunctions {
         case e => throw new IllegalArgumentException(
           s"theta_sketch expects (key[, k literal]), got ${e.size} args")
       }, "built-in")
+      // Explicit Bloom-filter semi-join reduction (build + probe).
+      registry.createOrReplaceTempFunction("bloom_agg", {
+        case Seq(child,
+            org.apache.spark.sql.catalyst.expressions.Literal(m, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(k, _)) =>
+          BloomAgg(child, m.asInstanceOf[Number].intValue(),
+            k.asInstanceOf[Number].intValue())
+        case e => throw new IllegalArgumentException(
+          s"bloom_agg expects (key, numBits literal, k literal), got ${e.size} args")
+      }, "built-in")
+      registry.createOrReplaceTempFunction(
+        "bloom_might_contain", e => BloomMightContain(e(0), e(1)), "built-in")
       registry.createOrReplaceTempFunction(
         "theta_union_agg", e => ThetaUnionAgg(e(0)), "built-in")
       registry.createOrReplaceTempFunction(

@@ -66,4 +66,34 @@ object Relational {
     val w = Window.partitionBy(partition: _*).orderBy(ordering: _*)
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
+
+  /** Explicit Bloom-filter semi-join reduction: build a Bloom filter over
+    * `dim`'s join keys ([[graft.functions.BloomAgg]] — map-side partials,
+    * OR-merge, one m/8-byte result row to the driver, same bounded round
+    * trip as a broadcast variable) and pre-filter `fact` with the
+    * codegen'd membership probe BEFORE its shuffle. False negatives are
+    * impossible, so composing with the exact join afterwards preserves
+    * results bit-for-bit while the shuffled fact volume shrinks to
+    * matches + fpp.
+    *
+    * When the dim side is broadcast-small the exact join alone wins;
+    * this operator is for the 100-TB middle ground — a dim side too big
+    * to broadcast as a hash relation (the filter is ~100× smaller than
+    * the key set) over a fact side dominated by non-matching rows.
+    * Spark's adaptive runtime filter makes the same trade invisibly when
+    * its heuristics fire; the explicit form is deterministic, tunable,
+    * and the filter value itself can be persisted and reused.
+    *
+    * @param expectedKeys sizing hint for the filter (distinct dim keys)
+    * @param fpp          target false-positive rate
+    */
+  def bloomSemiJoinReduce(fact: DataFrame, factKey: Column,
+                          dim: DataFrame, dimKey: Column,
+                          expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val (numBits, k) = graft.functions.Bloom.sizeFor(expectedKeys, fpp)
+    val bytes = dim
+      .select(call_function("bloom_agg", dimKey, lit(numBits), lit(k)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    fact.where(call_function("bloom_might_contain", lit(bytes), factKey))
+  }
 }

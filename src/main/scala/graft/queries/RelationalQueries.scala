@@ -383,6 +383,36 @@ object RelationalQueries {
           .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * 10000).cast("long")) / 10000.0).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Explicit Bloom-filter semi-join reduction: the fact side is
+    // pre-filtered by a Bloom filter built over the dim side's keys
+    // (bloom_agg/bloom_might_contain — graft's mergeable filter value +
+    // codegen'd probe) BEFORE the exact join, which then removes the
+    // false positives — so the filter is invisible in the result (the
+    // oracle is the plain join) while the shuffled fact volume shrinks
+    // to matches + fpp. The deterministic, persistable form of the
+    // runtime filter Spark injects heuristically.
+    Q("q_bloom_join",
+      "SELECT p_brand, COUNT(*) AS n_items, " +
+        "SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_type = 'PROMO' AND p_size >= 40 " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dim = Tables.part(s, d)
+        .where(col("p_type") === "PROMO" && col("p_size") >= 40)
+        .select(col("p_partkey"), col("p_brand"))
+      // Sizing count: one scan of the already-filtered dim side (same
+      // bounded action as the filter build itself).
+      val nKeys = math.max(dim.count(), 64L)
+      Relational.bloomSemiJoinReduce(Tables.lineitem(s, d), col("l_partkey"),
+          dim, col("p_partkey"), expectedKeys = nKeys, fpp = 0.01)
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")) / 10000.0).as("revenue"))
+        .orderBy(col("p_brand"))
     }
   )
 }
