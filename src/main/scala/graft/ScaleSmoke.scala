@@ -102,7 +102,14 @@ object ScaleSmoke {
       "contamination_ngram", "tfidf_top_terms",
       // Sequence packing: the round-7 two-pass prefix sum must show a
       // bounded window partition — near-linear at 10× docs.
-      "pipeline_pack_sequences", "pipeline_pack_spans")
+      "pipeline_pack_sequences", "pipeline_pack_spans",
+      // Round-7 second batch: positional-span explode (linear rows),
+      // canonical selection (LSH→components→bounded quality window),
+      // recall eval (brute force dominates — linear in corpus at fixed
+      // query count), CDC merge (two pre-aggregated branches over 10×
+      // events → one full-outer join on 10× keys).
+      "dedup_duplicate_spans", "dedup_canonical", "sim_recall_eval",
+      "q_merge_upsert")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
@@ -138,6 +145,18 @@ object ScaleSmoke {
       val tBase = time(() => fresh(baseDir))
       val tBig = time(() => fresh(bigDir))
       ("stream_check_tuned", tBase, tBig)
+    } :+ {
+      // Stream-stream join scaling: 10× events and 10× users ⇒ 10× the
+      // buffered-state keys on both join sides; materialization dropped
+      // per sample so the topology (not the serve path) is timed.
+      val fn = SparkEntry.queries("stream_join")
+      def fresh(dir: String): DataFrame = {
+        queries.StreamQueries.invalidateMaterialized()
+        fn(spark, dir)
+      }
+      val tBase = time(() => fresh(baseDir))
+      val tBig = time(() => fresh(bigDir))
+      ("stream_join", tBase, tBig)
     }).map { case (n, tBase, tBig) =>
       val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)
       f"""{"query":"$n","t_base_s":$tBase%.3f,"t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f}"""
