@@ -22,6 +22,9 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction(
         "sorted_intersect_count",
         exprs => graft.plans.SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+      // Morton code for multi-dimensional sort-clustering (data layout).
+      registry.createOrReplaceTempFunction(
+        "zorder2", exprs => graft.plans.ZOrderLong(exprs(0), exprs(1)), "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
       // O12 wire serde — the reference's five protobuf message types as

@@ -47,6 +47,85 @@ object ExtrasQueries {
         .orderBy(col("s_nationkey"))
     },
 
+    // Sort-clustered data layout (lakehouse OPTIMIZE): lineitem sprayed
+    // into a random 16-file layout, re-clustered in place by l_shipdate
+    // (range shuffle + in-file sort via Maintenance.clusterParquet), then
+    // served through a date-range predicate. The in-query requires pin
+    // the LAYOUT contract — multiple output files whose per-file
+    // [min, max] shipdate ranges are pairwise disjoint, which is what
+    // makes parquet footer stats prune whole files at 100 TB — and the
+    // oracle pins that relaying out the table is result-invisible.
+    Q("q_clustered_scan",
+      "SELECT l_returnflag, COUNT(*) AS n, " +
+        "ROUND(SUM(l_extendedprice), 2) AS revenue " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-07-01' " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dir = s"$scratchRoot/clus_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.lineitem(s, d).repartition(16).write.parquet(dir)
+      val (_, after) = Maintenance.clusterParquet(s, dir, Seq("l_shipdate"),
+        targetFileBytes = 256L * 1024)
+      require(after > 1, s"need >1 clustered file to prove the layout, got $after")
+      // Disjointness check over one row per FILE (bounded by file count,
+      // not data): ordered by range start, no file may start at or before
+      // the previous one's end. Range partitioning sends equal keys to
+      // one partition, so strict ordering is the contract. The check runs
+      // engine-side (lag window over file-count rows).
+      val ranges = s.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+      val overlaps = ranges
+        .withColumn("prev_hi", lag(col("hi"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("lo"))))
+        .filter(col("prev_hi").isNotNull && col("lo") <= col("prev_hi"))
+        .count()
+      require(overlaps == 0, s"$overlaps overlapping clustered file ranges")
+      s.read.parquet(dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Multi-dimensional clustering via the codegen'd Morton code
+    // (zorder2): after clustering lineitem by interleave(l_partkey,
+    // l_suppkey), a 2-D box predicate can only live in files whose
+    // per-dimension min reaches into the box — the in-query require
+    // counts overlapping files from footer-equivalent per-file stats and
+    // demands genuine skipping (< all files). Single-column sort layout
+    // can never give this for BOTH dimensions at once; the space-filling
+    // curve is the standard fix.
+    Q("q_zorder_scan",
+      "SELECT l_linestatus, COUNT(*) AS n, " +
+        "ROUND(SUM(l_quantity), 2) AS qty " +
+        "FROM lineitem WHERE l_partkey <= 400 AND l_suppkey <= 20 " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dir = s"$scratchRoot/zord_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.lineitem(s, d).repartition(16).write.parquet(dir)
+      val (_, after) = Maintenance.clusterParquetByKey(s, dir,
+        df => call_function("zorder2",
+          df.col("l_partkey").cast("int"), df.col("l_suppkey").cast("int")),
+        targetFileBytes = 256L * 1024)
+      require(after > 1, s"need >1 clustered file to prove the layout, got $after")
+      val stats = s.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_partkey")).as("min_p"), min(col("l_suppkey")).as("min_s"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("min_p") <= 400 && col("min_s") <= 20, 1)
+            .otherwise(0)).as("overlapping"))
+        .collect()(0)
+      require(stats.getLong(1) < stats.getLong(0),
+        s"z-order layout skipped nothing: ${stats.getLong(1)}/${stats.getLong(0)} files overlap the box")
+      s.read.parquet(dir)
+        .filter(col("l_partkey") <= 400 && col("l_suppkey") <= 20)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_linestatus"))
+    },
+
     // Tumbling event-time window (6 h), the batch form of the streaming
     // `window()` aggregation; start emitted as epoch seconds.
     Q("q_tumbling_window",
