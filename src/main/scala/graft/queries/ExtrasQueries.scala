@@ -63,9 +63,14 @@ object ExtrasQueries {
         "AND l_shipdate < TIMESTAMP '1996-07-01' " +
         "GROUP BY 1 ORDER BY 1") { (s, d) =>
       val dir = s"$scratchRoot/clus_" + UUID.randomUUID().toString.replace("-", "")
-      Tables.lineitem(s, d).repartition(16).write.parquet(dir)
+      // Cluster the serving projection, not all 11 columns — the layout
+      // contract is identical and the rewrite I/O is the 3 columns the
+      // query reads (what a real layout job does for a hot projection).
+      Tables.lineitem(s, d)
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_extendedprice"))
+        .repartition(16).write.parquet(dir)
       val (_, after) = Maintenance.clusterParquet(s, dir, Seq("l_shipdate"),
-        targetFileBytes = 256L * 1024)
+        targetFileBytes = 128L * 1024)
       require(after > 1, s"need >1 clustered file to prove the layout, got $after")
       // Disjointness check over one row per FILE (bounded by file count,
       // not data): ordered by range start, no file may start at or before
@@ -104,11 +109,14 @@ object ExtrasQueries {
         "FROM lineitem WHERE l_partkey <= 400 AND l_suppkey <= 20 " +
         "GROUP BY 1 ORDER BY 1") { (s, d) =>
       val dir = s"$scratchRoot/zord_" + UUID.randomUUID().toString.replace("-", "")
-      Tables.lineitem(s, d).repartition(16).write.parquet(dir)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_linestatus"),
+          col("l_quantity"))
+        .repartition(16).write.parquet(dir)
       val (_, after) = Maintenance.clusterParquetByKey(s, dir,
         df => call_function("zorder2",
           df.col("l_partkey").cast("int"), df.col("l_suppkey").cast("int")),
-        targetFileBytes = 256L * 1024)
+        targetFileBytes = 128L * 1024)
       require(after > 1, s"need >1 clustered file to prove the layout, got $after")
       val stats = s.read.parquet(dir)
         .groupBy(input_file_name().as("f"))
@@ -271,6 +279,37 @@ object ExtrasQueries {
         .groupBy(col("user_id").as("wallet_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("wallet_id"))
+    },
+
+    // ORC source under the same contract (columnar format breadth —
+    // Spark's built-in ORC reader, vectorized like parquet). The oracle
+    // reads the original parquet, so the ORC spill+scan must be lossless
+    // including decimals-as-double and string keys.
+    Q("q_orc_source",
+      "SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total " +
+        "FROM customer GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val path = s"$scratchRoot/orc_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.customer(s, d).select(col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // JSON-lines source: schema-on-read with an explicit schema (never
+    // inference at 100 TB — inference is a full extra scan) over a spilled
+    // JSONL copy; oracle over the original parquet.
+    Q("q_json_source",
+      "SELECT n_regionkey, COUNT(*) AS n_nations, " +
+        "MIN(n_name) AS first_nation FROM nation GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val path = s"$scratchRoot/jsonl_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.nation(s, d).write.mode("overwrite").json(path)
+      s.read.schema("n_nationkey LONG, n_name STRING, n_regionkey LONG, n_comment STRING")
+        .json(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+        .orderBy(col("n_regionkey"))
     },
 
     // SQL-text layer: the same engine through spark.sql over registered

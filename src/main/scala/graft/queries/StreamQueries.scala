@@ -372,6 +372,62 @@ object StreamQueries {
     }
   }
 
+  /** Streaming SESSION windows through the micro-batch engine: dynamic-
+    * gap sessionization (30 min of inactivity closes a wallet's session)
+    * with watermarked state — the state row for a session is evictable
+    * once the watermark passes its close, so state is bounded by ACTIVE
+    * sessions, not by history. Session state is keyed by wallet — the
+    * shuffle key — exactly the batch `session_window` partitioning.
+    */
+  private def streamSessionAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = depositFeed(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val name = unique
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // Session windows only emit in APPEND mode, i.e. when the watermark
+      // passes a session's close — so the topology runs on a private copy
+      // of the feed and, after the real data is processed, appends ONE
+      // far-future sentinel deposit whose event time pushes the watermark
+      // past every real session close. That is the production shape:
+      // sessions are finalized by time advancing, not by someone peeking
+      // at unfinished state. The sentinel's own (never-finalized) session
+      // is excluded by key.
+      val sessionFeed = s"$work/feed"
+      s.read.parquet(feed).write.parquet(sessionFeed)
+      q = s.readStream
+        .schema(Encoders.product[TimedDeposit].schema)
+        .parquet(sessionFeed)
+        .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
+        .withWatermark("eventTime", "1 hour")
+        .groupBy(session_window(col("eventTime"), "30 minutes").as("w"),
+          col("walletId"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
+        .select(col("walletId"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("total"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val maxTs = s.read.parquet(feed).agg(max(col("tsUnix"))).head.getLong(0)
+      Seq(TimedDeposit("sentinel", 0.0, maxTs + 2 * 3600 + 1800 + 10, -1L))
+        .toDF().coalesce(1).write.mode("append").parquet(sessionFeed)
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .filter(col("walletId") =!= "sentinel")
+        .select(col("walletId").cast("long").as("wallet_id"),
+          col("session_start"), col("n"), col("total"))
+        .orderBy(col("wallet_id"), col("session_start"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
+  }
+
   /** Stream-STREAM inner join through the micro-batch engine: click →
     * purchase attribution (each purchase matched to the same user's
     * clicks in the preceding hour). Both sides carry watermarks and the
@@ -525,6 +581,28 @@ object StreamQueries {
         "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
       (s, d) => materialized(s, "stream_window_agg", depositFeed(s, d))(
         streamWindowAgg(s, d))(_.orderBy(col("day_start")))
+    },
+
+    // Streaming session windows (30-min inactivity gap) over the deposit
+    // feed; the oracle is the gaps-and-islands sessionization of the same
+    // second-granularity events. Break condition is STRICTLY > gap: Spark
+    // session windows are [start, last + gap] on merge — an event landing
+    // exactly at the close still joins the session (verified: the sf0.1
+    // data has exactly one such boundary pair).
+    Q("stream_session_agg",
+      "WITH e AS (SELECT user_id AS wallet_id, epoch_us(ts) // 1000000 AS t, " +
+        "value FROM events WHERE value > 0), " +
+        "m AS (SELECT *, CASE WHEN LAG(t) OVER w IS NULL " +
+        "OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY wallet_id ORDER BY t)), " +
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY wallet_id ORDER BY t " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT wallet_id, MIN(t) AS session_start, COUNT(*) AS n, " +
+        "SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total " +
+        "FROM g GROUP BY wallet_id, sid ORDER BY wallet_id, session_start") {
+      (s, d) => materialized(s, "stream_session_agg", depositFeed(s, d))(
+        streamSessionAgg(s, d))(
+        _.orderBy(col("wallet_id"), col("session_start")))
     },
 
     // Stream-stream inner join (click→purchase attribution within 1 hour)
