@@ -122,18 +122,19 @@ object ScaleSmoke {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    val rows = (names.map { n =>
-      val fn = SparkEntry.queries(n)
-      val tBase = time(() => fn(spark, baseDir))
-      val tBig = time(() => fn(spark, bigDir))
-      (n, tBase, tBig)
-    } :+ {
-      val tBase = time(() => semanticAt(baseDir, 8))
-      val tBig = time(() => semanticAt(bigDir, 8 * Mult))
-      ("dedup_semantic_growk", tBase, tBig)
-    } :+ {
-      // Streaming throughput scaling: the full detector→flagger+collector
-      // pipeline over 10× deposits AND 10× wallet keys (state scales with
+    // Each row is (name, thunk) so SPARK_GRAFT_SMOKE_ONLY=a,b can
+    // re-measure a subset without paying for the full sweep (the 10x
+    // synthesis is cached on disk either way).
+    val measured: Seq[(String, () => (Double, Double))] = names.map { n =>
+      n -> { () =>
+        val fn = SparkEntry.queries(n)
+        (time(() => fn(spark, baseDir)), time(() => fn(spark, bigDir)))
+      }
+    } :+ ("dedup_semantic_growk" -> { () =>
+      (time(() => semanticAt(baseDir, 8)), time(() => semanticAt(bigDir, 8 * Mult)))
+    }) :+ ("stream_check_tuned" -> { () =>
+      // Streaming throughput scaling: the full detector->flagger+collector
+      // pipeline over 10x deposits AND 10x wallet keys (state scales with
       // both). The feed parquet is rebuilt once per dir by the harness;
       // materialized outputs are dropped per run so every sample measures
       // the topology, not the serve path.
@@ -142,25 +143,37 @@ object ScaleSmoke {
         queries.StreamQueries.invalidateMaterialized()
         fn(spark, dir)
       }
-      val tBase = time(() => fresh(baseDir))
-      val tBig = time(() => fresh(bigDir))
-      ("stream_check_tuned", tBase, tBig)
-    } :+ {
-      // Stream-stream join scaling: 10× events and 10× users ⇒ 10× the
-      // buffered-state keys on both join sides; materialization dropped
-      // per sample so the topology (not the serve path) is timed.
+      (time(() => fresh(baseDir)), time(() => fresh(bigDir)))
+    }) :+ ("stream_join" -> { () =>
+      // Stream-stream join scaling: 10x events and 10x users => 10x the
+      // buffered-state keys on both join sides.
       val fn = SparkEntry.queries("stream_join")
       def fresh(dir: String): DataFrame = {
         queries.StreamQueries.invalidateMaterialized()
         fn(spark, dir)
       }
-      val tBase = time(() => fresh(baseDir))
-      val tBig = time(() => fresh(bigDir))
-      ("stream_join", tBase, tBig)
-    }).map { case (n, tBase, tBig) =>
-      val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)
-      f"""{"query":"$n","t_base_s":$tBase%.3f,"t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f}"""
-    }
+      (time(() => fresh(baseDir)), time(() => fresh(bigDir)))
+    }) :+ ("stream_session_agg" -> { () =>
+      // Session-window scaling: 10x deposits and 10x wallets => 10x the
+      // concurrent session state rows; append-mode finalization via the
+      // sentinel batch is part of every sample.
+      val fn = SparkEntry.queries("stream_session_agg")
+      def fresh(dir: String): DataFrame = {
+        queries.StreamQueries.invalidateMaterialized()
+        fn(spark, dir)
+      }
+      (time(() => fresh(baseDir)), time(() => fresh(bigDir)))
+    })
+
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = measured
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (n, thunk) =>
+        val (tBase, tBig) = thunk()
+        val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)
+        f"""{"query":"$n","t_base_s":$tBase%.3f,"t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f}"""
+      }
     rows.foreach(println)
     spark.stop()
   }

@@ -167,6 +167,103 @@ object AnalyticsQueries {
           round(sum(col("up")).over(w) * exp(-col("dt") / lambdaUs), 4)
             .as("score"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Ordered funnel (view → click → purchase): each step counts users
+    // whose FIRST qualifying event strictly follows their previous step's
+    // first event — the standard product-analytics funnel, computed as a
+    // cascade of per-user min-aggregations and key joins (each stage is
+    // one shuffle on user_id; at scale all three stages co-partition, and
+    // the stage tables are one row per surviving user, so the cascade
+    // SHRINKS as it deepens — never events²).
+    Q("q_funnel",
+      "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events), " +
+        "v AS (SELECT user_id, MIN(t) AS tv FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND t > tv GROUP BY 1), " +
+        "p AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND t > tc GROUP BY 1) " +
+        "SELECT * FROM (SELECT '1_view' AS step, COUNT(*) AS users FROM v " +
+        "UNION ALL SELECT '2_view_click', COUNT(*) FROM c " +
+        "UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p) ORDER BY step") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("t"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("tv"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .where(col("t") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("t") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("tp"))
+      v.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
+        .unionAll(c.agg(count(lit(1)).as("users"))
+          .select(lit("2_view_click").as("step"), col("users")))
+        .unionAll(p.agg(count(lit(1)).as("users"))
+          .select(lit("3_view_click_purchase").as("step"), col("users")))
+        .orderBy(col("step"))
+    },
+
+    // Cohort retention: users cohorted by first-active week, retention
+    // counted as distinct active users k weeks later. Two shuffles on
+    // user_id (cohort min + the join back), then a (cohort, k) count —
+    // the canonical growth-analytics matrix, linear in events.
+    Q("q_cohort_retention",
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events), " +
+        "f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1) " +
+        "SELECT cohort_wk, wk - cohort_wk AS k, COUNT(DISTINCT e.user_id) AS users " +
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      val f = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(f, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy(col("cohort_wk"), col("k"))
+    },
+
+    // Snapshot diff (data reconciliation): a derived snapshot B of the
+    // customer table (deterministic updates / deletes / inserts by key
+    // residue) full-outer-joined to A on the key, each row classified
+    // added / removed / changed / same by null-safe column comparison —
+    // ONE co-partitioned shuffle join however wide the table, the
+    // standard cross-environment reconciliation sweep at 100 TB.
+    Q("q_table_diff",
+      "WITH a AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer), " +
+        "b AS (SELECT c_custkey, c_name, c_mktsegment, " +
+        "CASE WHEN c_custkey % 97 = 0 THEN ROUND(c_acctbal + 10, 2) ELSE c_acctbal END AS c_acctbal " +
+        "FROM customer WHERE c_custkey % 101 <> 0 " +
+        "UNION ALL SELECT c_custkey + 100000000, c_name, c_mktsegment, c_acctbal " +
+        "FROM customer WHERE c_custkey % 103 = 0) " +
+        "SELECT CASE WHEN a.c_custkey IS NULL THEN 'added' " +
+        "WHEN b.c_custkey IS NULL THEN 'removed' " +
+        "WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal " +
+        "OR a.c_name IS DISTINCT FROM b.c_name " +
+        "OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment THEN 'changed' " +
+        "ELSE 'same' END AS status, COUNT(*) AS n " +
+        "FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val a = cust.alias("a")
+      val b = cust.filter(col("c_custkey") % 101 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 97 === 0, round(col("c_acctbal") + 10, 2))
+            .otherwise(col("c_acctbal")))
+        .unionAll(cust.filter(col("c_custkey") % 103 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 100000000L))
+        .alias("b")
+      a.join(b, col("a.c_custkey") === col("b.c_custkey"), "full_outer")
+        .select(
+          when(col("a.c_custkey").isNull, "added")
+            .when(col("b.c_custkey").isNull, "removed")
+            .when(!(col("a.c_acctbal") <=> col("b.c_acctbal")) ||
+              !(col("a.c_name") <=> col("b.c_name")) ||
+              !(col("a.c_mktsegment") <=> col("b.c_mktsegment")), "changed")
+            .otherwise("same").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
     }
   )
 }
