@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Graph analytics over a derived co-occurrence graph: parts are nodes,
+  * an edge links two parts that appear in the same order. Edge derivation
+  * is a self-join on l_orderkey — per-order fanout is bounded by order
+  * size (TPC-H ≤ 7 lines), so the edge list is LINEAR in lineitem however
+  * big the table; one distinct shuffle dedupes pairs across orders.
+  *
+  * Complements `dedup_components` (connected components, large/small-star)
+  * with the other two classic distributed-graph kernels: fixed-point rank
+  * propagation and wedge-based triangle counting.
+  *
+  * Reference anchor: the reference has no graph operators; this is
+  * north-star surface for corpus/link analysis at 100 TB.
+  */
+object GraphQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // PageRank, 3 unrolled fixed-point iterations over one half-year's
+    // co-occurrence graph (per-period graphs are the production shape for
+    // co-purchase analysis). Every node has in- and out-edges (the edge
+    // list is symmetric), so there is no dangling mass and each iteration
+    // is exactly: one edges⋈ranks⋈degree join co-partitioned on src, one
+    // sum by dst. Ranks are localCheckpointed per iteration — the same
+    // lineage-truncation idiom as connected components; without it
+    // iteration k's plan re-embeds every previous iteration. Each
+    // iteration's rank is ROUNDED to 9 decimals IN BOTH ENGINES so the
+    // next iteration starts from bit-identical inputs — float
+    // reassociation across engines (different sum orders) lives at
+    // ~1e-20 absolute here, ~11 orders of magnitude below the rounding
+    // boundary, so the fixed point is engine-portable. Output: top-100
+    // parts by rank (ranks identical ⇒ (r DESC, node) is a total,
+    // portable order).
+    Q("q_pagerank",
+      "WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'), " +
+        "ed AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM lp a " +
+        "JOIN lp b ON a.o = b.o AND a.p <> b.p), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1), " +
+        "n AS (SELECT COUNT(*) AS n FROM deg), " +
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS r FROM deg), " +
+        "r1 AS (SELECT e.dst AS node, ROUND(0.15 / (SELECT n FROM n) + " +
+        "0.85 * SUM(r.r / d.deg), 9) AS r FROM ed e " +
+        "JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1), " +
+        "r2 AS (SELECT e.dst AS node, ROUND(0.15 / (SELECT n FROM n) + " +
+        "0.85 * SUM(r.r / d.deg), 9) AS r FROM ed e " +
+        "JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1), " +
+        "r3 AS (SELECT e.dst AS node, ROUND(0.15 / (SELECT n FROM n) + " +
+        "0.85 * SUM(r.r / d.deg), 9) AS r FROM ed e " +
+        "JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1) " +
+        "SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 100") { (s, d) =>
+      val lp = Tables.lineitem(s, d)
+        .where(col("l_shipdate").between("1995-01-01", "1995-06-30"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = lp.as("a").join(lp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+        .localCheckpoint() // 3 iterations re-read the edge list: pay the
+                           // self-join + distinct once, not 3×
+      val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nDf = deg.agg(count(lit(1)).as("n"))
+      var r = deg.crossJoin(broadcast(nDf))
+        .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        r = ed.join(r, ed("src") === r("node")).join(deg, "src")
+          .crossJoin(broadcast(nDf))
+          .groupBy(col("dst"))
+          .agg(round(lit(0.15) / max(col("n")) +
+            lit(0.85) * sum(col("r") / col("deg")), 9).as("r"))
+          .select(col("dst").as("node"), col("r"))
+          .localCheckpoint() // truncate lineage: one rank table per round
+      }
+      r.orderBy(col("r").desc, col("node")).limit(100)
+    },
+
+    // Triangle counting via DEGREE-ORDERED orientation (the MapReduce
+    // classic) on one quarter's co-occurrence edges (a windowed edge set
+    // is the production shape — co-purchase graphs are built per period;
+    // the window also keeps the oracle cheap while the ALGORITHM carries
+    // the scale guarantee): orient every undirected edge from its
+    // lower-(deg, id) endpoint to the higher one, generate wedges only
+    // from ORIENTED out-edges, and close them with an EQUI-join on the
+    // id-canonicalized pair. Out-degree under this orientation is O(√m)
+    // whatever the hub skew, so the wedge stage — the quadratic risk in
+    // naive triangle counting — is bounded by m^1.5 globally and never
+    // explodes on a hot node. Output: one row (wedges examined,
+    // triangles closed).
+    Q("q_triangle_count",
+      "WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'), " +
+        "ed AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM lp a " +
+        "JOIN lp b ON a.o = b.o AND a.p <> b.p), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1), " +
+        "o AS (SELECT e.src, e.dst FROM ed e " +
+        "JOIN deg da ON e.src = da.src JOIN deg db ON e.dst = db.src " +
+        "WHERE (da.deg, e.src) < (db.deg, e.dst)), " +
+        "oc AS (SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y FROM o), " +
+        "w AS (SELECT LEAST(e1.dst, e2.dst) AS v, GREATEST(e1.dst, e2.dst) AS wn " +
+        "FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst) " +
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS wedges, " +
+        "CAST(COUNT(*) AS BIGINT) AS triangles " +
+        "FROM w JOIN oc ON oc.x = w.v AND oc.y = w.wn") { (s, d) =>
+      val lp = Tables.lineitem(s, d)
+        .where(col("l_shipdate").between("1995-01-01", "1995-03-31"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = lp.as("a").join(lp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val o = ed.join(deg.withColumnRenamed("deg", "dega"), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("degb")), "dst")
+        .where(struct(col("dega"), col("src")) < struct(col("degb"), col("dst")))
+        .select(col("src"), col("dst"))
+        .localCheckpoint() // wedge stage + closure probe both re-read it
+      // The closing edge's orientation between the wedge tips depends on
+      // their (deg, id) order, which the wedge doesn't carry — both sides
+      // canonicalize to (min id, max id) so the closure is an EQUI-join.
+      val oc = o.select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
+      val w = o.as("e1").join(o.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(least(col("e1.dst"), col("e2.dst")).as("v"),
+          greatest(col("e1.dst"), col("e2.dst")).as("wn"))
+      w.join(oc, oc("x") === w("v") && oc("y") === w("wn"))
+        .agg(count(lit(1)).as("triangles"))
+        .crossJoin(broadcast(w.agg(count(lit(1)).as("wedges"))))
+        .select(col("wedges"), col("triangles"))
+    }
+  )
+}
