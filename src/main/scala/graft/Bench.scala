@@ -45,6 +45,30 @@ object Bench {
     try sources.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Host-condition calibration: a fixed CPU-bound loop, single-threaded
+    // and on every core, timed before and after the sweep. The box this
+    // runs on shows intermittent external contention (same-code full
+    // sweeps have measured 84–155 s across draws — PERF.md), so every
+    // draw carries its own conditions: clean-host reference values are
+    // committed in PERF.md, and a draw whose calibration reads N× those
+    // references was inflated N× by the host, not by the plans.
+    @volatile var calibSink = 0L
+    def burn(): Long = {
+      var x = 1469598103934665603L; var i = 0
+      while (i < 200000000) { x = x * 1099511628211L + i; i += 1 }
+      x
+    }
+    def calibrate(): (Double, Double) = {
+      val t1 = System.nanoTime(); calibSink += burn()
+      val one = (System.nanoTime() - t1) / 1e9
+      val ts = (1 to Runtime.getRuntime.availableProcessors).map(_ =>
+        new Thread(() => { calibSink += burn() }))
+      val t2 = System.nanoTime(); ts.foreach(_.start()); ts.foreach(_.join())
+      val all = (System.nanoTime() - t2) / 1e9
+      (one, all)
+    }
+    val (calPre1, calPreN) = calibrate()
+
     // Local-iteration subset (driver never sets this → full sweep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -69,9 +93,12 @@ object Bench {
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val (calPost1, calPostN) = calibrate()
+    val calib = s""""calib":{"pre_1t":${r4(calPre1)},"pre_allcore":${r4(calPreN)},""" +
+      s""""post_1t":${r4(calPost1)},"post_allcore":${r4(calPostN)}}"""
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"queries":$qs,$calib,"sf":"$sfDir"}""")
     // Short, truncation-proof summary LAST (tail captures keep it whole).
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -132,6 +132,67 @@ object GraphQueries {
         .agg(count(lit(1)).as("triangles"))
         .crossJoin(broadcast(w.agg(count(lit(1)).as("wedges"))))
         .select(col("wedges"), col("triangles"))
+    },
+
+    // k-hop reachability (BFS, 3 unrolled hops) from a seed set over the
+    // same half-year co-occurrence graph. Each hop expands ONLY the
+    // frontier — the nodes first reached last hop — against the edge
+    // list (one co-partitioned equi-join + distinct per hop, the
+    // frontier idiom that keeps per-hop work proportional to newly
+    // reached nodes, not the visited set), then folds into the visited
+    // set. Frontier and visited are localCheckpointed per hop (lineage
+    // truncation, as in PageRank/components). All outputs are exact
+    // integer counts — nothing float-sensitive.
+    Q("q_khop_reach",
+      "WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'), " +
+        "ed AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM lp a " +
+        "JOIN lp b ON a.o = b.o AND a.p <> b.p), " +
+        "s0 AS (SELECT DISTINCT src AS node FROM ed WHERE src % 1000 = 0), " +
+        "h1 AS (SELECT DISTINCT e.dst AS node FROM ed e JOIN s0 ON e.src = s0.node), " +
+        "f1 AS (SELECT node FROM s0 UNION SELECT node FROM h1), " +
+        "fr1 AS (SELECT node FROM h1 EXCEPT SELECT node FROM s0), " +
+        "h2 AS (SELECT DISTINCT e.dst AS node FROM ed e JOIN fr1 ON e.src = fr1.node), " +
+        "f2 AS (SELECT node FROM f1 UNION SELECT node FROM h2), " +
+        "fr2 AS (SELECT node FROM h2 EXCEPT SELECT node FROM f1), " +
+        "h3 AS (SELECT DISTINCT e.dst AS node FROM ed e JOIN fr2 ON e.src = fr2.node), " +
+        "f3 AS (SELECT node FROM f2 UNION SELECT node FROM h3) " +
+        "SELECT (SELECT COUNT(*) FROM s0) AS seeds, " +
+        "(SELECT COUNT(*) FROM f1) AS reach1, " +
+        "(SELECT COUNT(*) FROM f2) AS reach2, " +
+        "(SELECT COUNT(*) FROM f3) AS reach3") { (s, d) =>
+      val lp = Tables.lineitem(s, d)
+        .where(col("l_shipdate").between("1995-01-01", "1995-06-30"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = lp.as("a").join(lp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+        .localCheckpoint()
+      // Frontier tables here are ≤ |V| of the windowed graph (~2k rows) —
+      // coalesce before each eager checkpoint so per-hop job overhead is
+      // one task, not shuffle-partitions tasks. (At cluster scale the
+      // coalesce target follows frontier SIZE — AQE's size-based
+      // coalesce, not a constant.) visited stays a shallow union of
+      // checkpointed frontiers (≤ 3 deep), no checkpoint needed.
+      val s0 = ed.where(col("src") % 1000 === 0)
+        .select(col("src").as("node")).distinct()
+        .coalesce(1).localCheckpoint()
+      var visited = s0
+      var frontier = s0
+      val reach = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      for (_ <- 1 to 3) {
+        val next = ed.join(frontier, ed("src") === frontier("node"))
+          .select(ed("dst").as("node")).distinct()
+        frontier = next.except(visited).coalesce(1).localCheckpoint()
+        visited = visited.unionByName(frontier)
+        reach += visited
+      }
+      val Seq(f1, f2, f3) = reach.result()
+      s0.agg(count(lit(1)).as("seeds"))
+        .crossJoin(broadcast(f1.agg(count(lit(1)).as("reach1"))))
+        .crossJoin(broadcast(f2.agg(count(lit(1)).as("reach2"))))
+        .crossJoin(broadcast(f3.agg(count(lit(1)).as("reach3"))))
+        .select(col("seeds"), col("reach1"), col("reach2"), col("reach3"))
     }
   )
 }
