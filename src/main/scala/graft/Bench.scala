@@ -36,8 +36,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table (footer reads + codegen paths) once.
-    // events goes through its loader — a plain read throws on its
-    // TIMESTAMP(NANOS) column and only spams the log.
+    // events goes through its loader, which normalizes whatever physical
+    // ts type the testdata generation shipped (nanos LONG / micros NTZ /
+    // micros LTZ) to TimestampType.
     sources.Tables.names.filterNot(_ == "events").foreach { t =>
       try sources.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
@@ -74,31 +75,46 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+    // A crashed run records NO sample — exception time is not run time. A
+    // query that failed every run reports "failed" (never a number), so a
+    // regression that crashes queries can only hurt the total, not flatter
+    // it (a crash takes ~0.06 s vs the seconds of real work it replaced).
+    val samples: Seq[Seq[(String, Option[Double])]] = (1 to runs).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val medians = names.map { n =>
-      n -> median(samples.map(_.toMap.apply(n)))
+    val perQuery: Seq[(String, Option[Double])] = names.map { n =>
+      val ok = samples.flatMap(_.toMap.apply(n))
+      n -> (if (ok.isEmpty) None else Some(median(ok)))
     }
+    val failed = perQuery.collect { case (n, None) => n }
     def r4(x: Double): String = f"$x%.4f"
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    val qs = perQuery.map {
+      case (k, Some(v)) => "\"" + k + "\":" + r4(v)
+      case (k, None)    => "\"" + k + "\":\"failed\""
+    }.mkString("{", ",", "}")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+    val total = perQuery.flatMap(_._2).sum
     val (calPost1, calPostN) = calibrate()
     val calib = s""""calib":{"pre_1t":${r4(calPre1)},"pre_allcore":${r4(calPreN)},""" +
       s""""post_1t":${r4(calPost1)},"post_allcore":${r4(calPostN)}}"""
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"queries":$qs,$calib,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,${failedJson}"queries":$qs,$calib,"sf":"$sfDir"}""")
     // Short, truncation-proof summary LAST (tail captures keep it whole).
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$calib,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$failedJson$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,11 +60,12 @@ object ScaleSmoke {
 
     // Events ×10 for the streaming-throughput smoke: wallet ids offset per
     // replica (10× keys, each with its replica's intact per-wallet
-    // history), seqs offset to stay unique, ts kept as the raw nanos LONG
-    // (the synth dir round-trips through Tables.events' nanosAsLong read
-    // exactly like the driver testdata).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    // history), seqs offset to stay unique. Load through Tables.events so
+    // whatever physical ts type the driver testdata ships (nanos LONG,
+    // micros NTZ, micros LTZ — it has changed between regenerations) is
+    // normalized to TimestampType; the synth dir then round-trips through
+    // the loader's TimestampType branch.
+    val ev = sources.Tables.events(spark, baseDir)
     (0 until Mult).map { i =>
       ev.select((col("event_id") + lit(i * Offset)).as("event_id"), col("ts"),
         (col("user_id") + lit(i * Offset)).as("user_id"),

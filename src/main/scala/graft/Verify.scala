@@ -30,15 +30,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -51,6 +42,29 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A failed query must be LOUD, never a silent absence: stderr line,
+    // a per-query sibling marker file, and an aggregate errors.json the
+    // driver (or any human) can surface. Round 7 lost 47 queries to a
+    // systemic loader break that read, in CORRECTNESS json, exactly like
+    // "not registered".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name._ERROR"), msg)
+      }
+    }
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED queries: ${errors.keys.mkString(", ")}")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -223,6 +223,61 @@ object AnalyticsQueries {
         .orderBy(col("cohort_wk"), col("k"))
     },
 
+    // Events-independent funnel over ORDERS (round-8 resilience: the
+    // events table's physical schema has shifted between testdata
+    // regenerations, and an environment break there zeroed the whole
+    // product-analytics component in round 7 — this variant keeps a green
+    // row from a table whose schema has been stable across every
+    // generation). Same cascade shape as q_funnel: first order → repeat
+    // order strictly later → big-ticket order (> 150k) strictly after the
+    // repeat. Each stage is one shuffle on o_custkey and SHRINKS as the
+    // funnel deepens.
+    Q("q_funnel_orders",
+      "WITH o AS (SELECT o_custkey, o_orderdate, o_totalprice FROM orders), " +
+        "s1 AS (SELECT o_custkey, MIN(o_orderdate) AS d1 FROM o GROUP BY 1), " +
+        "s2 AS (SELECT o.o_custkey, MIN(o_orderdate) AS d2 FROM o JOIN s1 USING (o_custkey) " +
+        "WHERE o_orderdate > d1 GROUP BY 1), " +
+        "s3 AS (SELECT o.o_custkey, MIN(o_orderdate) AS d3 FROM o JOIN s2 USING (o_custkey) " +
+        "WHERE o_totalprice > 150000 AND o_orderdate > d2 GROUP BY 1) " +
+        "SELECT * FROM (SELECT '1_first_order' AS step, COUNT(*) AS users FROM s1 " +
+        "UNION ALL SELECT '2_repeat_order', COUNT(*) FROM s2 " +
+        "UNION ALL SELECT '3_big_ticket', COUNT(*) FROM s3) ORDER BY step") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val s1 = o.groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("d1"))
+      val s2 = o.join(s1, "o_custkey").where(col("o_orderdate") > col("d1"))
+        .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("d2"))
+      val s3 = o.join(s2, "o_custkey")
+        .where(col("o_totalprice") > 150000 && col("o_orderdate") > col("d2"))
+        .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("d3"))
+      s1.agg(count(lit(1)).as("users")).select(lit("1_first_order").as("step"), col("users"))
+        .unionAll(s2.agg(count(lit(1)).as("users"))
+          .select(lit("2_repeat_order").as("step"), col("users")))
+        .unionAll(s3.agg(count(lit(1)).as("users"))
+          .select(lit("3_big_ticket").as("step"), col("users")))
+        .orderBy(col("step"))
+    },
+
+    // Events-independent cohort retention over ORDERS: customers cohorted
+    // by first-order month (months since year 0 — pure integer calendar
+    // arithmetic, identical in both engines), activity = months with an
+    // order, k = months since cohort. Same two-shuffle shape as
+    // q_cohort_retention.
+    Q("q_cohort_orders",
+      "WITH o AS (SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo FROM orders), " +
+        "f AS (SELECT o_custkey, MIN(mo) AS cohort_mo FROM o GROUP BY 1) " +
+        "SELECT cohort_mo, mo - cohort_mo AS k, COUNT(DISTINCT o.o_custkey) AS users " +
+        "FROM o JOIN f USING (o_custkey) GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("mo"))
+      val f = o.groupBy(col("o_custkey")).agg(min(col("mo")).as("cohort_mo"))
+      o.join(f, "o_custkey")
+        .groupBy(col("cohort_mo"), (col("mo") - col("cohort_mo")).as("k"))
+        .agg(countDistinct(col("o_custkey")).as("users"))
+        .orderBy(col("cohort_mo"), col("k"))
+    },
+
     // Snapshot diff (data reconciliation): a derived snapshot B of the
     // customer table (deterministic updates / deletes / inserts by key
     // residue) full-outer-joined to A on the key, each row classified

@@ -28,15 +28,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw nanos (`nanosAsLong`) and surface a proper
-    * microsecond TimestampType column — the same truncation DuckDB applies
-    * when it reads TIMESTAMP_NS, so both engines see identical timestamps.
+  /** `events.ts` has shipped in several parquet physical types across
+    * testdata generations — TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects; `nanosAsLong` surfaces it as a raw LONG),
+    * TIMESTAMP_MICROS without UTC adjustment (Spark reads TIMESTAMP_NTZ),
+    * and UTC-adjusted TIMESTAMP_MICROS (plain TimestampType). Branch on the
+    * dtype the reader actually produced and normalize every form to a
+    * microsecond TimestampType column, matching what DuckDB sees for the
+    * same file under a UTC session:
+    *  - LongType (nanos-as-long): integer-divide to micros — the same
+    *    truncation DuckDB applies reading TIMESTAMP_NS.
+    *  - TimestampNTZType: cast to timestamp — bit-identical under the UTC
+    *    session timezone to DuckDB's naive read.
+    *  - TimestampType: already the normal form.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-decoded type $other (expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   /** documents/embeddings arrive as one small parquet file = ONE input
     * partition, which would serialize the md5/shingle/vector compute that
@@ -49,8 +65,8 @@ object Tables {
     load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   /** Register every table as a temp view so `spark.sql` text queries work.
-    * Goes through the specialized loaders (events needs the TIMESTAMP(NANOS)
-    * handling; documents/embeddings get their parallelism spread). */
+    * Goes through the specialized loaders (events needs its ts-type
+    * normalization; documents/embeddings get their parallelism spread). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
       "events" -> events, "documents" -> documents, "embeddings" -> embeddings)

@@ -63,6 +63,29 @@ class DedupEdgeSpec extends AnyFunSuite with SparkSpec {
     assert(ngramBanded.nonEmpty || charBanded.nonEmpty) // not vacuous
   }
 
+  /** Exact-boundary Jaccard J = t: the pair must be KEPT (verify predicate
+    * is ≥), by BOTH candidate strategies. This is the case the float
+    * prefix bounds can silently drop: with t = 0.4 and |A| = 5 shingles,
+    * 0.4·5 = 2.0000000000000004 in doubles, so an unguarded ceil
+    * over-tightens ⌈t·|A|⌉ (and the PPJoin required-overlap
+    * ⌈(|A|+|B|)·t/(1+t)⌉ = ⌈4.0…⌉) by 1 and the prefix path prunes a pair
+    * the banded path keeps. Construction: word-3-gram sets with
+    * |A| = 5, |B| = 9, |A∩B| = 4 → J = 4/10 = t exactly.
+    */
+  test("pair at exactly J = threshold is kept by both candidate strategies") {
+    val shared = "sun sea sky sand stone star"              // 6 shared tokens → 4 shared trigrams
+    val a = s"zebra $shared"                                // 7 tokens → 5 trigrams
+    val b = s"bat bee bird boar bull $shared"               // 11 tokens → 9 trigrams
+    val d = docs((1L, a, 50L), (2L, b, 50L))
+    def run(cutover: Long) =
+      Dedup.ngramJaccardPairs(d, maxDiff = 10, threshold = 0.4, prefixCutover = cutover)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val banded = run(Long.MaxValue)
+    val prefix = run(0L)
+    assert(banded == Seq((1L, 2L, 0.4)), s"banded strategy dropped the J = t pair: $banded")
+    assert(prefix == Seq((1L, 2L, 0.4)), s"prefix strategy dropped the J = t pair: $prefix")
+  }
+
   // Semantic dedup threshold extremes: > 1 can never fire (cosine ≤ 1, and
   // grid-rounding keeps equal vectors at exactly 1.0), so everything is
   // kept; ≤ -1 marks every pair similar, so exactly the min id of each

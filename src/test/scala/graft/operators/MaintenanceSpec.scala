@@ -32,6 +32,31 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(afterRows == beforeRows)
   }
 
+  /** The validated preconditions (ADVICE carry): non-local URI paths,
+    * partitioned table roots, and a stale aside dir from an unfinished
+    * rewrite must all be REJECTED up front — never silently mis-sized or
+    * clobbered. */
+  test("precondition violations are rejected before any rewrite") {
+    // URI / remote path.
+    intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, "hdfs://nn/warehouse/t")
+    }
+    // Partitioned root (non-underscore subdir).
+    val root = s"${Files.createTempDirectory("graft_compact_root").toString}/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+      .write.partitionBy("p").parquet(root)
+    intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, root)
+    }
+    // Stale aside from a crashed previous rewrite.
+    val dir = s"${Files.createTempDirectory("graft_compact_aside").toString}/t"
+    Seq((1L, "a")).toDF("id", "payload").write.parquet(dir)
+    Files.createDirectory(java.nio.file.Paths.get(s"${dir}_pre_compact"))
+    intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir)
+    }
+  }
+
   test("target smaller than total bytes yields multiple evenly-counted files") {
     val dir = s"${Files.createTempDirectory("graft_compact2").toString}/t"
     (0 until 8).foreach { i =>
