@@ -321,6 +321,91 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------- incremental dedup against an indexed corpus -------------
+
+  /** Content fingerprint of a documents table — order-insensitive xor of
+    * per-row (doc_id, text) hashes + row count, one cheap aggregate. Keys
+    * the persisted LSH index's staleness check (same contract as the IVF
+    * index's [[Similarity]] fingerprint: a rebuilt table at the same path
+    * can never be probed against a stale index silently). */
+  private def docFp(docs: DataFrame): String = {
+    val r = docs.select(xxhash64(col("doc_id"), col("text")).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
+    s"${r.getLong(0)}|${r.getLong(1)}"
+  }
+
+  /** Persist the HISTORICAL corpus's LSH dedup index as a parquet table
+    * artifact: one row per doc — (doc_id, shingle set, band digests) —
+    * plus the recorded source fingerprint. Unlike the IVF index (a k-row
+    * driver-resident model) this artifact is CORPUS-SIZED: at 100 TB it is
+    * the build side of every incremental probe join and lives as a
+    * maintained table (re-built or appended by a scheduled job, compacted
+    * by [[Maintenance]]), never recomputed per arriving batch — shingling
+    * and signing the lake once is the entire point. */
+  def writeLshIndex(hist: DataFrame, path: String, k: Int = 12,
+                    bands: Int = 4, rows: Int = 3): Unit =
+    minhashed(hist, k, bands, rows)
+      .select(col("doc_id"), col("sh"), col("bands"))
+      .withColumn("fingerprint", lit(docFp(hist)))
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a NEW batch against an index table ((doc_id, sh, bands) rows):
+    * asymmetric band-digest equi-join — batch bands against index bands
+    * only, so history×history is NEVER re-paired and per-batch cost is
+    * proportional to the batch and its collision set, not the lake —
+    * then the usual exact-Jaccard verify. Returns (new_id, dup_of,
+    * jaccard ≥ threshold). */
+  private def probeLsh(index: DataFrame, batch: DataFrame, k: Int,
+                       bands: Int, rows: Int, threshold: Double): DataFrame = {
+    val bm = minhashed(batch, k, bands, rows).localCheckpoint()
+    val batchBands = bm.select(col("doc_id").as("new_id"),
+      posexplode(col("bands")).as(Seq("pos", "band")))
+      .select(col("new_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val histBands = index.select(col("doc_id").as("dup_of"),
+      posexplode(col("bands")).as(Seq("pos", "band")))
+      .select(col("dup_of"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val cands = batchBands.join(histBands, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("dup_of")).distinct()
+    cands
+      .join(bm.select(col("doc_id").as("new_id"), col("sh").as("sh_new")), "new_id")
+      .join(index.select(col("doc_id").as("dup_of"), col("sh").as("sh_hist")), "dup_of")
+      .select(col("new_id"), col("dup_of"),
+        jaccard(col("sh_new"), col("sh_hist")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup pairs, index built inline (no persisted
+    * artifact): the continuous-ingest shape with both sides computed in
+    * one job — the oracle-checkable reference for [[lshServedPairs]]. */
+  def incrementalLshPairs(hist: DataFrame, batch: DataFrame, k: Int = 12,
+                          bands: Int = 4, rows: Int = 3,
+                          threshold: Double = 0.5): DataFrame =
+    probeLsh(minhashed(hist, k, bands, rows).localCheckpoint()
+      .select(col("doc_id"), col("sh"), col("bands")), batch, k, bands, rows, threshold)
+
+  /** Incremental near-dup pairs served from a PERSISTED index
+    * ([[writeLshIndex]]): reads the artifact, verifies its recorded
+    * fingerprint against the live historical table (stale ⇒
+    * IllegalStateException — rebuilding is the caller's scheduled build
+    * step, not a serve-time side effect), and probes. Result is identical
+    * to [[incrementalLshPairs]] on the same split, so the same oracle
+    * checks both paths. */
+  def lshServedPairs(hist: DataFrame, batch: DataFrame, indexPath: String,
+                     k: Int = 12, bands: Int = 4, rows: Int = 3,
+                     threshold: Double = 0.5): DataFrame = {
+    val index = batch.sparkSession.read.parquet(indexPath)
+    val recordedFp = index.select(col("fingerprint")).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("")
+    val liveFp = docFp(hist)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"LSH index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeLshIndex")
+    probeLsh(index.select(col("doc_id"), col("sh"), col("bands")), batch,
+      k, bands, rows, threshold)
+  }
+
   /** 64-bit SimHash signatures as a single narrow projection: per document,
     * for each bit position p, sum the ±1 contributions of every shingle's
     * md5 bit and majority-vote. Features are 3-gram shingles (not raw

@@ -1,10 +1,13 @@
 package graft.queries
 
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Maintenance}
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` / `embeddings` (the
@@ -21,6 +24,47 @@ object DedupQueries {
       "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
       "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) " +
       "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks)"
+
+  /** Shared oracle for BOTH incremental-dedup paths (inline and served
+    * from the persisted index — the artifact is transparent to results):
+    * the dedup_minhash_lsh signature/band machinery with an ASYMMETRIC
+    * candidate join — new batch (doc_id % 5 = 0) bands against historical
+    * (rest) bands only. */
+  private val incrementalSql =
+    s"WITH $shinglesCte, " +
+      "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+      "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+      "bandrows AS (SELECT doc_id, j, " +
+      "md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh FROM sig, range(0, 4) r(j)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of FROM bandrows a " +
+      "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh " +
+      "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
+      "v AS (SELECT new_id, dup_of, len(list_intersect(sa.s, sb.s))::DOUBLE / " +
+      "len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard " +
+      "FROM cand JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = dup_of) " +
+      "SELECT new_id, dup_of, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY new_id, dup_of"
+
+  /** Per-JVM root for persisted LSH index artifacts, removed on exit. */
+  private lazy val idxRoot: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
+      UUID.randomUUID().toString.replace("-", "")
+    new java.io.File(p).mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Maintenance.deleteRecursively(new java.io.File(p))))
+    p
+  }
+
+  /** BUILD step of the LSH index lifecycle: shingle + sign the historical
+    * corpus once per (JVM, sf dir) and persist the index table; every
+    * serve probes the artifact (and staleness-checks its fingerprint). */
+  private val lshIndexCache = new ConcurrentHashMap[String, String]()
+  private def lshIndexFor(s: SparkSession, d: String): String =
+    lshIndexCache.computeIfAbsent(d, { _ =>
+      val path = s"$idxRoot/lsh_" + UUID.randomUUID().toString.replace("-", "")
+      Dedup.writeLshIndex(
+        Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0), path)
+      path
+    })
 
   val all: Seq[Q] = Seq(
 
@@ -311,6 +355,31 @@ object DedupQueries {
         "FROM m LEFT JOIN dup ON m.vec_id = dup.dup_id ORDER BY m.vec_id") { (s, d) =>
       Dedup.semanticDedup(Tables.embeddings(s, d), k = 8, threshold = 0.3)
         .orderBy(col("vec_id"))
+    },
+
+    // Incremental dedup (continuous-ingest shape): probe the NEW batch
+    // (doc_id % 5 = 0, ~20 % of the corpus) against the HISTORICAL rest
+    // with an asymmetric band join — history×history is never re-paired,
+    // so per-batch cost tracks the batch, not the lake.
+    Q("dedup_incremental", incrementalSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalLshPairs(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0))
+        .orderBy(col("new_id"), col("dup_of"))
+    },
+
+    // Same probe served from the PERSISTED index artifact (writeLshIndex:
+    // corpus-sized parquet table of (doc_id, shingles, band digests) +
+    // source fingerprint; staleness-checked at serve). Identical results
+    // to dedup_incremental, so the same oracle certifies the lifecycle.
+    Q("dedup_lsh_served", incrementalSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.lshServedPairs(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          indexPath = lshIndexFor(s, d))
+        .orderBy(col("new_id"), col("dup_of"))
     }
   )
 }

@@ -163,6 +163,56 @@ object TextQueries {
           md5(col("norm").cast("binary")).as("norm_md5"),
           rollingHash(col("norm")).as("rolling"))
         .orderBy(col("doc_id"))
+    },
+
+    // PII/secret redaction — the scrub pass every training-data pipeline
+    // runs before packing. The synthetic corpus carries no real PII, so
+    // the query first splices DETERMINISTIC email/phone/API-key spans into
+    // each doc (same expression in both engines — the fixture is part of
+    // the contract; doc_id residues vary the per-doc counts 0–2), then
+    // counts and redacts them with engine-portable regexes (character
+    // classes + bounded quantifiers only — the Java-regex/RE2 common
+    // subset). Narrow per-row transform, no shuffle at any scale; output
+    // pins counts AND the md5 of the fully-redacted text.
+    Q("text_redact", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+      val secret = "\\b[0-9a-f]{32}\\b"
+      "WITH base AS (SELECT doc_id, " +
+        "substr(text, 1, 40) || ' reach user' || doc_id::VARCHAR || '@mail.example.com' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' cc user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END || " +
+        "' apikey ' || md5(doc_id::VARCHAR) || ' ' || substr(text, 41) AS t FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        s"len(regexp_extract_all(t, '$email'))::BIGINT AS n_email, " +
+        s"len(regexp_extract_all(t, '$phone'))::BIGINT AS n_phone, " +
+        s"len(regexp_extract_all(t, '$secret'))::BIGINT AS n_secret, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), " +
+        s"'$phone', '<PHONE>', 'g'), '$secret', '<SECRET>', 'g') AS red FROM base) " +
+        "SELECT doc_id, n_email, n_phone, n_secret, md5(red) AS redacted_md5 " +
+        "FROM c ORDER BY doc_id"
+    }) { (s, d) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+      val secret = "\\b[0-9a-f]{32}\\b"
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(
+          expr("substring(text, 1, 40)"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@mail.example.com"),
+          when(col("doc_id") % 3 === 0, concat(lit(" cc user"),
+            col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(""),
+          when(col("doc_id") % 2 === 0, concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+          lit(" apikey "), md5(col("doc_id").cast("string").cast("binary")),
+          lit(" "), expr("substring(text, 41)")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(secret), lit(0))).cast("long").as("n_secret"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(email), lit("<EMAIL>")), lit(phone), lit("<PHONE>")),
+            lit(secret), lit("<SECRET>")).cast("binary")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Round-8 incremental-dedup index lifecycle (the LSH analog of
+  * IvfIndexSpec): building persists a corpus-sized parquet index table
+  * with the source content fingerprint; probing a new batch from the
+  * artifact reproduces the inline two-sided path exactly; a stale
+  * artifact (historical corpus changed since build) is REFUSED, not
+  * silently probed. Also pins the asymmetry contract: no pair has both
+  * sides in the batch or both in history.
+  */
+class LshIndexSpec extends AnyFunSuite with SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def split(df: org.apache.spark.sql.DataFrame) =
+    (df.filter(col("doc_id") % 5 =!= 0), df.filter(col("doc_id") % 5 === 0))
+
+  test("served-from-artifact probe equals the inline incremental path") {
+    val docs = Tables.documents(spark, dir)
+    val (hist, batch) = split(docs)
+    val path = Files.createTempDirectory("graft_lshidx_spec").toString + "/idx"
+    Dedup.writeLshIndex(hist, path)
+    val served = Dedup.lshServedPairs(hist, batch, path)
+      .orderBy(col("new_id"), col("dup_of")).collect().toSeq
+    val inline = Dedup.incrementalLshPairs(hist, batch)
+      .orderBy(col("new_id"), col("dup_of")).collect().toSeq
+    assert(served.nonEmpty)
+    assert(served == inline)
+    // Asymmetry: every pair is (batch doc, historical doc).
+    served.foreach { r =>
+      assert(r.getLong(0) % 5 == 0, s"new_id ${r.getLong(0)} not from the batch")
+      assert(r.getLong(1) % 5 != 0, s"dup_of ${r.getLong(1)} not historical")
+    }
+  }
+
+  test("a stale index (historical corpus changed) is refused at serve time") {
+    val docs = Tables.documents(spark, dir)
+    val (hist, batch) = split(docs)
+    val path = Files.createTempDirectory("graft_lshidx_spec").toString + "/idx"
+    Dedup.writeLshIndex(hist, path)
+    val changed = hist.filter(col("doc_id") =!= 1)
+    val e = intercept[IllegalStateException] {
+      Dedup.lshServedPairs(changed, batch, path).collect()
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+}
