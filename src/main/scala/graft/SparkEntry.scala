@@ -19,7 +19,7 @@ object SparkEntry {
       TpchMoreQueries.all ++ PipelineQueries.all ++ SerdeQueries.all ++
       SketchQueries.all ++ SamplingQueries.all ++ CorpusQueries.all ++
       AnalyticsQueries.all ++ TpchFullQueries.all ++ TpchFinalQueries.all ++
-      LambdaQueries.all ++ GraphQueries.all
+      LambdaQueries.all ++ GraphQueries.all ++ WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

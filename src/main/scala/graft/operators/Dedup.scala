@@ -321,6 +321,43 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs — catches the "few
+    * character edits" duplicate class that set-based Jaccard blurs
+    * (single-char typos barely move a shingle set; they cost exactly one
+    * edit here). Candidates come from a LENGTH-BUCKET block join on the
+    * normalized text: each doc lands in buckets `ln div width` and
+    * `ln div width + 1`, so every pair within |Δln| ≤ maxLenDiff < width
+    * meets in at least one bucket — lossless for the banded definition,
+    * and candidate volume is Σ(bucket size²), never corpus². The verify
+    * step runs banded Levenshtein (`levenshtein(p1, p2, maxEdits)` — the
+    * O(maxEdits·len) early-exit form, not the full O(len²) matrix) over a
+    * fixed-length normalized prefix, so per-pair cost is bounded however
+    * long the documents are. */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 120,
+                        bucketWidth: Int = 32, maxLenDiff: Int = 16,
+                        maxEdits: Int = 12): DataFrame = {
+    val n = docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("p"),
+        length(col("norm")).cast("long").as("ln"))
+    val b = n.select(col("doc_id"), col("p"), col("ln"),
+        expr(s"ln div $bucketWidth").as("bk"))
+      .unionAll(n.select(col("doc_id"), col("p"), col("ln"),
+        expr(s"ln div $bucketWidth + 1").as("bk")))
+    val left = b.select(col("bk"), col("doc_id").as("d1"), col("p").as("p1"),
+      col("ln").as("ln1"))
+    val right = b.select(col("bk"), col("doc_id").as("d2"), col("p").as("p2"),
+      col("ln").as("ln2"))
+    left.join(right, Seq("bk"))
+      .where(col("d1") < col("d2") &&
+        abs(col("ln1") - col("ln2")) <= maxLenDiff)
+      .select(col("d1"), col("d2"), col("p1"), col("p2"))
+      .distinct()
+      .select(col("d1"), col("d2"),
+        levenshtein(col("p1"), col("p2"), maxEdits).as("ed"))
+      .where(col("ed") >= 0 && col("ed") <= maxEdits)
+  }
+
   // ------------- incremental dedup against an indexed corpus -------------
 
   /** Content fingerprint of a documents table — order-insensitive xor of

@@ -357,6 +357,28 @@ object DedupQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Edit-distance near-dups: length-bucket block join (every pair with
+    // |Δln| ≤ 16 meets in one of the two ln/32 buckets — lossless), then
+    // banded Levenshtein ≤ 12 over the first 120 normalized chars. The
+    // character-edit complement to the set-based Jaccard family: a typo
+    // costs one edit here but barely moves a shingle set. The oracle
+    // replays the identical bucket explode + full Levenshtein filter.
+    Q("dedup_edit_distance",
+      "WITH n AS (SELECT doc_id, substr(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 120) AS p, " +
+        "length(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))::BIGINT AS ln FROM documents), " +
+        "b AS (SELECT doc_id, p, ln, ln // 32 AS bk FROM n " +
+        "UNION ALL SELECT doc_id, p, ln, ln // 32 + 1 FROM n), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.p AS p1, c.p AS p2 " +
+        "FROM b a JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id " +
+        "AND abs(a.ln - c.ln) <= 16) " +
+        "SELECT d1, d2, levenshtein(p1, p2)::INTEGER AS ed FROM cand " +
+        "WHERE levenshtein(p1, p2) <= 12 ORDER BY d1, d2") { (s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d))
+        .orderBy(col("d1"), col("d2"))
+    },
+
     // Incremental dedup (continuous-ingest shape): probe the NEW batch
     // (doc_id % 5 = 0, ~20 % of the corpus) against the HISTORICAL rest
     // with an asymmetric band join — history×history is never re-paired,

@@ -213,6 +213,114 @@ object TextQueries {
             lit(email), lit("<EMAIL>")), lit(phone), lit("<PHONE>")),
             lit(secret), lit("<SECRET>")).cast("binary")).as("redacted_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 ranked retrieval over the corpus for a fixed 3-term query —
+    // the classic relevance scorer a corpus-curation pipeline uses for
+    // targeted subset mining. One tiny global aggregate (N, Σdl, per-term
+    // document frequencies — a single row) is BROADCAST back onto a
+    // narrow scoring scan; no shuffle ever touches the corpus itself, so
+    // the shape is scan + scalar join at any scale. Every intermediate is
+    // forced to DOUBLE in both engines (DuckDB would otherwise do exact
+    // DECIMAL arithmetic where Spark does binary-double) and the score is
+    // rounded to 6 decimals; top-20 is ordered by (rounded score, doc_id)
+    // — a total, engine-portable order.
+    Q("text_bm25", {
+      def tfSql(t: String) =
+        s"len(regexp_extract_all(lower(text), '\\b$t\\b'))::BIGINT"
+      "WITH f AS (SELECT doc_id, " +
+        s"${tfSql("spark")} AS tf1, ${tfSql("vector")} AS tf2, ${tfSql("stream")} AS tf3, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS dl FROM documents), " +
+        "g AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::DOUBLE AS sumdl, " +
+        "SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1, " +
+        "SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2, " +
+        "SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3 FROM f) " +
+        "SELECT doc_id, ROUND(" +
+        Seq(1, 2, 3).map(i =>
+          s"ln(1 + (n - df$i + 0.5)::DOUBLE / (df$i + 0.5)::DOUBLE) * tf$i * 2.2 / " +
+            s"(tf$i + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))").mkString(" + ") +
+        ", 6) AS bm25 FROM f, g ORDER BY bm25 DESC, doc_id LIMIT 20"
+    }) { (s, d) =>
+      def tf(t: String) =
+        size(regexp_extract_all(lower(col("text")), lit(s"\\b$t\\b"), lit(0))).cast("long")
+      val f = Tables.documents(s, d).select(col("doc_id"),
+        tf("spark").as("tf1"), tf("vector").as("tf2"), tf("stream").as("tf3"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .cast("long").as("dl"))
+      def df(t: String) = sum(when(col(t) > 0, 1L).otherwise(0L))
+      val g = f.agg(count(lit(1)).as("n"),
+        sum(col("dl")).cast("double").as("sumdl"),
+        df("tf1").as("df1"), df("tf2").as("df2"), df("tf3").as("df3"))
+      def term(tfc: String, dfc: String) =
+        log(lit(1.0) + (col("n") - col(dfc) + lit(0.5)) / (col(dfc) + lit(0.5))) *
+          col(tfc) * lit(2.2) /
+          (col(tfc) + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("sumdl") / col("n"))))
+      f.crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(term("tf1", "df1") + term("tf2", "df2") + term("tf3", "df3"), 6)
+            .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Quality-model inference: a linear (logistic-regression-style)
+    // classifier over the text_quality features with FIXED broadcast
+    // weights — the fastText-classifier shape every pretraining corpus
+    // filter runs, reduced to its engine skeleton (features → w·x + b →
+    // sigmoid → keep decision). Pure narrow scan; the "model" is a
+    // handful of literals, i.e. a broadcast however large the corpus.
+    // The keep decision compares z against 0 EXACTLY (no transcendental
+    // on the decision path); the sigmoid score is rounded to 6.
+    Q("text_quality_model",
+      "WITH f AS (SELECT doc_id, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens, " +
+        s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
+        "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct, " +
+        "length(text)::BIGINT AS n_len FROM documents), " +
+        "z AS (SELECT doc_id, 4.0 * (stop_hits / n_tokens::DOUBLE) " +
+        "- 6.0 * (n_punct / n_len::DOUBLE) + 0.02 * n_tokens::DOUBLE - 2.0 AS z FROM f) " +
+        "SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score, z >= 0.0 AS keep " +
+        "FROM z ORDER BY doc_id") { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        langScore(col("text"), enPat).as("stop_hits"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_len"))
+      val z = lit(4.0) * (col("stop_hits") / col("n_tokens").cast("double")) -
+        lit(6.0) * (col("n_punct") / col("n_len").cast("double")) +
+        lit(0.02) * col("n_tokens").cast("double") - lit(2.0)
+      f.select(col("doc_id"), z.as("z"))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+          (col("z") >= 0.0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BPE merge-candidate mining: corpus-wide adjacent-token-pair counts —
+    // step 1 of byte-pair-encoding vocabulary induction (the most frequent
+    // pair is the next merge). Pairs are built positionally INSIDE each row
+    // (array transform over token indexes — linear, no self-join), then one
+    // pair-keyed count shuffle; identical shape to text_vocab_topk.
+    Q("text_bpe_pairs",
+      "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents), " +
+        "p AS (SELECT unnest(CASE WHEN len(toks) >= 2 " +
+        "THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) " +
+        "ELSE [] END) AS pair FROM t) " +
+        "SELECT pair, COUNT(*)::BIGINT AS cnt FROM p GROUP BY 1 " +
+        "ORDER BY cnt DESC, pair LIMIT 30") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("toks"))
+        .select(explode(when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(30)
     }
   )
 }

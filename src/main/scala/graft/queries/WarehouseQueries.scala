@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Behavioral-data operators the reference's users would reach for next:
+  * gap-based sessionization and statistical anomaly detection. (The other
+  * warehouse staples — GROUPING SETS, CDC MERGE/upsert, SCD2 intervals —
+  * already live in AnalyticsQueries/ExtrasQueries.) The reference itself
+  * has none of these (its only "query" is the fixed Goka topology,
+  * SURVEY §1); this is north-star surface for operating a 100-TB
+  * warehouse on the same engine.
+  *
+  * Scale notes per query inline — every shape here is a single keyed
+  * shuffle or a broadcast of a handful of scalars; nothing is quadratic
+  * and nothing collects to the driver.
+  */
+object WarehouseQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Gap-based sessionization (the batch counterpart of the streaming
+    // session window in stream_session_agg): per user, a new session
+    // starts when the gap since the previous event exceeds 30 minutes;
+    // sessions are numbered by a running sum of the session-start flags.
+    // ONE shuffle on user_id serves both window functions AND the final
+    // per-session aggregate (same partitioning, no second exchange). The
+    // per-user window is bounded by that user's event count — the normal
+    // behavioral-data skew profile; a pathological single-user firehose
+    // would be salted upstream, not here.
+    Q("q_sessionize",
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "g AS (SELECT user_id, t, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
+        "OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "s AS (SELECT user_id, t, SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, sid, COUNT(*) AS n_events, MAX(t) - MIN(t) AS dur_us " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val e = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+      val g = e.withColumn("ns",
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      val sess = g.withColumn("sid",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), (max(col("t")) - min(col("t"))).as("dur_us"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
+    // Statistical anomaly detection: per-event-type mean / stddev, events
+    // flagged where |z| > 3. Two passes over events — a tiny per-type
+    // aggregate (handful of rows, broadcast back) and a narrow scoring
+    // scan — the standard data-quality sweep shape at any scale. mu and
+    // sigma are ROUNDED to 6 decimals in BOTH engines before z is
+    // computed, so the z every row sees is bit-identical across Spark's
+    // partial-aggregation order and DuckDB's scan order, and the |z| > 3
+    // cut cannot flip on reassociation noise.
+    Q("q_anomaly_zscore",
+      "WITH s AS (SELECT event_type, ROUND(AVG(value), 6) AS mu, " +
+        "ROUND(STDDEV_SAMP(value), 6) AS sigma FROM events GROUP BY 1) " +
+        "SELECT event_id, e.event_type, ROUND((value - mu) / sigma, 6) AS z " +
+        "FROM events e JOIN s USING (event_type) " +
+        "WHERE ABS(ROUND((value - mu) / sigma, 6)) > 3 ORDER BY event_id") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 6).as("mu"),
+          round(stddev_samp(col("value")), 6).as("sigma"))
+      val z = round((col("value") - col("mu")) / col("sigma"), 6)
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), z.as("z"))
+        .where(abs(col("z")) > 3)
+        .orderBy(col("event_id"))
+    }
+  )
+}

@@ -20,4 +20,13 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     // aggregates got exact+tolerance oracles in round 2).
     assert((q -- o).isEmpty)
   }
+
+  test("registered query names are unique across packs") {
+    // packs → Map loses duplicates silently (later pack wins); a name
+    // collision would shadow an existing query's implementation without
+    // any compile-time or correctness-gate signal, so pin uniqueness.
+    val names = SparkEntry.packs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate query names across packs: $dups")
+  }
 }

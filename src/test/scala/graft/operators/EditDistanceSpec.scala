@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the edit-distance dedup's two contracts: the length-bucket block
+  * join is LOSSLESS for the banded definition (any pair within the length
+  * band survives blocking — verified against a naive all-pairs sweep), and
+  * the banded-Levenshtein verify matches exact Levenshtein on kept pairs.
+  */
+class EditDistanceSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("blocking is lossless vs naive all-pairs within the length band") {
+    // Texts straddling bucket boundaries (bucketWidth=32): lengths chosen
+    // so pairs sit in the same bucket, adjacent buckets, and out of band.
+    val base = "aaaa bbbb cccc dddd eeee ffff gggg hhhh" // 39 chars
+    val d = docs(
+      (1L, base),
+      (2L, base + " x"),                       // 2 edits away, same region
+      (3L, base + " " + base.take(24)),        // +25 chars: next bucket, in band? (Δ=25 > 16 → out)
+      (4L, ("z" * 30) + " " + base),           // way longer, out of band
+      (5L, base.replace("cccc", "ccdc")))      // 1 edit
+    val got = Dedup.editDistancePairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+
+    // Naive oracle: all pairs, same normalization/prefix/band/threshold.
+    val n = d.select(col("doc_id"),
+      substring(graft.functions.TextFunctions.normText(col("text")), 1, 120).as("p"),
+      length(graft.functions.TextFunctions.normText(col("text"))).cast("long").as("ln"))
+    val naive = n.as("a").crossJoin(n.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.ln") - col("b.ln")) <= 16 &&
+        levenshtein(col("a.p"), col("b.p")) <= 12)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 5L)) && got.contains((2L, 5L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("banded levenshtein reports the exact distance on kept pairs") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"))
+    val rows = Dedup.editDistancePairs(d)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(rows == Seq((1L, 2L, 2))) // "jumps" -> "jumped" is exactly 2 edits
+  }
+}
