@@ -291,6 +291,104 @@ object PipelineQueries {
           least(col("before") + col("n_tok") - col("seq_id") * budget,
             lit(budget)).as("end_tok"))
         .orderBy(col("lang"), col("seq_id"), col("start_tok"), col("doc_id"))
+    },
+
+    // Quantile bucketing (rank normalization): global quartile boundaries
+    // of a per-doc quality score, each doc assigned its quartile bucket —
+    // the curriculum / quality-tiering primitive (quality_gate is the
+    // per-group FILTER; this is the global TIERING). The boundaries are a
+    // 3-number aggregate BROADCAST onto a narrow bucketing scan — the
+    // corpus is never shuffled; the presentation aggregate groups 4 rows.
+    // Exact percentile keeps the oracle exact (Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition —
+    // same parity pipeline_quality_gate certifies); the 100-TB boundary
+    // estimation swaps in approx_percentile/KLL, already certified by
+    // q_approx_percentile, without touching the bucketing shape.
+    Q("pipeline_quality_buckets",
+      "WITH f AS (SELECT doc_id, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens, " +
+        "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct, " +
+        "length(text)::BIGINT AS n_len FROM documents), " +
+        "s AS (SELECT doc_id, 0.5 * LEAST(1.0, n_tokens / 100.0) " +
+        "+ 0.5 * (1.0 - n_punct / n_len::DOUBLE) AS q FROM f), " +
+        "b AS (SELECT ROUND(quantile_cont(q, 0.25), 6) AS b1, " +
+        "ROUND(quantile_cont(q, 0.5), 6) AS b2, " +
+        "ROUND(quantile_cont(q, 0.75), 6) AS b3 FROM s) " +
+        "SELECT CASE WHEN q < b1 THEN 'p00_25' WHEN q < b2 THEN 'p25_50' " +
+        "WHEN q < b3 THEN 'p50_75' ELSE 'p75_100' END AS bucket, " +
+        "COUNT(*) AS n, ROUND(AVG(q), 6) AS avg_q " +
+        "FROM s, b GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_len"))
+      val scored = f.select(col("doc_id"),
+        (lit(0.5) * least(lit(1.0), col("n_tokens") / lit(100.0))
+          + lit(0.5) * (lit(1.0) - col("n_punct") / col("n_len").cast("double")))
+          .as("q"))
+      val bounds = scored.agg(
+        round(expr("percentile(q, 0.25)"), 6).as("b1"),
+        round(expr("percentile(q, 0.5)"), 6).as("b2"),
+        round(expr("percentile(q, 0.75)"), 6).as("b3"))
+      scored.crossJoin(broadcast(bounds))
+        .select(col("q"),
+          when(col("q") < col("b1"), "p00_25")
+            .when(col("q") < col("b2"), "p25_50")
+            .when(col("q") < col("b3"), "p50_75")
+            .otherwise("p75_100").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("q")), 6).as("avg_q"))
+        .orderBy(col("bucket"))
+    },
+
+    // T5-style span corruption: deterministic span masking over the token
+    // stream — spans of 3 tokens, every 5th span masked (20 % mask rate),
+    // masked spans replaced by ordinal sentinels in the INPUT and emitted
+    // after their sentinel in the TARGET — the denoising-objective sample
+    // prep, reduced to its engine skeleton. Pure per-row array transform
+    // (no shuffle until the presentation sort); the full input/target
+    // strings are pinned by md5 so span boundaries, sentinel numbering,
+    // and order are all hash-checked, not just counted.
+    Q("pipeline_span_corruption",
+      "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks " +
+        "FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 1), " +
+        "m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "array_to_string(list_filter(list_transform(generate_series(1, len(toks)), i -> " +
+        "CASE WHEN ((i-1)//3) % 5 = 0 THEN " +
+        "CASE WHEN (i-1) % 3 = 0 THEN '<extra_' || ((i-1)//15)::VARCHAR || '>' ELSE '' END " +
+        "ELSE toks[i] END), x -> x <> ''), ' ') AS input_s, " +
+        "array_to_string(list_filter(list_transform(generate_series(1, len(toks)), i -> " +
+        "CASE WHEN ((i-1)//3) % 5 = 0 THEN " +
+        "CASE WHEN (i-1) % 3 = 0 THEN '<extra_' || ((i-1)//15)::VARCHAR || '> ' || toks[i] " +
+        "ELSE toks[i] END ELSE '' END), x -> x <> ''), ' ') AS target_s, " +
+        "len(list_filter(generate_series(1, len(toks)), i -> ((i-1)//3) % 5 = 0))::BIGINT AS n_masked " +
+        "FROM t) " +
+        "SELECT doc_id, n_tokens, n_masked, md5(input_s) AS input_md5, " +
+        "md5(target_s) AS target_md5 FROM m ORDER BY doc_id") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("toks"))
+        // Empty token arrays would make sequence(1, 0) run DESCENDING in
+        // Spark (vs DuckDB's empty generate_series) — exclude them in
+        // both engines; a real corpus does carry no-letter rows.
+        .where(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr("array_join(filter(transform(sequence(1, size(toks)), i -> " +
+            "CASE WHEN ((i-1) div 3) % 5 = 0 THEN " +
+            "CASE WHEN (i-1) % 3 = 0 THEN concat('<extra_', CAST((i-1) div 15 AS STRING), '>') ELSE '' END " +
+            "ELSE element_at(toks, i) END), x -> x != ''), ' ')").as("input_s"),
+          expr("array_join(filter(transform(sequence(1, size(toks)), i -> " +
+            "CASE WHEN ((i-1) div 3) % 5 = 0 THEN " +
+            "CASE WHEN (i-1) % 3 = 0 THEN concat('<extra_', CAST((i-1) div 15 AS STRING), '> ', element_at(toks, i)) " +
+            "ELSE element_at(toks, i) END ELSE '' END), x -> x != ''), ' ')").as("target_s"),
+          expr("CAST(size(filter(sequence(1, size(toks)), i -> ((i-1) div 3) % 5 = 0)) AS BIGINT)")
+            .as("n_masked"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          md5(col("input_s").cast("binary")).as("input_md5"),
+          md5(col("target_s").cast("binary")).as("target_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -73,6 +73,36 @@ object WarehouseQueries {
         .select(col("event_id"), col("event_type"), z.as("z"))
         .where(abs(col("z")) > 3)
         .orderBy(col("event_id"))
+    },
+
+    // Time-weighted average (the step-function mean every metering /
+    // billing / telemetry pipeline computes): each event's value holds
+    // until the next event, weighted by that duration; the last event of
+    // a user carries no duration and drops out. ONE shuffle on user_id
+    // serves both the lead() window and the per-user aggregate (same
+    // partitioning); (t, event_id) ordering makes the window total even
+    // under timestamp ties. Users whose events all share one timestamp
+    // (zero total duration) are excluded in both engines — 0/0 is not a
+    // portable value.
+    Q("q_time_weighted_avg",
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events), " +
+        "w AS (SELECT user_id, value, " +
+        "lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur FROM e) " +
+        "SELECT user_id, ROUND(SUM(value * dur) / SUM(dur), 6) AS twa " +
+        "FROM w WHERE dur IS NOT NULL GROUP BY 1 HAVING SUM(dur) > 0 " +
+        "ORDER BY user_id") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+          col("value"), col("event_id"))
+        .withColumn("dur", lead(col("t"), 1).over(w) - col("t"))
+        .where(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") * col("dur")) / sum(col("dur")), 6).as("twa"),
+          sum(col("dur")).as("sd"))
+        .where(col("sd") > 0)
+        .select(col("user_id"), col("twa"))
+        .orderBy(col("user_id"))
     }
   )
 }
