@@ -110,7 +110,14 @@ object ScaleSmoke {
       // query count), CDC merge (two pre-aggregated branches over 10×
       // events → one full-outer join on 10× keys).
       "dedup_duplicate_spans", "dedup_canonical", "sim_recall_eval",
-      "q_merge_upsert")
+      "q_merge_upsert",
+      // Round-8 batch: banded-Levenshtein dedup (band² candidates — the
+      // exponent documents the blocking's real behavior), BM25 + span
+      // corruption + quality buckets (narrow scans / broadcast scalars —
+      // expected ~linear), sessionization + time-weighted avg (one keyed
+      // shuffle each over 10× events with 10× keys).
+      "dedup_edit_distance", "text_bm25", "pipeline_span_corruption",
+      "pipeline_quality_buckets", "q_sessionize", "q_time_weighted_avg")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

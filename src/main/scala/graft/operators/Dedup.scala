@@ -324,35 +324,86 @@ object Dedup {
   /** Edit-distance (Levenshtein) near-dup pairs — catches the "few
     * character edits" duplicate class that set-based Jaccard blurs
     * (single-char typos barely move a shingle set; they cost exactly one
-    * edit here). Candidates come from a LENGTH-BUCKET block join on the
-    * normalized text: each doc lands in buckets `ln div width` and
-    * `ln div width + 1`, so every pair within |Δln| ≤ maxLenDiff < width
-    * meets in at least one bucket — lossless for the banded definition,
-    * and candidate volume is Σ(bucket size²), never corpus². The verify
-    * step runs banded Levenshtein (`levenshtein(p1, p2, maxEdits)` — the
-    * O(maxEdits·len) early-exit form, not the full O(len²) matrix) over a
-    * fixed-length normalized prefix, so per-pair cost is bounded however
-    * long the documents are. */
+    * edit here). Semantics: pairs within the length band
+    * |Δln| ≤ maxLenDiff whose normalized `prefixLen`-char prefixes are
+    * within `maxEdits` Levenshtein.
+    *
+    * Candidate generation is the PassJoin pigeonhole filter (Li/Deng/
+    * Feng, "PassJoin: A Partition-based Method for Similarity Joins")
+    * on a FIXED 9-char grid: partition a prefix into maxEdits+1 = 13
+    * full grid segments — at most maxEdits edit ops can touch at most
+    * maxEdits segments, so for any in-threshold pair at least one
+    * segment of a survives UNTOUCHED in b, shifted by at most the net
+    * indel balance (≤ maxEdits). The block join is therefore
+    * segments(13/doc) ⋈ windows(13·(2·maxEdits+1)/doc) on
+    * (slot, 9-gram) — LOSSLESS, and ~10× fewer candidates than a pure
+    * length-bucket join at sf0.1 (81 k vs 812 k) because candidates now
+    * need position-aligned CONTENT agreement, not just similar length.
+    * Docs whose prefix is too short for 13 full segments (< 117 chars —
+    * pigeonhole has no spare segment) fall back to the plain
+    * length-bucket block over the short slice of the corpus only; both
+    * pools' pairs union (distinct) before the verify, so the composition
+    * stays lossless. The verify step runs banded Levenshtein
+    * (`levenshtein(p1, p2, maxEdits)` — the O(maxEdits·len) early-exit
+    * form, not the full O(len²) matrix) with prefixes re-attached by two
+    * co-partitioned id joins (cheaper than carrying 120-char payloads
+    * through the 325-row/doc window explode). */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 120,
                         bucketWidth: Int = 32, maxLenDiff: Int = 16,
                         maxEdits: Int = 12): DataFrame = {
-    val n = docs
+    val segLen = 9
+    val nSeg = maxEdits + 1
+    val minLongPrefix = segLen * nSeg // 117: guarantees 13 FULL segments
+    // Cached: five downstream branches (segments, windows, short pool,
+    // and the two verify re-attach joins) would otherwise each re-run
+    // the two normText regexps over the full corpus.
+    val n = swapCached(docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("p"),
-        length(col("norm")).cast("long").as("ln"))
-    val b = n.select(col("doc_id"), col("p"), col("ln"),
+        length(col("norm")).cast("long").as("ln")))
+    val longs = n.where(length(col("p")) >= minLongPrefix)
+    // A-side: the 13 grid segments of each long doc.
+    val segs = longs
+      .select(col("doc_id").as("da"), col("ln").as("la"), col("p").as("pa"),
+        explode(sequence(lit(0), lit(nSeg - 1))).as("j"))
+      .select(col("da"), col("la"), col("j"),
+        expr(s"substring(pa, $segLen * j + 1, $segLen)").as("s"))
+    // B-side: every 9-char window within ±maxEdits of each grid slot.
+    val subs = longs
+      .select(col("doc_id").as("db"), col("ln").as("lb"), col("p").as("pb"),
+        explode(sequence(lit(0), lit(nSeg - 1))).as("j"))
+      .select(col("db"), col("lb"), col("pb"), col("j"),
+        explode(sequence(lit(-maxEdits), lit(maxEdits))).as("d"))
+      .where(expr(s"$segLen * j + 1 + d") >= 1 &&
+        expr(s"$segLen * j + $segLen + d") <= length(col("pb")))
+      .select(col("db"), col("lb"), col("j"),
+        expr(s"substring(pb, $segLen * j + 1 + d, $segLen)").as("s"))
+    val pairsLL = segs.join(subs, Seq("j", "s"))
+      .where(col("da") =!= col("db") &&
+        abs(col("la") - col("lb")) <= maxLenDiff)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+      .distinct()
+    // Short pool: plain length-bucket block over shorts and their possible
+    // in-band partners only (ln < 117 + maxLenDiff). Long-long pairs that
+    // sneak into this slice re-derive candidates already found above; the
+    // final distinct dedupes them.
+    val nearShort = n.where(col("ln") < minLongPrefix + maxLenDiff)
+    val b = nearShort.select(col("doc_id"), col("ln"),
         expr(s"ln div $bucketWidth").as("bk"))
-      .unionAll(n.select(col("doc_id"), col("p"), col("ln"),
+      .unionAll(nearShort.select(col("doc_id"), col("ln"),
         expr(s"ln div $bucketWidth + 1").as("bk")))
-    val left = b.select(col("bk"), col("doc_id").as("d1"), col("p").as("p1"),
-      col("ln").as("ln1"))
-    val right = b.select(col("bk"), col("doc_id").as("d2"), col("p").as("p2"),
-      col("ln").as("ln2"))
-    left.join(right, Seq("bk"))
+    val pairsS = b.select(col("bk"), col("doc_id").as("d1"), col("ln").as("ln1"))
+      .join(b.select(col("bk"), col("doc_id").as("d2"), col("ln").as("ln2")),
+        Seq("bk"))
       .where(col("d1") < col("d2") &&
         abs(col("ln1") - col("ln2")) <= maxLenDiff)
-      .select(col("d1"), col("d2"), col("p1"), col("p2"))
+      .select(col("d1"), col("d2"))
       .distinct()
+    val pairs = pairsLL.unionAll(pairsS).distinct()
+    pairs
+      .join(n.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
+      .join(n.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
       .select(col("d1"), col("d2"),
         levenshtein(col("p1"), col("p2"), maxEdits).as("ed"))
       .where(col("ed") >= 0 && col("ed") <= maxEdits)

@@ -42,6 +42,32 @@ class EditDistanceSpec extends AnyFunSuite with SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("PassJoin path: long docs (>=117-char prefix) pair across indel shifts") {
+    // base is > 117 chars, so these route through the segment/window
+    // (PassJoin) candidate path, not the short-pool fallback. The edits
+    // include an INSERTION near the front — every later grid segment of
+    // one side is shifted, so the match must come from a ±shift window.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val d = docs(
+      (1L, base),
+      (2L, "x " + base),                         // 2 inserts at front: global shift
+      (3L, base.replace("sigma", "sigmb")),      // 1 substitution mid-string
+      (4L, base.reverse))                        // same length, totally different
+    val got = Dedup.editDistancePairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val n = d.select(col("doc_id"),
+      substring(graft.functions.TextFunctions.normText(col("text")), 1, 120).as("p"),
+      length(graft.functions.TextFunctions.normText(col("text"))).cast("long").as("ln"))
+    val naive = n.as("a").crossJoin(n.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.ln") - col("b.ln")) <= 16 &&
+        levenshtein(col("a.p"), col("b.p")) <= 12)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("banded levenshtein reports the exact distance on kept pairs") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
