@@ -117,7 +117,13 @@ object ScaleSmoke {
       // expected ~linear), sessionization + time-weighted avg (one keyed
       // shuffle each over 10× events with 10× keys).
       "dedup_edit_distance", "text_bm25", "pipeline_span_corruption",
-      "pipeline_quality_buckets", "q_sessionize", "q_time_weighted_avg")
+      "pipeline_quality_buckets", "q_sessionize", "q_time_weighted_avg",
+      // Corpus-wide kNN graph (bucket self-join: in-bucket pair cost at
+      // FIXED bits=4 is quadratic by construction — production grows bits
+      // with the corpus via lshBitsFor; the exponent documents the fixed-
+      // bits behavior). q_skyline reads customer/orders, which this
+      // documents/embeddings/events synth does not produce.
+      "sim_knn_graph")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

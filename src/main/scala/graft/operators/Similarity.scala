@@ -107,6 +107,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** kNN-GRAPH construction: top-k cosine neighbors for EVERY corpus
+    * vector via a sign-bucket SELF-join — the candidate edge set for
+    * SemDeDup, graph clustering, or connectivity analysis over an
+    * embedding corpus. Unlike the serve-path kernels (fixed query set,
+    * broadcast), both join sides are the corpus: each side shuffles ONCE
+    * on the bucket key and in-bucket pair cost is Σ bucket² — `bits`
+    * grows with the corpus ([[lshBitsFor]]) to hold bucket population
+    * roughly constant, the same knob every LSH kernel here uses.
+    * Neighbors missed across bucket boundaries are the documented LSH
+    * recall trade ([[multiProbeBuckets]] recovers them at probe-set cost;
+    * `sim_recall_eval` quantifies it). */
+  def knnGraph(emb: DataFrame, k: Int, bucketBits: Int = 0): DataFrame = {
+    val bits = resolveBits(emb, bucketBits)
+    val c = prep(emb).withColumn("bucket", signBucket(col("v"), bits))
+    val q = c.select(col("bucket"), col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   // ---------------------------------------------------------------------
   // Centroid models (IVF cells, PQ codebooks): driver-resident artifacts.
   // ---------------------------------------------------------------------

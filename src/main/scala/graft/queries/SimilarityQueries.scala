@@ -115,6 +115,29 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // kNN-GRAPH construction: top-3 neighbors for EVERY corpus vector via
+    // a sign-bucket SELF-join (both sides the corpus — one bucket-keyed
+    // shuffle each, in-bucket pairing; no broadcast query set). The edge
+    // set SemDeDup / graph clustering starts from. bits=4 here to keep
+    // the oracle static; production derives bits from the corpus size
+    // (Similarity.lshBitsFor) so bucket population stays ~constant.
+    Q("sim_knn_graph", {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"WITH $normsCte, " +
+        s"nb AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n), " +
+        "scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) " +
+        "/ (a.nrm * b.nrm), 6) AS cosine " +
+        "FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id), " +
+        "r AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+        "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 3 ORDER BY qid, rank"
+    }) { (s, d) =>
+      Similarity.knnGraph(emb(s, d), k = 3, bucketBits = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // ANN quality evaluation: recall@3 of the sign-bucket LSH index
     // against the exact brute-force neighbors, per query — the metric an
     // index deployment is actually judged by (an ANN result with

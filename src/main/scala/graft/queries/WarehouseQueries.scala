@@ -103,6 +103,55 @@ object WarehouseQueries {
         .where(col("sd") > 0)
         .select(col("user_id"), col("twa"))
         .orderBy(col("user_id"))
+    },
+
+    // Skyline (Pareto frontier): customers not strictly dominated on
+    // (account balance, order count) — the multi-criteria shortlist
+    // operator. The oracle states the SEMANTICS (naive NOT EXISTS
+    // dominance); the engine computes it as a distributed sweep:
+    //   1. per-bal max order count (one groupBy shuffle — same-bal
+    //      lower-n points are dominated unless they tie the max);
+    //   2. running strict-prefix max over bal DESC via the BOUNDED-SHARD
+    //      two-pass pattern (pipeline_pack_sequences' prefix sum, with
+    //      max for sum): in-shard window over bal-range shards + a tiny
+    //      per-shard offset window — never one global single-partition
+    //      window;
+    //   3. skyline points = n equal to per-bal max and above every
+    //      strictly-higher-bal max; members re-attached by one key join.
+    Q("q_skyline",
+      "WITH s AS (SELECT c_custkey, c_acctbal AS bal, " +
+        "CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders " +
+        "FROM customer c) " +
+        "SELECT c_custkey, ROUND(bal, 2) AS bal, n_orders FROM s a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM s b WHERE b.bal >= a.bal AND b.n_orders >= a.n_orders " +
+        "AND (b.bal > a.bal OR b.n_orders > a.n_orders)) " +
+        "ORDER BY c_custkey") { (s, d) =>
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val stats = Tables.customer(s, d)
+        .join(counts, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_acctbal").as("bal"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      val perBal = stats.groupBy(col("bal")).agg(max(col("n_orders")).as("mx"))
+        .withColumn("shard", floor(col("bal") / 1000).cast("long"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("bal").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inner = perBal.withColumn("rin", max(col("mx")).over(wIn))
+      val wOff = Window.orderBy(col("shard").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perBal.groupBy(col("shard")).agg(max(col("mx")).as("smx"))
+        .withColumn("roff", max(col("smx")).over(wOff))
+        .select(col("shard"), col("roff"))
+      val skyPoints = inner.join(broadcast(offsets), "shard")
+        .withColumn("rmax",
+          greatest(coalesce(col("rin"), lit(Long.MinValue)),
+            coalesce(col("roff"), lit(Long.MinValue))))
+        .where(col("mx") > col("rmax"))
+        .select(col("bal").as("sbal"), col("mx"))
+      stats.join(skyPoints,
+          col("bal") === col("sbal") && col("n_orders") === col("mx"))
+        .select(col("c_custkey"), round(col("bal"), 2).as("bal"), col("n_orders"))
+        .orderBy(col("c_custkey"))
     }
   )
 }
