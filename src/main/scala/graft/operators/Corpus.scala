@@ -131,6 +131,58 @@ object Corpus {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Zipf-law fit over the top-R token ranks: OLS slope (and R²) of
+    * ln freq vs ln rank — the corpus-health diagnostic (natural text sits
+    * near slope −1; pathological or synthetic segments drift off it).
+    * The top-R types come from a distributed TakeOrdered
+    * (`orderBy.limit`), NEVER a corpus-vocab-wide single-partition rank
+    * window — at 100 TB the type table is ~10⁸ rows; only the ≤ R
+    * surviving rows see the rank window. */
+  def zipfSlope(docs: DataFrame, topR: Int): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(topR)
+    val w = Window.orderBy(col("n").desc, col("tok")) // ≤ topR rows
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .agg(
+        round(expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 6)
+          .as("zipf_slope"),
+        round(expr("regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 6)
+          .as("r2"),
+        count(lit(1)).as("n_types"))
+  }
+
+  /** Bigram language model train + holdout scoring: add-1-smoothed
+    * p(w2|w1) from the training split, holdout docs scored by mean
+    * −ln p — "model training as aggregation": the model IS the bigram
+    * count table, distributed, never driver-resident. Shapes: bigram
+    * build is a per-row array transform; train/uni are token-keyed
+    * aggregations; scoring is a (bigram, w1)-keyed shuffle join (vocab
+    * can be huge — never broadcast) plus one broadcast scalar (V). */
+  def bigramNll(docs: DataFrame, holdoutMod: Int = 5): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val bg = t.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS big, " +
+          "element_at(toks, i) AS w1))")).as("p"))
+      .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
+    val train = bg.where(col("doc_id") % holdoutMod =!= 0)
+      .groupBy(col("big"), col("w1")).agg(count(lit(1)).as("c2"))
+    val uni = train.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = bg.agg(countDistinct(col("w1")).as("vsize"))
+    bg.where(col("doc_id") % holdoutMod === 0)
+      .join(train, Seq("big", "w1"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(avg(-log((coalesce(col("c2"), lit(0L)) + 1) /
+          (coalesce(col("c1"), lit(0L)) + col("vsize")).cast("double"))), 6)
+          .as("nll"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Unigram-LM surprisal: train a corpus unigram model (token frequency /
     * corpus size) and score every document by its mean −ln p(token) — the
     * cheap KenLM-style fluency proxy used to rank/filter corpus segments.

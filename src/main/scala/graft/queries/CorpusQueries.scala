@@ -95,6 +95,43 @@ object CorpusQueries {
         "FROM tok1 JOIN vocab USING (tok), tot " +
         "GROUP BY doc_id ORDER BY doc_id") { (s, d) =>
       Corpus.unigramSurprisal(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // Zipf-law fit: OLS slope/R² of ln freq vs ln rank over the top-100
+    // token ranks — corpus-health diagnostic. The engine takes top-R via
+    // distributed TakeOrdered and ranks only those ≤ R rows; the oracle's
+    // window formulation is the same top-R-by-(n DESC, tok) semantics.
+    Q("text_zipf_slope",
+      s"WITH $tokCte, " +
+        "c AS (SELECT tok, COUNT(*)::BIGINT AS n FROM tok1 GROUP BY 1), " +
+        "r AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM c) " +
+        "SELECT ROUND(regr_slope(ln(n::DOUBLE), ln(rnk::DOUBLE)), 6) AS zipf_slope, " +
+        "ROUND(regr_r2(ln(n::DOUBLE), ln(rnk::DOUBLE)), 6) AS r2, " +
+        "COUNT(*) AS n_types FROM r WHERE rnk <= 100") { (s, d) =>
+      Corpus.zipfSlope(Tables.documents(s, d), topR = 100)
+    },
+
+    // Bigram-LM holdout scoring (add-1 smoothing, train = doc_id % 5 != 0):
+    // the model is the distributed bigram count table — "training" is two
+    // aggregations, scoring is a (bigram, w1)-keyed join. Mean −ln p per
+    // holdout doc, the step up from text_surprisal's unigram fluency proxy.
+    Q("corpus_bigram_nll",
+      s"WITH $toksCte, " +
+        "bg AS (SELECT doc_id, " +
+        "unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS big, " +
+        "unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1 " +
+        "FROM toks WHERE len(t) >= 2), " +
+        "train AS (SELECT big, w1, COUNT(*)::BIGINT AS c2 FROM bg WHERE doc_id % 5 != 0 GROUP BY 1, 2), " +
+        "uni AS (SELECT w1, SUM(c2)::BIGINT AS c1 FROM train GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT w1)::BIGINT AS vsize FROM bg), " +
+        "hold AS (SELECT doc_id, big, w1 FROM bg WHERE doc_id % 5 = 0) " +
+        "SELECT h.doc_id, " +
+        "ROUND(AVG(-ln((COALESCE(t.c2, 0) + 1) / (COALESCE(u.c1, 0) + vsize)::DOUBLE)), 6) AS nll, " +
+        "COUNT(*) AS n_bigrams " +
+        "FROM hold h LEFT JOIN train t ON h.big = t.big AND h.w1 = t.w1 " +
+        "LEFT JOIN uni u ON h.w1 = u.w1, v GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Corpus.bigramNll(Tables.documents(s, d), holdoutMod = 5)
+        .orderBy(col("doc_id"))
     }
   )
 }

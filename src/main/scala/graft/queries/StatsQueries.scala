@@ -185,6 +185,29 @@ object StatsQueries {
           round(col("e50"), 4).as("p50"), round(col("e75"), 4).as("p75"),
           col("approx_within_tol"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Mutual information between two categorical columns (lang × source)
+    // — the dependence screen a data-audit sweep runs over column pairs.
+    // One (lang, source) contingency aggregation (small: |lang|·|source|
+    // cells however big the corpus), two marginal re-aggregations of that
+    // tiny table, one broadcast total; MI = Σ p_ij · ln(p_ij/(p_i·p_j)).
+    Q("q_mutual_info",
+      "WITH j AS (SELECT lang, source, COUNT(*)::DOUBLE AS nij FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT SUM(nij) AS n FROM j), " +
+        "m AS (SELECT lang, SUM(nij) AS ni FROM j GROUP BY 1), " +
+        "s AS (SELECT source, SUM(nij) AS nj FROM j GROUP BY 1) " +
+        "SELECT ROUND(SUM((nij / n) * ln((nij * n) / (ni * nj))), 6) AS mi " +
+        "FROM j JOIN m USING (lang) JOIN s USING (source), t") { (s, d) =>
+      val j = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("double").as("nij"))
+      val t = j.agg(sum(col("nij")).as("n"))
+      val m = j.groupBy(col("lang")).agg(sum(col("nij")).as("ni"))
+      val src = j.groupBy(col("source")).agg(sum(col("nij")).as("nj"))
+      j.join(m, "lang").join(src, "source").crossJoin(broadcast(t))
+        .agg(round(sum((col("nij") / col("n")) *
+          log((col("nij") * col("n")) / (col("ni") * col("nj")))), 6).as("mi"))
     }
   )
 }
