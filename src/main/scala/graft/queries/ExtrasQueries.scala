@@ -333,6 +333,23 @@ object ExtrasQueries {
         .orderBy(col("n_regionkey"))
     },
 
+    // XML source (built into Spark SQL since 4.0): region round-trips
+    // through an XML file with an explicit schema — same
+    // write-read-aggregate contract as the ORC/JSON source queries; the
+    // oracle reads the ORIGINAL table, so any row/value drift in the
+    // format round-trip fails the hash.
+    Q("q_xml_source",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+      val path = s"$scratchRoot/xml_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").option("rootTag", "regions").option("rowTag", "region")
+        .format("xml").save(path)
+      s.read.schema("r_regionkey LONG, r_name STRING")
+        .option("rowTag", "region").format("xml").load(path)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    },
+
     // SQL-text layer: the same engine through spark.sql over registered
     // views, with an uncorrelated scalar subquery.
     Q("q_sql_scalar_subquery",
