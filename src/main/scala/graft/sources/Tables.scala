@@ -16,9 +16,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Timestamp-bearing columns per table. The physical form these ship in
+    * has ALREADY changed between driver testdata regenerations (round 7:
+    * events.ts TIMESTAMP(NANOS) → micros TIMESTAMP_NTZ, which crashed all
+    * 47 events queries until the loader adapted) — so every loader
+    * normalizes every known timestamp column, not just events.ts. */
+  private val timestampCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** Normalize one decoded timestamp column to microsecond TimestampType,
+    * matching what DuckDB computes for the same file under a UTC session:
+    *  - LongType (TIMESTAMP(NANOS) surfaced via nanosAsLong): integer-
+    *    divide to micros — DuckDB's TIMESTAMP_NS read truncates the same;
+    *  - TimestampNTZType (micros, not UTC-adjusted): cast — bit-identical
+    *    under the UTC session timezone to DuckDB's naive read;
+    *  - DateType: cast — midnight UTC, same as DuckDB date → timestamp;
+    *  - TimestampType: already the normal form. */
+  private def normalizeTs(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+    if (!df.columns.contains(c)) df
+    else df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case DateType         => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"$c: unsupported parquet-decoded type $other (expected LONG nanos, TIMESTAMP_NTZ, DATE, or TIMESTAMP)")
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
-    spark.read.parquet(s"$dir/$name.parquet")
+    // Surface TIMESTAMP(NANOS) as a raw LONG instead of a read error —
+    // normalizeTs turns it back into micros TimestampType.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    timestampCols.getOrElse(name, Nil).foldLeft(raw)(normalizeTs)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
@@ -28,32 +63,10 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` has shipped in several parquet physical types across
-    * testdata generations — TIMESTAMP(NANOS) (which Spark's vectorized
-    * reader rejects; `nanosAsLong` surfaces it as a raw LONG),
-    * TIMESTAMP_MICROS without UTC adjustment (Spark reads TIMESTAMP_NTZ),
-    * and UTC-adjusted TIMESTAMP_MICROS (plain TimestampType). Branch on the
-    * dtype the reader actually produced and normalize every form to a
-    * microsecond TimestampType column, matching what DuckDB sees for the
-    * same file under a UTC session:
-    *  - LongType (nanos-as-long): integer-divide to micros — the same
-    *    truncation DuckDB applies reading TIMESTAMP_NS.
-    *  - TimestampNTZType: cast to timestamp — bit-identical under the UTC
-    *    session timezone to DuckDB's naive read.
-    *  - TimestampType: already the normal form.
-    */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType    => raw
-      case other => throw new IllegalStateException(
-        s"events.ts: unsupported parquet-decoded type $other (expected LONG nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
-    }
-  }
+  /** Kept as a named loader (queries and the scale-smoke synth call it);
+    * the ts normalization itself now happens for every table in [[load]]
+    * via [[normalizeTs]]. */
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   /** documents/embeddings arrive as one small parquet file = ONE input
     * partition, which would serialize the md5/shingle/vector compute that
     * dominates the dedup and similarity pipelines. Spread rows across the

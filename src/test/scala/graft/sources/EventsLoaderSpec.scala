@@ -77,4 +77,41 @@ class EventsLoaderSpec extends AnyFunSuite with SparkSpec {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.limit(5).count() > 0)
   }
+
+  // Round-8 generalization: the SAME regeneration class can hit any other
+  // timestamp-bearing table (o_orderdate, l_shipdate) — every loader now
+  // normalizes its known timestamp columns, including the DATE form a
+  // date-like column could plausibly regenerate into.
+  test("orders.o_orderdate normalizes from date, NTZ, and LTZ forms") {
+    import spark.implicits._
+    val days = Seq(9000L, 9100L, 9200L) // days since epoch
+    def rows = days.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("o_orderkey", "d")
+    def write(form: String)(ts: org.apache.spark.sql.Column): String = {
+      val dir = s"$tmp/orders_$form"
+      rows.select(col("o_orderkey"), ts.as("o_orderdate"),
+          lit(1L).as("o_custkey"), lit("O").as("o_orderstatus"),
+          lit(1.0).as("o_totalprice"), lit("1-URGENT").as("o_orderpriority"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val dirs = Map(
+      "date" -> write("date")(date_from_unix_date(col("d").cast("int"))),
+      "ntz" -> write("ntz")(
+        timestamp_micros(col("d") * 86400000000L).cast("timestamp_ntz")),
+      "ltz" -> write("ltz")(timestamp_micros(col("d") * 86400000000L)))
+    val expected = days.zipWithIndex.map { case (d, i) =>
+      (i.toLong, d * 86400000000L)
+    }
+    dirs.foreach { case (form, dir) =>
+      val df = Tables.orders(spark, dir)
+      assert(df.schema("o_orderdate").dataType == TimestampType,
+        s"$form: expected TimestampType, got ${df.schema("o_orderdate").dataType}")
+      val got = df.select(col("o_orderkey"),
+          unix_micros(col("o_orderdate")).as("us"))
+        .orderBy(col("o_orderkey")).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got == expected, s"$form: expected $expected, got $got")
+    }
+  }
 }
