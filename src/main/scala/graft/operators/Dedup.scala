@@ -362,12 +362,17 @@ object Dedup {
       .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("p"),
         length(col("norm")).cast("long").as("ln")))
     val longs = n.where(length(col("p")) >= minLongPrefix)
+    // The (slot, 9-gram) join key collapses to ONE xxhash64 long: smaller
+    // shuffle rows and a long-compare hash join instead of string keys.
+    // Still lossless — a hash collision can only ADD a candidate, and the
+    // Levenshtein verify rejects it.
+    def gramKey(slot: Column, gram: Column): Column = xxhash64(slot, gram)
     // A-side: the 13 grid segments of each long doc.
     val segs = longs
       .select(col("doc_id").as("da"), col("ln").as("la"), col("p").as("pa"),
         explode(sequence(lit(0), lit(nSeg - 1))).as("j"))
-      .select(col("da"), col("la"), col("j"),
-        expr(s"substring(pa, $segLen * j + 1, $segLen)").as("s"))
+      .select(col("da"), col("la"),
+        gramKey(col("j"), expr(s"substring(pa, $segLen * j + 1, $segLen)")).as("gk"))
     // B-side: every 9-char window within ±maxEdits of each grid slot.
     val subs = longs
       .select(col("doc_id").as("db"), col("ln").as("lb"), col("p").as("pb"),
@@ -376,9 +381,9 @@ object Dedup {
         explode(sequence(lit(-maxEdits), lit(maxEdits))).as("d"))
       .where(expr(s"$segLen * j + 1 + d") >= 1 &&
         expr(s"$segLen * j + $segLen + d") <= length(col("pb")))
-      .select(col("db"), col("lb"), col("j"),
-        expr(s"substring(pb, $segLen * j + 1 + d, $segLen)").as("s"))
-    val pairsLL = segs.join(subs, Seq("j", "s"))
+      .select(col("db"), col("lb"),
+        gramKey(col("j"), expr(s"substring(pb, $segLen * j + 1 + d, $segLen)")).as("gk"))
+    val pairsLL = segs.join(subs, Seq("gk"))
       .where(col("da") =!= col("db") &&
         abs(col("la") - col("lb")) <= maxLenDiff)
       .select(least(col("da"), col("db")).as("d1"),

@@ -199,9 +199,16 @@ object StatsQueries {
         "s AS (SELECT source, SUM(nij) AS nj FROM j GROUP BY 1) " +
         "SELECT ROUND(SUM((nij / n) * ln((nij * n) / (ni * nj))), 6) AS mi " +
         "FROM j JOIN m USING (lang) JOIN s USING (source), t") { (s, d) =>
-      val j = Tables.documents(s, d)
+      // Direct load (no documents parallelism repartition — that exchange
+      // serves the text-heavy dedup scans; here the scan prunes to two
+      // string columns and aggregates immediately). localCheckpoint: the
+      // contingency table is |lang|·|source| rows (~20); its three
+      // marginal branches would otherwise each re-run the corpus
+      // aggregation from the parquet scan.
+      val j = Tables.load(s, d, "documents")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).cast("double").as("nij"))
+        .localCheckpoint()
       val t = j.agg(sum(col("nij")).as("n"))
       val m = j.groupBy(col("lang")).agg(sum(col("nij")).as("ni"))
       val src = j.groupBy(col("source")).agg(sum(col("nij")).as("nj"))
