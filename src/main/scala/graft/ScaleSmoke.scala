@@ -123,7 +123,7 @@ object ScaleSmoke {
       // with the corpus via lshBitsFor; the exponent documents the fixed-
       // bits behavior). q_skyline reads customer/orders, which this
       // documents/embeddings/events synth does not produce.
-      "sim_knn_graph")
+      "sim_knn_graph", "q_event_sequence_match", "pipeline_interleave")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

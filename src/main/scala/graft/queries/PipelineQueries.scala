@@ -389,6 +389,35 @@ object PipelineQueries {
           md5(col("input_s").cast("binary")).as("input_md5"),
           md5(col("target_s").cast("binary")).as("target_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // Deterministic language-interleaved training order (the mixture
+    // dataloader prep): each doc's per-language rank, languages then
+    // alternating round-robin by (rank, lang) — the order a balanced
+    // multilingual epoch reads shards in. Per-lang rank uses the SAME
+    // bounded-shard two-pass as pipeline_pack_sequences (row_number
+    // inside (lang, doc_id div W) range shards + per-shard count
+    // offsets) — never an unbounded per-lang window. Output pins the
+    // first 10 rounds of the interleave.
+    Q("pipeline_interleave",
+      "WITH r AS (SELECT lang, doc_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY doc_id) AS rnk FROM documents) " +
+        "SELECT rnk, lang, doc_id FROM r WHERE rnk <= 10 ORDER BY rnk, lang") { (s, d) =>
+      val shardW = 128L
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), expr(s"doc_id div $shardW").as("shard"))
+      val wIn = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      val within = t.withColumn("rin", row_number().over(wIn).cast("long"))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = t.groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("lang"), col("shard"), col("off"))
+      within.join(broadcast(offs), Seq("lang", "shard"))
+        .select((col("rin") + col("off")).as("rnk"), col("lang"), col("doc_id"))
+        .where(col("rnk") <= 10)
+        .orderBy(col("rnk"), col("lang"))
     }
   )
 

@@ -152,6 +152,35 @@ object WarehouseQueries {
           col("bal") === col("sbal") && col("n_orders") === col("mx"))
         .select(col("c_custkey"), round(col("bal"), 2).as("bal"), col("n_orders"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Event-sequence pattern matching (batch CEP / MATCH_RECOGNIZE
+    // skeleton): each user's event history collapses to an ordered
+    // type-initial string — one user_id shuffle, sequence length = that
+    // user's event count — and patterns become plain regexes over it
+    // (here: a view→click→purchase funnel with no intervening purchase,
+    // and the count of immediate view→click bigrams). The (t, event_id)
+    // composite sort key makes the sequence total under timestamp ties,
+    // so the string is bit-identical in both engines.
+    Q("q_event_sequence_match",
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, substr(event_type, 1, 1) AS c FROM events), " +
+        "s AS (SELECT user_id, string_agg(c, '' ORDER BY t, event_id) AS seq FROM e GROUP BY 1) " +
+        "SELECT user_id, length(seq)::BIGINT AS n_events, " +
+        "regexp_matches(seq, 'v[^p]*c[^p]*p') AS funnel_match, " +
+        "len(regexp_extract_all(seq, 'vc'))::BIGINT AS n_quick_clicks " +
+        "FROM s ORDER BY user_id") { (s, d) =>
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("t"), col("event_id"), col("c")))),
+          x => x.getField("c")), "").as("seq"))
+      seq.select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          col("seq").rlike("v[^p]*c[^p]*p").as("funnel_match"),
+          regexp_count(col("seq"), lit("vc")).cast("long").as("n_quick_clicks"))
+        .orderBy(col("user_id"))
     }
   )
 }
