@@ -76,4 +76,20 @@ class EditDistanceSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(rows == Seq((1L, 2L, 2))) // "jumps" -> "jumped" is exactly 2 edits
   }
+
+  test("degenerate docs: empty, one-char, and identical shorts don't crash") {
+    val d = docs(
+      (1L, ""),
+      (2L, "x"),
+      (3L, "x"),
+      (4L, "!!"), // normalizes to empty
+      (5L, "completely different words entirely here"))
+    val got = Dedup.editDistancePairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // Empty/1-char norms are within band+threshold of each other: the
+    // short pool must still pair them (ed over tiny strings), never throw.
+    assert(got.contains((2L, 3L))) // identical one-char docs
+    assert(got.contains((1L, 4L))) // both normalize to empty: ed 0
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
