@@ -181,6 +181,54 @@ object WarehouseQueries {
           col("seq").rlike("v[^p]*c[^p]*p").as("funnel_match"),
           regexp_count(col("seq"), lit("vc")).cast("long").as("n_quick_clicks"))
         .orderBy(col("user_id"))
+    },
+
+    // Linear-trend forecast per event type: daily totals (scaled-int sums
+    // — exact in both engines), per-type OLS over (day, total) via
+    // regr_slope/regr_intercept, extrapolated 1 and 3 days past the last
+    // observed day. Cost at any scale: one (type, day) aggregation, then
+    // a per-type regression over days — rows bounded by types × days,
+    // never by events.
+    Q("q_trend_forecast",
+      "WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total FROM events GROUP BY 1, 2), " +
+        "f AS (SELECT event_type, regr_slope(total, day::DOUBLE) AS m, " +
+        "regr_intercept(total, day::DOUBLE) AS b, MAX(day) AS last_day, " +
+        "COUNT(*) AS n_days FROM d GROUP BY 1) " +
+        "SELECT event_type, n_days, ROUND(m, 6) AS slope, " +
+        "ROUND(m * (last_day + 1) + b, 4) AS forecast_1d, " +
+        "ROUND(m * (last_day + 3) + b, 4) AS forecast_3d " +
+        "FROM f ORDER BY event_type") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("total"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("regr_slope(total, CAST(day AS DOUBLE))").as("m"),
+          expr("regr_intercept(total, CAST(day AS DOUBLE))").as("b"),
+          max(col("day")).as("last_day"), count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("n_days"), round(col("m"), 6).as("slope"),
+          round(col("m") * (col("last_day") + 1) + col("b"), 4).as("forecast_1d"),
+          round(col("m") * (col("last_day") + 3) + col("b"), 4).as("forecast_3d"))
+        .orderBy(col("event_type"))
+    },
+
+    // Functional-dependency profiling (does X determine Y?): per-key
+    // distinct-dependent counts, violation share — the schema-discovery /
+    // data-quality sweep primitive. One (key)-aggregation with a distinct
+    // count, one global roll-up; linear however wide the table.
+    Q("q_fd_check",
+      "WITH g AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nv FROM orders GROUP BY 1) " +
+        "SELECT COUNT(*)::BIGINT AS n_keys, " +
+        "CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_keys, " +
+        "ROUND(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE, 6) AS violation_rate " +
+        "FROM g") { (s, d) =>
+      val g = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("nv"))
+      g.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("violating_keys"),
+          round(sum(when(col("nv") > 1, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 6).as("violation_rate"))
     }
   )
 }
