@@ -77,6 +77,44 @@ class EditDistanceSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Seq((1L, 2L, 2))) // "jumps" -> "jumped" is exactly 2 edits
   }
 
+  test("randomized: every in-threshold edited pair is found (pigeonhole holds)") {
+    // Seeded random base strings (long enough for the PassJoin path) with
+    // 1..12 random single-char edits applied — substitutions, inserts,
+    // deletes at random positions. The pigeonhole theorem says EVERY such
+    // pair must survive blocking; the verify then keeps those whose banded
+    // distance is <= 12 (edits can also cancel, so we assert against the
+    // naive all-pairs truth, not against the edit count).
+    val rng = new scala.util.Random(1234)
+    val alpha = "abcdefghij "
+    def randStr(len: Int) = (1 to len).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    def edit(s: String): String = {
+      val i = rng.nextInt(s.length)
+      rng.nextInt(3) match {
+        case 0 => s.updated(i, alpha(rng.nextInt(alpha.length)))          // sub
+        case 1 => s.substring(0, i) + alpha(rng.nextInt(alpha.length)) + s.substring(i) // ins
+        case 2 => s.substring(0, i) + s.substring(i + 1)                  // del
+      }
+    }
+    val rows = (0 until 20).flatMap { g =>
+      val base = randStr(130 + rng.nextInt(100))
+      val edited = (1 to (1 + rng.nextInt(12))).foldLeft(base)((s, _) => edit(s))
+      Seq((g * 2L, base), (g * 2L + 1, edited))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val n = d.select(col("doc_id"),
+      substring(graft.functions.TextFunctions.normText(col("text")), 1, 120).as("p"),
+      length(graft.functions.TextFunctions.normText(col("text"))).cast("long").as("ln"))
+    val naive = n.as("a").crossJoin(n.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.ln") - col("b.ln")) <= 16 &&
+        levenshtein(col("a.p"), col("b.p")) <= 12)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(naive.size >= 15, s"sanity: most edited pairs should be in threshold, got ${naive.size}")
+  }
+
   test("degenerate docs: empty, one-char, and identical shorts don't crash") {
     val d = docs(
       (1L, ""),
