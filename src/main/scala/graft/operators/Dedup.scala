@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -427,11 +428,33 @@ object Dedup {
     * per-row (doc_id, text) hashes + row count, one cheap aggregate. Keys
     * the persisted LSH index's staleness check (same contract as the IVF
     * index's [[Similarity]] fingerprint: a rebuilt table at the same path
-    * can never be probed against a stale index silently). */
+    * can never be probed against a stale index silently).
+    *
+    * Memoized behind a METADATA check exactly like Similarity.contentFp:
+    * if the plan (semantic hash) and the input files' (path, size, mtime)
+    * listing are unchanged, the content cannot have changed and the
+    * cached fingerprint returns without a job — the listing-level
+    * staleness contract an object store's etag gives a production index
+    * service. Non-file sources always recompute. */
+  private val docFpCache = new ConcurrentHashMap[String, String]()
   private def docFp(docs: DataFrame): String = {
-    val r = docs.select(xxhash64(col("doc_id"), col("text")).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
-    s"${r.getLong(0)}|${r.getLong(1)}"
+    val files = docs.inputFiles.sorted
+    val listingKey =
+      if (files.isEmpty) ""
+      else {
+        val listing = files.map { u =>
+          val f = new java.io.File(new java.net.URI(u).getPath)
+          s"${f.getPath}:${f.length}:${f.lastModified}"
+        }.mkString(",")
+        s"${docs.queryExecution.analyzed.semanticHash()}|$listing"
+      }
+    def compute: String = {
+      val r = docs.select(xxhash64(col("doc_id"), col("text")).as("h"))
+        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
+      s"${r.getLong(0)}|${r.getLong(1)}"
+    }
+    if (listingKey.isEmpty) compute
+    else docFpCache.computeIfAbsent(listingKey, _ => compute)
   }
 
   /** Persist the HISTORICAL corpus's LSH dedup index as a parquet table
