@@ -45,7 +45,17 @@ object TpchFinalQueries {
         "AND ps_cost_cents = (SELECT MIN(ps2.ps_cost_cents) FROM ps ps2, eu eu2 " +
         "WHERE ps2.ps_partkey=p_partkey AND eu2.s_suppkey=ps2.ps_suppkey) " +
         "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100") { (s, d) =>
+      // The correlated min is evaluated only for parts surviving the
+      // (p_size, p_type) filter, so lineitem semi-joins the FILTERED part
+      // keys BEFORE the (part, supp) aggregation — a broadcast filter
+      // that shrinks the agg input to the selected parts' rows; the
+      // per-part min over EU suppliers is unchanged for every part that
+      // can appear in the output.
+      val selParts = Tables.part(s, d)
+        .filter(col("p_size") === 25 && col("p_type") === "LARGE")
       val ps = Tables.lineitem(s, d).filter(col("l_quantity") > 0)
+        .join(broadcast(selParts.select(col("p_partkey").as("sel_pk"))),
+          col("l_partkey") === col("sel_pk"), "left_semi")
         .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"),
           round(col("l_extendedprice") * 100 / col("l_quantity")).cast("long")
             .as("cost_cents"))
@@ -65,9 +75,7 @@ object TpchFinalQueries {
         .withColumn("min_cost", min(col("ps_cost_cents")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("ps_partkey"))))
         .where(col("ps_cost_cents") === col("min_cost"))
-        .join(broadcast(Tables.part(s, d)
-            .filter(col("p_size") === 25 && col("p_type") === "LARGE")),
-          col("p_partkey") === col("ps_partkey"))
+        .join(broadcast(selParts), col("p_partkey") === col("ps_partkey"))
         .select((round(col("s_acctbal") * 100).cast("long") / 100.0).as("s_acctbal"),
           col("s_name"), col("n_name"), col("p_partkey"), col("p_name"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
