@@ -379,6 +379,96 @@ object AnalyticsQueries {
             .as("lift"))
         .orderBy(col("lift").desc, col("ba"), col("bb"))
         .limit(50)
+    },
+
+    // Marketing attribution: every purchase credits the FIRST and the LAST
+    // non-purchase touch that preceded it in the same user's stream —
+    // first-touch and last-touch in one pass. One shuffle on user_id
+    // serves both window frames (same partitioning + ordering); the
+    // per-channel rollup is a tiny second aggregation. (ts, event_id)
+    // ordering pins ties. Purchases with no prior touch (user's first
+    // event) drop in both engines.
+    Q("q_attribution",
+      "WITH a AS (SELECT user_id, event_id, event_type, value, " +
+        "FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER w AS first_touch, " +
+        "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER w AS last_touch FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT first_touch, last_touch, COUNT(*) AS n_purchases, " +
+        "ROUND(SUM(value), 2) AS attributed_value FROM a " +
+        "WHERE event_type = 'purchase' AND last_touch IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      Tables.events(s, d)
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase" && col("last_touch").isNotNull)
+        .groupBy(col("first_touch"), col("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("attributed_value"))
+        .orderBy(col("first_touch"), col("last_touch"))
+    },
+
+    // RFM segmentation (recency / frequency / monetary): per-customer
+    // order stats scored 1-4 against the population quartiles. The scores
+    // come from BROADCAST quartile thresholds (rounded to 6 dp in both
+    // engines before any comparison), NOT a global NTILE — a NTILE(4)
+    // needs one totally-ordered window (single reducer at scale), while
+    // threshold scoring is a 4-row broadcast against a narrow scan, the
+    // shape that survives a 100-TB orders table. Equal values always land
+    // in the same tier (NTILE would split them arbitrarily).
+    Q("q_rfm_segments",
+      "WITH rfm AS (SELECT o_custkey, epoch(MAX(o_orderdate)) / 86400.0 AS rec, " +
+        "COUNT(*) AS freq, ROUND(SUM(o_totalprice), 2) AS monetary " +
+        "FROM orders GROUP BY 1), " +
+        "q AS (SELECT " +
+        "ROUND(quantile_cont(rec, 0.25), 6) AS r1, ROUND(quantile_cont(rec, 0.5), 6) AS r2, " +
+        "ROUND(quantile_cont(rec, 0.75), 6) AS r3, " +
+        "ROUND(quantile_cont(freq, 0.25), 6) AS f1, ROUND(quantile_cont(freq, 0.5), 6) AS f2, " +
+        "ROUND(quantile_cont(freq, 0.75), 6) AS f3, " +
+        "ROUND(quantile_cont(monetary, 0.25), 6) AS m1, " +
+        "ROUND(quantile_cont(monetary, 0.5), 6) AS m2, " +
+        "ROUND(quantile_cont(monetary, 0.75), 6) AS m3 FROM rfm) " +
+        "SELECT 1 + (rec > r1)::INT + (rec > r2)::INT + (rec > r3)::INT AS r_score, " +
+        "1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT AS f_score, " +
+        "1 + (monetary > m1)::INT + (monetary > m2)::INT + (monetary > m3)::INT AS m_score, " +
+        "COUNT(*) AS n_customers, " +
+        "ROUND(ROUND(SUM(monetary), 2) / COUNT(*), 2) AS avg_monetary " +
+        "FROM rfm, q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3") { (s, d) =>
+      val rfm = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((unix_timestamp(max(col("o_orderdate"))) / 86400.0).as("rec"),
+          count(lit(1)).as("freq"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+        .localCheckpoint() // read twice (thresholds + scoring scan)
+      val q = rfm.agg(
+        round(expr("percentile(rec, 0.25)"), 6).as("r1"),
+        round(expr("percentile(rec, 0.5)"), 6).as("r2"),
+        round(expr("percentile(rec, 0.75)"), 6).as("r3"),
+        round(expr("percentile(freq, 0.25)"), 6).as("f1"),
+        round(expr("percentile(freq, 0.5)"), 6).as("f2"),
+        round(expr("percentile(freq, 0.75)"), 6).as("f3"),
+        round(expr("percentile(monetary, 0.25)"), 6).as("m1"),
+        round(expr("percentile(monetary, 0.5)"), 6).as("m2"),
+        round(expr("percentile(monetary, 0.75)"), 6).as("m3"))
+      def score(v: String, t1: String, t2: String, t3: String) =
+        lit(1) + (col(v) > col(t1)).cast("int") +
+          (col(v) > col(t2)).cast("int") + (col(v) > col(t3)).cast("int")
+      rfm.crossJoin(broadcast(q))
+        .select(score("rec", "r1", "r2", "r3").as("r_score"),
+          score("freq", "f1", "f2", "f3").as("f_score"),
+          score("monetary", "m1", "m2", "m3").as("m_score"),
+          col("monetary"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        // avg from the ROUNDED segment sum: partial-agg order noise
+        // (~1e-9) flipped a 2-dp half boundary at sf0.1 otherwise.
+        .agg(count(lit(1)).as("n_customers"),
+          round(round(sum(col("monetary")), 2) / count(lit(1)), 2).as("avg_monetary"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
     }
   )
 }

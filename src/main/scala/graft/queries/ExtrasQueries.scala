@@ -462,6 +462,41 @@ object ExtrasQueries {
             .otherwise("update").as("action"))
         .where(col("action") =!= "delete")
         .orderBy(col("user_id"))
+    },
+
+    // Incremental view maintenance for an algebraic aggregate: a
+    // materialized per-user (count, sum, avg) view built from the base
+    // partition is refreshed with a delta batch by MERGING partial states
+    // — counts and sums add, avg re-derives from the merged (sum, count)
+    // — never by re-reading the base. The oracle is the full recompute:
+    // refresh(base) ⊕ delta ≡ recompute(base ∪ delta) is the IVM
+    // correctness contract. At scale this is the foreachBatch upsert
+    // path: the delta agg is proportional to the BATCH, the full-outer
+    // merge shuffles only on user_id, and the base is never rescanned.
+    Q("q_ivm_refresh",
+      "SELECT user_id, COUNT(*)::BIGINT AS n_events, " +
+        "ROUND(SUM(value), 2) AS total, " +
+        "ROUND(ROUND(SUM(value), 2) / COUNT(*), 6) AS avg_value " +
+        "FROM events GROUP BY 1 ORDER BY user_id") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      def part(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.groupBy(col("user_id").as(s"k_$side"))
+          .agg(count(lit(1)).as(s"n_$side"), sum(col("value")).as(s"s_$side"))
+      val base = part(ev.where(col("ts") < split), "b")
+      val delta = part(ev.where(col("ts") >= split), "d")
+      base.join(delta, col("k_b") === col("k_d"), "full_outer")
+        .select(
+          coalesce(col("k_b"), col("k_d")).as("user_id"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_events"),
+          (coalesce(col("s_b"), lit(0.0)) + coalesce(col("s_d"), lit(0.0))).as("s"))
+        // avg re-derives from the ROUNDED merged sum so the division's
+        // inputs are bit-identical to the oracle's (partitioned partial
+        // sums vs one full sum differ at ~1e-12 — enough to flip a 6-dp
+        // round exactly at a boundary, observed at sf0.01).
+        .select(col("user_id"), col("n_events"), round(col("s"), 2).as("total"),
+          round(round(col("s"), 2) / col("n_events"), 6).as("avg_value"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -215,6 +215,69 @@ object StatsQueries {
       j.join(m, "lang").join(src, "source").crossJoin(broadcast(t))
         .agg(round(sum((col("nij") / col("n")) *
           log((col("nij") * col("n")) / (col("ni") * col("nj")))), 6).as("mi"))
+    },
+
+    // Pairwise Pearson correlation matrix over the lineitem measures, in
+    // long form — the feature-screening pass every modeling pipeline runs.
+    // ONE full-table aggregation computes all six pairs (Catalyst shares
+    // the scan and the partial-agg buffers); the stack to long form is a
+    // 1-row→6-row projection. Rounded to 4 dp: corr is a ratio of sums,
+    // so reassociation noise lives at ~1e-12 relative.
+    Q("q_correlation_matrix", {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a~$b' AS pair, ROUND(CORR($a, $b), 4) AS r FROM lineitem"
+      }.mkString("", " UNION ALL ", " ORDER BY pair")
+    }) { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val agg = Tables.lineitem(s, d).agg(
+        round(corr(col(pairs.head._1), col(pairs.head._2)), 4).as("c0"),
+        pairs.tail.zipWithIndex.map { case ((a, b), k) =>
+          round(corr(col(a), col(b)), 4).as(s"c${k + 1}")
+        }: _*)
+      agg.select(explode(arrays_zip(
+          array(pairs.map { case (a, b) => lit(s"$a~$b") }: _*).as("pair"),
+          array(pairs.indices.map(k => col(s"c$k")): _*).as("r"))).as("z"))
+        .select(col("z.pair").as("pair"), col("z.r").as("r"))
+        .orderBy(col("pair"))
+    },
+
+    // Cramér's V: chi-square association between event type and a user
+    // cohort (user_id mod 10) — the categorical-vs-categorical companion
+    // to q_mutual_info. Contingency cells from one groupBy; marginals are
+    // re-aggregations of the tiny cell table (localCheckpoint, read 3×);
+    // expected counts and the chi-square fold run over ~50 rows. V =
+    // sqrt(chi2 / (n * min(r-1, c-1))), rounded to 6 dp.
+    Q("q_cramers_v",
+      "WITH c AS (SELECT event_type, user_id % 10 AS cohort, " +
+        "COUNT(*)::DOUBLE AS nij FROM events GROUP BY 1, 2), " +
+        "rm AS (SELECT event_type, SUM(nij) AS ni FROM c GROUP BY 1), " +
+        "cm AS (SELECT cohort, SUM(nij) AS nj FROM c GROUP BY 1), " +
+        "t AS (SELECT SUM(nij) AS n, COUNT(DISTINCT event_type) AS nr, " +
+        "COUNT(DISTINCT cohort) AS nc FROM c) " +
+        "SELECT ROUND(SQRT(SUM(POW(nij - ni * nj / n, 2) / (ni * nj / n)) / " +
+        "(ANY_VALUE(n) * LEAST(ANY_VALUE(nr) - 1, ANY_VALUE(nc) - 1))), 6) AS v " +
+        "FROM c JOIN rm USING (event_type) JOIN cm USING (cohort), t") { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).cast("double").as("nij"))
+        .localCheckpoint()
+      val rm = c.groupBy(col("event_type")).agg(sum(col("nij")).as("ni"))
+      val cm = c.groupBy(col("cohort")).agg(sum(col("nij")).as("nj"))
+      val t = c.agg(sum(col("nij")).as("n"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("cohort")).as("nc"))
+      val e = col("ni") * col("nj") / col("n")
+      c.join(rm, "event_type").join(cm, "cohort").crossJoin(broadcast(t))
+        .agg(round(sqrt(sum(pow(col("nij") - e, 2) / e) /
+          (first(col("n")) * least(first(col("nr")) - 1, first(col("nc")) - 1))), 6)
+          .as("v"))
     }
   )
 }

@@ -229,6 +229,40 @@ object WarehouseQueries {
           sum(when(col("nv") > 1, 1L).otherwise(0L)).as("violating_keys"),
           round(sum(when(col("nv") > 1, 1L).otherwise(0L)) /
             count(lit(1)).cast("double"), 6).as("violation_rate"))
+    },
+
+    // Robust anomaly detection: modified z-score on the median absolute
+    // deviation — q_anomaly_zscore's outlier-resistant sibling (one wild
+    // value shifts a mean/stddev cut; it cannot move a median/MAD cut).
+    // Two per-group aggregation passes (median, then MAD needs the
+    // median first), both over the same user_id-free grouping key, then a
+    // broadcast of the ~5-row stats table against a narrow scoring scan.
+    // Median/MAD are ROUNDED to 6 dp in both engines before the score,
+    // so interpolation arithmetic order cannot flip the |rz| > 3.5 cut.
+    // At 100 TB the exact per-group median swaps for approx_percentile —
+    // same plan shape, sketch-mergeable.
+    Q("q_anomaly_mad",
+      "WITH med AS (SELECT event_type, ROUND(MEDIAN(value), 6) AS med " +
+        "FROM events GROUP BY 1), " +
+        "mad AS (SELECT event_type, ROUND(MEDIAN(ABS(value - med)), 6) AS mad " +
+        "FROM events JOIN med USING (event_type) GROUP BY 1, med) " +
+        "SELECT event_id, e.event_type, " +
+        "ROUND(0.6745 * (value - med) / mad, 6) AS rz " +
+        "FROM events e JOIN med USING (event_type) JOIN mad USING (event_type) " +
+        "WHERE ABS(ROUND(0.6745 * (value - med) / mad, 6)) > 3.5 " +
+        "ORDER BY event_id") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+        .drop("med")
+      val rz = round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6)
+      ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), rz.as("rz"))
+        .where(abs(col("rz")) > 3.5)
+        .orderBy(col("event_id"))
     }
   )
 }
