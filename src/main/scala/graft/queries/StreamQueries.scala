@@ -372,6 +372,42 @@ object StreamQueries {
     }
   }
 
+  /** Stream ⋈ static enrichment — the canonical streaming dimension
+    * join: the event stream joins a BATCH dimension table (customer)
+    * that Spark broadcasts into every micro-batch task, stateless (no
+    * watermark needed for the join itself — nothing is buffered), then
+    * rolls up per segment. At 100 TB/day this is exactly the shape for
+    * enriching a firehose with reference data: the dim is broadcast (or
+    * a slowly-refreshed state-store side input), the stream partitioning
+    * is untouched until the aggregate's own shuffle. */
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val feed = eventsFeed(s, dir)
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val name = unique
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = s.readStream
+        .schema(Encoders.product[graft.model.TypedEvent].schema)
+        .parquet(feed)
+        .join(broadcast(dim), col("userId") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).orderBy(col("segment"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
+  }
+
   /** Streaming SESSION windows through the micro-batch engine: dynamic-
     * gap sessionization (30 min of inactivity closes a wallet's session)
     * with watermarked state — the state row for a session is evictable
@@ -626,6 +662,18 @@ object StreamQueries {
         "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
       (s, d) => materialized(s, "stream_dedup", depositFeed(s, d))(
         streamDedup(s, d))(byWallet)
+    },
+
+    // Stream ⋈ static dimension enrichment: every micro-batch joins the
+    // broadcast customer dim (stateless — nothing buffered), per-segment
+    // running totals in complete mode. The oracle is the batch join+agg.
+    Q("stream_enrich",
+      "SELECT c_mktsegment AS segment, COUNT(*) AS n_events, " +
+        "SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1 ORDER BY 1") {
+      (s, d) => materialized(s, "stream_enrich", eventsFeed(s, d))(
+        streamEnrich(s, d))(_.orderBy(col("segment")))
     }
   )
 }
