@@ -193,6 +193,50 @@ object GraphQueries {
         .crossJoin(broadcast(f2.agg(count(lit(1)).as("reach2"))))
         .crossJoin(broadcast(f3.agg(count(lit(1)).as("reach3"))))
         .select(col("seeds"), col("reach1"), col("reach2"), col("reach3"))
+    },
+
+    // Link prediction by common neighbors + Jaccard: candidate pairs are
+    // WEDGES (two edges sharing a center — one self-join of the distinct
+    // symmetric edge list on the center node, Σ deg(c)² like triangle
+    // counting; at 100 TB the same degree-ordered orientation bounds it),
+    // existing edges removed by a LEFT ANTI join, scored cn/(da+db-cn).
+    // Top-20 by (jaccard, cn, pair) — a fully deterministic order. The
+    // same one-month co-occurrence window as the other graph kernels.
+    Q("q_link_prediction",
+      "WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'), " +
+        "ed AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM lp a " +
+        "JOIN lp b ON a.o = b.o AND a.p <> b.p), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY 1), " +
+        "w AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn " +
+        "FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst " +
+        "GROUP BY 1, 2), " +
+        "nw AS (SELECT w.* FROM w WHERE NOT EXISTS " +
+        "(SELECT 1 FROM ed WHERE ed.src = w.a AND ed.dst = w.b)), " +
+        "sc AS (SELECT a, b, cn, ROUND(cn / (da.deg + db.deg - cn), 6) AS jaccard " +
+        "FROM nw JOIN deg da ON nw.a = da.src JOIN deg db ON nw.b = db.src) " +
+        "SELECT a, b, cn, jaccard FROM sc " +
+        "ORDER BY jaccard DESC, cn DESC, a, b LIMIT 20") { (s, d) =>
+      val lp = Tables.lineitem(s, d)
+        .where(col("l_shipdate").between("1995-01-01", "1995-06-30"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = lp.as("a").join(lp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+        .localCheckpoint() // read 4× (wedges both sides, anti, degrees)
+      val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val w = ed.as("e1").join(ed.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .groupBy(col("e1.dst").as("a"), col("e2.dst").as("b"))
+        .agg(count(lit(1)).as("cn"))
+      val nw = w.join(ed,
+        w("a") === ed("src") && w("b") === ed("dst"), "left_anti")
+      nw.join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"), col("cn"),
+          round(col("cn") / (col("da") + col("db") - col("cn")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("cn").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 }
