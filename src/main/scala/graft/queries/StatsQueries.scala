@@ -278,6 +278,39 @@ object StatsQueries {
         .agg(round(sqrt(sum(pow(col("nij") - e, 2) / e) /
           (first(col("n")) * least(first(col("nr")) - 1, first(col("nc")) - 1))), 6)
           .as("v"))
+    },
+
+    // A/B experiment readout: Welch's t statistic per event type between
+    // two user cohorts (user_id parity = the deterministic assignment).
+    // ONE grouped aggregation computes both arms' (n, mean, variance) via
+    // conditional aggregates — a single scan, no join, however many
+    // metrics ride along. mean/var are ROUNDED to 6 dp in both engines
+    // before t, so reassociation noise cannot move the statistic.
+    Q("q_ab_ttest",
+      "WITH s AS (SELECT event_type, " +
+        "COUNT(*) FILTER (user_id % 2 = 0)::BIGINT AS n_a, " +
+        "COUNT(*) FILTER (user_id % 2 = 1)::BIGINT AS n_b, " +
+        "ROUND(AVG(value) FILTER (user_id % 2 = 0), 6) AS mean_a, " +
+        "ROUND(AVG(value) FILTER (user_id % 2 = 1), 6) AS mean_b, " +
+        "ROUND(VAR_SAMP(value) FILTER (user_id % 2 = 0), 6) AS var_a, " +
+        "ROUND(VAR_SAMP(value) FILTER (user_id % 2 = 1), 6) AS var_b " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_type, n_a, n_b, mean_a, mean_b, " +
+        "ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 6) AS t_stat " +
+        "FROM s ORDER BY event_type") { (s, d) =>
+      val a = col("user_id") % 2 === 0
+      val st = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(when(a, 1)).as("n_a"), count(when(!a, 1)).as("n_b"),
+          round(avg(when(a, col("value"))), 6).as("mean_a"),
+          round(avg(when(!a, col("value"))), 6).as("mean_b"),
+          round(var_samp(when(a, col("value"))), 6).as("var_a"),
+          round(var_samp(when(!a, col("value"))), 6).as("var_b"))
+      st.select(col("event_type"), col("n_a"), col("n_b"),
+          col("mean_a"), col("mean_b"),
+          round((col("mean_a") - col("mean_b")) /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+            .as("t_stat"))
+        .orderBy(col("event_type"))
     }
   )
 }
