@@ -80,7 +80,7 @@ object Bench {
     // regression that crashes queries can only hurt the total, not flatter
     // it (a crash takes ~0.06 s vs the seconds of real work it replaced).
     val samples: Seq[Seq[(String, Option[Double])]] = (1 to runs).map { _ =>
-      names.map { name =>
+      val round = names.map { name =>
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -90,6 +90,15 @@ object Bench {
           }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
+      // Between rounds (outside any timed region): a full GC lets Spark's
+      // ContextCleaner reap the dead localCheckpoint blocks the round left
+      // in the BlockManager — ~50 queries checkpoint per round, and their
+      // blocks otherwise sit in unified memory squeezing later queries'
+      // execution side until a natural full GC happens to run. Live caches
+      // (the dedup signature slots, model artifacts) are strongly
+      // referenced and survive.
+      System.gc()
+      round
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
