@@ -316,6 +316,46 @@ object WarehouseQueries {
         .select(col("check_name"), col("n_checked"), col("n_violations"),
           (col("n_violations") === 0L).as("pass"))
         .orderBy(col("check_name"))
+    },
+
+    // CUSUM changepoint detection: per event type, the day where the
+    // cumulative sum of (daily total − mean) peaks in magnitude — the
+    // classic level-shift locator every metric-monitoring pipeline runs.
+    // One (type, day) aggregation bounds the series at types×days rows;
+    // the running sum is an ordered window INSIDE each type partition
+    // (≤ ~90 rows — never a global window), and the argmax is a
+    // WindowGroupLimit row_number. Daily totals round to 2 dp and the
+    // mean divides the ROUNDED sum, so the cusum fold — a sequential
+    // left-to-right accumulation in both engines — sees bit-identical
+    // inputs; |cusum| ties break on the earlier day.
+    Q("q_changepoint",
+      "WITH dly AS (SELECT event_type, ts::DATE AS day, ROUND(SUM(value), 2) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, ROUND(ROUND(SUM(x), 2) / COUNT(*), 6) AS mu " +
+        "FROM dly GROUP BY 1), " +
+        "c AS (SELECT event_type, day, ROUND(SUM(x - mu) OVER " +
+        "(PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS cusum " +
+        "FROM dly JOIN m USING (event_type)), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY ABS(cusum) DESC, day) AS rk FROM c) " +
+        "SELECT event_type, day, cusum FROM r WHERE rk = 1 ORDER BY event_type") {
+      (s, d) =>
+        val dly = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(round(sum(col("value")), 2).as("x"))
+          .localCheckpoint() // read twice (mean + cusum scan)
+        val m = dly.groupBy(col("event_type"))
+          .agg(round(round(sum(col("x")), 2) / count(lit(1)), 6).as("mu"))
+        val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTop = Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("day"))
+        dly.join(broadcast(m), "event_type")
+          .withColumn("cusum", round(sum(col("x") - col("mu")).over(wRun), 6))
+          .withColumn("rk", row_number().over(wTop))
+          .where(col("rk") === 1)
+          .select(col("event_type"), col("day"), col("cusum"))
+          .orderBy(col("event_type"))
     }
   )
 }
