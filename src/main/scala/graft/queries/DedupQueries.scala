@@ -402,6 +402,29 @@ object DedupQueries {
           docs.filter(col("doc_id") % 5 === 0),
           indexPath = lshIndexFor(s, d))
         .orderBy(col("new_id"), col("dup_of"))
+    },
+
+    // Dedup observability: the per-source report every corpus pipeline
+    // publishes after a dedup pass — documents, exact-unique texts (md5
+    // content hash), surviving share, and the duplicate-copy mass. ONE
+    // (source, hash) aggregation then a tiny per-source rollup; rates
+    // divide exact integer counts, so rounding is engine-portable.
+    Q("dedup_rate_by_source",
+      "WITH h AS (SELECT source, md5(text) AS text_hash, COUNT(*) AS n " +
+        "FROM documents GROUP BY 1, 2) " +
+        "SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, " +
+        "COUNT(*)::BIGINT AS n_unique, " +
+        "CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_copies, " +
+        "ROUND(COUNT(*) / SUM(n)::DOUBLE, 6) AS unique_rate " +
+        "FROM h GROUP BY 1 ORDER BY source") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"), md5(col("text").cast("binary")).as("text_hash"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique"),
+          (sum(col("n")) - count(lit(1))).as("n_dup_copies"),
+          round(count(lit(1)) / sum(col("n")).cast("double"), 6).as("unique_rate"))
+        .orderBy(col("source"))
     }
   )
 }
