@@ -469,6 +469,36 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_customers"),
           round(round(sum(col("monetary")), 2) / count(lit(1)), 2).as("avg_monetary"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
+    // User-journey transition matrix: first-order Markov counts over each
+    // user's ordered event stream — (state, next_state) frequencies and
+    // P(next | state) — the input to journey Sankeys and next-action
+    // models. ONE user_id shuffle serves the lead() window; the pair
+    // count is a |types|² aggregation, and the conditional probability
+    // divides exact integer counts from the checkpointed pair table.
+    Q("q_event_transitions",
+      "WITH s AS (SELECT user_id, event_type, " +
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "AS next_type FROM events), " +
+        "p AS (SELECT event_type, next_type, COUNT(*) AS n FROM s " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, SUM(n) AS tot FROM p GROUP BY 1) " +
+        "SELECT event_type, next_type, n, " +
+        "ROUND(n / tot::DOUBLE, 6) AS p_next FROM p JOIN t USING (event_type) " +
+        "ORDER BY event_type, next_type") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val p = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // read twice (marginal + probability join)
+      val t = p.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      p.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n") / col("tot").cast("double"), 6).as("p_next"))
+        .orderBy(col("event_type"), col("next_type"))
     }
   )
 }
