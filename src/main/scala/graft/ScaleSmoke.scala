@@ -134,7 +134,11 @@ object ScaleSmoke {
       // SQ/prefix rerank: brute-force over compressed/truncated codes
       // (linear in corpus at fixed query count) + shortlist-bounded exact
       // rerank — expected ~linear, like sim_topk_bruteforce.
-      "sim_sq_rerank", "sim_prefix_rerank")
+      "sim_sq_rerank", "sim_prefix_rerank",
+      // Late round-8 additions: changepoint + transitions are one keyed
+      // shuffle each over 10× events; the dedup-rate report is one
+      // (source, hash) aggregation over 10× documents.
+      "q_changepoint", "q_event_transitions", "dedup_rate_by_source")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
