@@ -131,6 +131,9 @@ object ScaleSmoke {
       // aggregates broadcast onto narrow scans; IVM refresh = two
       // pre-aggregated branches → full-outer merge on 10× keys.
       "q_attribution", "q_anomaly_mad", "q_cramers_v", "q_ivm_refresh",
+      // Welch's t-test: two per-type aggregates over 10× events — the
+      // same broadcast-stats shape as q_anomaly_mad; expected ~linear.
+      "q_ab_ttest",
       // SQ/prefix rerank: brute-force over compressed/truncated codes
       // (linear in corpus at fixed query count) + shortlist-bounded exact
       // rerank — expected ~linear, like sim_topk_bruteforce.

@@ -557,9 +557,9 @@ object Similarity {
   def sqRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
                    shortlist: Int): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // Per-dim [min, max] in ONE pass; zero-width dims quantize to code 0
-    // via width 1 (any constant works — the dot contribution is equal for
-    // every vector, so ranking is unaffected).
+    // Per-dim [min, max] in ONE pass; zero-width dims quantize to a
+    // constant code (every vector gets the same value for that dim, so
+    // the dot contribution is equal and ranking is unaffected).
     val bounds = e.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx"))))

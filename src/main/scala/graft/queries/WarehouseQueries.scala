@@ -30,16 +30,22 @@ object WarehouseQueries {
     // per-user window is bounded by that user's event count — the normal
     // behavioral-data skew profile; a pathological single-user firehose
     // would be salted upstream, not here.
+    // DuckDB widens SUM over integers to HUGEINT, so the oracle's running
+    // sum is CAST back to BIGINT to match Spark's long under the driver's
+    // value hash; both windows order by the (t, event_id) composite key so
+    // the running sum is total under timestamp ties (the session math was
+    // tie-invariant already — ns is 0 on every tied row — but the order is
+    // now a guarantee, not an argument).
     Q("q_sessionize",
-      "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
-        "g AS (SELECT user_id, t, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL " +
-        "OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
-        "s AS (SELECT user_id, t, SUM(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events), " +
+        "g AS (SELECT user_id, t, event_id, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL " +
+        "OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000 THEN 1 ELSE 0 END AS ns FROM e), " +
+        "s AS (SELECT user_id, t, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g) " +
         "SELECT user_id, sid, COUNT(*) AS n_events, MAX(t) - MIN(t) AS dur_us " +
         "FROM s GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
       val e = Tables.events(s, d)
-        .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"), col("event_id"))
       val g = e.withColumn("ns",
         when(lag(col("t"), 1).over(w).isNull ||
           col("t") - lag(col("t"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
@@ -239,6 +245,10 @@ object WarehouseQueries {
     // broadcast of the ~5-row stats table against a narrow scoring scan.
     // Median/MAD are ROUNDED to 6 dp in both engines before the score,
     // so interpolation arithmetic order cannot flip the |rz| > 3.5 cut.
+    // NULLIF(mad, 0) guards the degenerate group (half the values
+    // identical → MAD = 0): DuckDB's IEEE division would yield ±inf and
+    // pass the cut while Spark's non-ANSI division yields NULL and drops
+    // the row — NULLIF makes both engines drop it.
     // At 100 TB the exact per-group median swaps for approx_percentile —
     // same plan shape, sketch-mergeable.
     Q("q_anomaly_mad",
@@ -247,9 +257,9 @@ object WarehouseQueries {
         "mad AS (SELECT event_type, ROUND(MEDIAN(ABS(value - med)), 6) AS mad " +
         "FROM events JOIN med USING (event_type) GROUP BY 1, med) " +
         "SELECT event_id, e.event_type, " +
-        "ROUND(0.6745 * (value - med) / mad, 6) AS rz " +
+        "ROUND(0.6745 * (value - med) / NULLIF(mad, 0), 6) AS rz " +
         "FROM events e JOIN med USING (event_type) JOIN mad USING (event_type) " +
-        "WHERE ABS(ROUND(0.6745 * (value - med) / mad, 6)) > 3.5 " +
+        "WHERE ABS(ROUND(0.6745 * (value - med) / NULLIF(mad, 0), 6)) > 3.5 " +
         "ORDER BY event_id") { (s, d) =>
       val ev = Tables.events(s, d)
       val med = ev.groupBy(col("event_type"))
@@ -258,7 +268,8 @@ object WarehouseQueries {
         .groupBy(col("event_type"), col("med"))
         .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
         .drop("med")
-      val rz = round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6)
+      val rz = round(lit(0.6745) * (col("value") - col("med")) /
+        nullif(col("mad"), lit(0d)), 6)
       ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
         .select(col("event_id"), col("event_type"), rz.as("rz"))
         .where(abs(col("rz")) > 3.5)
@@ -285,7 +296,7 @@ object WarehouseQueries {
         "(SELECT COUNT(*) FROM lineitem)::BIGINT, " +
         "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT), " +
-        "c5 AS (SELECT 'range:o_totalprice<=400000', COUNT(*)::BIGINT, " +
+        "c5 AS (SELECT 'range:0<=o_totalprice<=400000', COUNT(*)::BIGINT, " +
         "CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders), " +
         "u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 " +
         "UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5) " +
@@ -309,7 +320,7 @@ object WarehouseQueries {
       val c4 = li.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
         .select(lit("fk:l_orderkey->orders").as("check_name"),
           col("n_checked"), col("n_violations"))
-      val c5 = chk("range:o_totalprice<=400000", count(lit(1)),
+      val c5 = chk("range:0<=o_totalprice<=400000", count(lit(1)),
         sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 400000, 1L)
           .otherwise(0L)), ord)
       Seq(c1, c2, c3, c4, c5).reduce(_ unionAll _)
