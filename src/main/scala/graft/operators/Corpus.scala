@@ -119,7 +119,10 @@ object Corpus {
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives from tf — one row per (doc, tok) — so the corpus is
+    // tokenized and shuffled ONCE; the df aggregation re-keys the much
+    // smaller tf relation and a plain count replaces countDistinct.
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     tf.join(dfreq, "tok") // vocab can be huge at scale: shuffle join on tok, not broadcast

@@ -151,12 +151,17 @@ object LambdaQueries {
         .localCheckpoint()
       val view = s"graft_rec_anchor_${anchorSeq.incrementAndGet()}"
       anchor.createOrReplaceTempView(view)
+      // BROADCAST(d): the anchor is ≤ 10 rows/wallet, so each of the 10
+      // recursion rounds becomes a broadcast-hash join — the recursing
+      // side never shuffles and the unrolled plan drops 10 exchange
+      // pairs. At 100-TB wallet counts the hint comes off and the rounds
+      // revert to keyed shuffles; depth still bounds the iteration count.
       val out = s.sql(
         s"WITH RECURSIVE d AS (SELECT * FROM $view), " +
           "s AS (SELECT wallet_id, CAST(0 AS BIGINT) AS st, CAST(0.0 AS DOUBLE) AS rc, " +
           "true AS fr, CAST(0 AS BIGINT) AS rn, n FROM (SELECT DISTINCT wallet_id, n FROM d) " +
           "UNION ALL " +
-          s"SELECT s.wallet_id, CAST($nxt AS BIGINT), $recv, " +
+          s"SELECT /*+ BROADCAST(d) */ s.wallet_id, CAST($nxt AS BIGINT), $recv, " +
           s"NOT (($recv) >= $threshold AND ($nxt) <> 0), s.rn + 1, s.n " +
           "FROM s JOIN d ON d.wallet_id = s.wallet_id AND d.rn = s.rn + 1) " +
           "SELECT wallet_id, ROUND(rc, 2) AS win_sum_10, NOT fr AS above_threshold " +

@@ -6,10 +6,12 @@ import graft.multimodal.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-column plumbing queries: binary payloads with typed metadata,
-  * a per-partition decode STUB (deterministic fake — the container has no
-  * codecs), and declarative frame sampling. The decode stub's fake metadata
-  * is pure arithmetic over the payload bytes, so even the mapPartitions path
-  * is DuckDB-oracle-checkable.
+  * a REAL per-partition `javax.imageio` decode (PNG headers synthesized and
+  * parsed on the executors — the JRE ships the codecs), the deterministic
+  * raw branch for payloads no codec claims, and declarative frame sampling.
+  * The oracle checks the decoded dimensions against the doc_id-derived
+  * generation formula — the decoder must actually parse the IHDR header to
+  * reproduce them.
   */
 object MultimodalQueries {
 
@@ -21,9 +23,31 @@ object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Typed mapPartitions decode-stub path (Dataset[BinaryDoc] →
-    // Dataset[MediaMeta]); oracle checks the deterministic fake decoder.
-    Q("mm_decode_stub", metaSql) { (s, d) =>
+    // REAL codec decode: synthesize one genuine PNG per document (dims a
+    // deterministic function of doc_id), then recover width/height/format
+    // by parsing the PNG container with javax.imageio in the typed
+    // mapPartitions decode path. The oracle recomputes the dims from
+    // doc_id alone — matching it requires an actual header parse. Both
+    // synthesis and decode are map-side (no shuffle); a real corpus swaps
+    // the synthesis for a binaryFile/parquet scan and nothing downstream
+    // changes.
+    Q("mm_decode_png",
+      "SELECT doc_id, 'png' AS format, " +
+        "CAST(4 + doc_id % 13 AS BIGINT) AS width, " +
+        "CAST(3 + doc_id % 11 AS BIGINT) AS height, " +
+        "CAST((4 + doc_id % 13) * (3 + doc_id % 11) AS BIGINT) AS n_pixels " +
+        "FROM documents ORDER BY doc_id") { (s, d) =>
+      Multimodal.decodeMeta(s, Multimodal.pngDocs(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_pixels"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Raw branch of the same decoder (payloads no installed codec claims):
+    // typed mapPartitions path emits the deterministic byte-derived
+    // signature the oracle recomputes.
+    Q("mm_decode_raw", metaSql) { (s, d) =>
       Multimodal.decodeMeta(s, Multimodal.binaryDocs(Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),

@@ -118,14 +118,21 @@ object SimilarityQueries {
     // kNN-GRAPH construction: top-3 neighbors for EVERY corpus vector via
     // a sign-bucket SELF-join (both sides the corpus — one bucket-keyed
     // shuffle each, in-bucket pairing; no broadcast query set). The edge
-    // set SemDeDup / graph clustering starts from. bits=4 here to keep
-    // the oracle static; production derives bits from the corpus size
-    // (Similarity.lshBitsFor) so bucket population stays ~constant.
+    // set SemDeDup / graph clustering starts from. bits derive from the
+    // corpus size in BOTH engines (Similarity.lshBitsFor: smallest width
+    // whose 2^bits buckets hold ≤32 rows each in expectation, clamped
+    // [2,24]) so bucket population — and with it the quadratic in-bucket
+    // pair cost — stays ~constant as the corpus grows. The oracle
+    // computes the identical formula from its own COUNT(*); the two
+    // engines could only disagree on a corpus whose n/32 lands exactly
+    // on a power of two AND whose LN differs in the last ulp — not a
+    // realistic corpus size, and the clamp bounds the blast radius.
     Q("sim_knn_graph", {
-      val bucket = (1 to 4).map(i =>
-        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
       s"WITH $normsCte, " +
-        s"nb AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n), " +
+        "b AS (SELECT GREATEST(2, LEAST(24, CAST(CEIL(LN(COUNT(*) / 32.0) / LN(2)) AS INT))) AS bits FROM n), " +
+        "nb AS (SELECT vec_id, v, nrm, array_to_string(list_transform(" +
+        "range(1, (SELECT bits FROM b) + 1), " +
+        "i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM n), " +
         "scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid, " +
         "ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) " +
         "/ (a.nrm * b.nrm), 6) AS cosine " +
@@ -134,7 +141,7 @@ object SimilarityQueries {
         "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
         "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 3 ORDER BY qid, rank"
     }) { (s, d) =>
-      Similarity.knnGraph(emb(s, d), k = 3, bucketBits = 4)
+      Similarity.knnGraph(emb(s, d), k = 3)
         .orderBy(col("qid"), col("rank"))
     },
 

@@ -47,14 +47,26 @@ object Tables {
     }
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark) // idempotent
-    // Surface TIMESTAMP(NANOS) as a raw LONG instead of a read error —
-    // normalizeTs turns it back into micros TimestampType.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    timestampCols.getOrElse(name, Nil).foldLeft(raw)(normalizeTs)
-  }
+  /** Loaded-relation cache: `spark.read.parquet` eagerly lists files and
+    * reads footers for schema inference, and a 200-query sweep touches the
+    * same ten files thousands of times. The resolved DataFrame (immutable
+    * plan holding the file index) is reused per (session, dir, table) —
+    * keyed on the session because a plan is bound to the session state
+    * that resolved it. Data under a dir is driver-written once per round,
+    * never mutated in place, so staleness cannot arise; tests that write
+    * fresh dirs get fresh keys. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    relCache.computeIfAbsent((spark, dir, name), { _ =>
+      graft.functions.GraftFunctions.register(spark) // idempotent
+      // Surface TIMESTAMP(NANOS) as a raw LONG instead of a read error —
+      // normalizeTs turns it back into micros TimestampType.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      timestampCols.getOrElse(name, Nil).foldLeft(raw)(normalizeTs)
+    })
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

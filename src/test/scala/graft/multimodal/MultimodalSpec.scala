@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins the REAL javax.imageio decode path: genuine PNG/BMP/GIF containers
+  * round-trip through the typed mapPartitions decoder and come back with
+  * the header-declared dimensions; raw-tagged and corrupt payloads land in
+  * their deterministic fallback branches. */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"no JRE writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("png/bmp/gif containers decode to their header-declared dimensions") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "png", 7, 3), (2L, "png", 1, 1), (3L, "bmp", 5, 9),
+      (4L, "gif", 16, 2), (5L, "png", 64, 64))
+    val bin = cases.map { case (id, fmt, w, h) =>
+      BinaryDoc(id, encode(fmt, w, h), s"image/$fmt")
+    }.toDF()
+    val out = Multimodal.decodeMeta(spark, bin).collect()
+      .map(m => m.doc_id -> m).toMap
+    cases.foreach { case (id, fmt, w, h) =>
+      val m = out(id)
+      assert(m.format == fmt, s"$id: format ${m.format} != $fmt")
+      assert(m.width == w && m.height == h,
+        s"$id: decoded ${m.width}x${m.height}, wrote ${w}x$h")
+      assert(m.n_bytes > 0)
+    }
+  }
+
+  test("raw-tagged payloads skip sniffing even when bytes open with codec magic") {
+    import spark.implicits._
+    // "BM..." is a valid BMP magic; the raw tag must keep it out of the
+    // BMP reader (container-garbage dims) and in the signature branch.
+    val payload = "BM this is text that merely starts like a bitmap".getBytes("UTF-8")
+    val n = payload.length.toLong
+    val out = Multimodal.decodeMeta(spark,
+      Seq(BinaryDoc(7L, payload, "fake/raw")).toDF()).collect().head
+    assert(out.format == "fake/raw")
+    assert(out.width == 64L + n % 1024L && out.height == 64L + (n * 31L) % 1024L)
+  }
+
+  test("image-tagged payload no codec claims lands in the corrupt branch") {
+    import spark.implicits._
+    val out = Multimodal.decodeMeta(spark,
+      Seq(BinaryDoc(9L, "not an image at all".getBytes("UTF-8"), "image/png"))
+        .toDF()).collect().head
+    assert(out.format == "corrupt/image/png")
+  }
+
+  test("pngDocs synthesizes real containers whose decode matches pngDims") {
+    import spark.implicits._
+    val docs = (0L until 30L).toDF("doc_id")
+    val metas = Multimodal.decodeMeta(spark, Multimodal.pngDocs(spark, docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas.size == 30)
+    (0L until 30L).foreach { id =>
+      val (w, h) = Multimodal.pngDims(id)
+      val m = metas(id)
+      assert(m.format == "png")
+      assert(m.width == w && m.height == h, s"$id: ${m.width}x${m.height} != ${w}x$h")
+    }
+  }
+}
