@@ -4,6 +4,7 @@ import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import graft.Q
 import graft.model.TimedDeposit
 import graft.operators.Maintenance
@@ -102,6 +103,29 @@ object StreamQueries {
     feedCache.computeIfAbsent(dir, { _ =>
       val path = s"$wsRoot/feed_" + UUID.randomUUID().toString.replace("-", "")
       depositProjection(s, dir).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Proto-framed deposit feed: each file row is the Kafka MESSAGE shape —
+    * `value` carries the proto3-marshaled `Deposit` bytes exactly as the
+    * reference's Go producer emits them (depositaja.go:16, wallet.proto:
+    * 14-17, encoded by the codegen'd `proto_encode_deposit` expression),
+    * `tsUnix`/`seq` stand in for the broker timestamp and offset. The
+    * stream side must run a real wire decode per record to recover the
+    * deposit — the byte-compatibility edge a drop-in consumer of the
+    * reference's topics exercises. Written once per (JVM, sf dir). */
+  private val protoFeedCache = new ConcurrentHashMap[String, String]()
+
+  private def protoDepositFeed(s: SparkSession, dir: String): String =
+    protoFeedCache.computeIfAbsent(dir, { _ =>
+      graft.functions.GraftFunctions.register(s)
+      val path = s"$wsRoot/protofeed_" + UUID.randomUUID().toString.replace("-", "")
+      depositProjection(s, dir)
+        .select(
+          call_function("proto_encode_deposit", col("walletId"), col("amount"))
+            .as("value"),
+          col("tsUnix"), col("seq"))
+        .write.mode("overwrite").parquet(path)
       path
     })
 
@@ -212,18 +236,39 @@ object StreamQueries {
   private def streamCheck(s: SparkSession, dir: String, windowSec: Long,
                           threshold: Double,
                           useTws: Boolean = false,
-                          chunked: Boolean = false): DataFrame = {
+                          chunked: Boolean = false,
+                          proto: Boolean = false): DataFrame = {
     import s.implicits._
 
     val t0 = System.nanoTime()
-    val feed = if (chunked) chunkedDepositFeed(s, dir) else depositFeed(s, dir)
+    val feed =
+      if (proto) protoDepositFeed(s, dir)
+      else if (chunked) chunkedDepositFeed(s, dir)
+      else depositFeed(s, dir)
     val tFeed = System.nanoTime()
-    def deposits = {
-      val r = s.readStream
-        .schema(Encoders.product[TimedDeposit].schema)
-      val r2 = if (chunked) r.option("maxFilesPerTrigger", "1") else r
-      r2.parquet(feed).as[TimedDeposit]
-    }
+    def deposits =
+      if (proto) {
+        // Kafka-message framing: decode the proto3 Deposit wire bytes
+        // in-stream (codegen'd expression — the same per-record decode a
+        // broker consumer runs), broker ts/offset columns alongside.
+        graft.functions.GraftFunctions.register(s)
+        s.readStream
+          .schema(StructType(Seq(
+            StructField("value", BinaryType),
+            StructField("tsUnix", LongType),
+            StructField("seq", LongType))))
+          .parquet(feed)
+          .select(call_function("proto_decode_deposit", col("value")).as("d"),
+            col("tsUnix"), col("seq"))
+          .select(col("d.wallet_id").as("walletId"),
+            col("d.amount").as("amount"), col("tsUnix"), col("seq"))
+          .as[TimedDeposit]
+      } else {
+        val r = s.readStream
+          .schema(Encoders.product[TimedDeposit].schema)
+        val r2 = if (chunked) r.option("maxFilesPerTrigger", "1") else r
+        r2.parquet(feed).as[TimedDeposit]
+      }
 
     def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
     val work = s"$wsRoot/run_$unique"
@@ -597,6 +642,16 @@ object StreamQueries {
     Q("stream_check_tws", checkSql(86400L, 300.0)) {
       (s, d) => materialized(s, "stream_check_tws", depositFeed(s, d))(
         streamCheck(s, d, 86400L, 300.0, useTws = true))(byWallet)
+    },
+    // The reference's actual wire format end-to-end: the feed carries
+    // proto3-marshaled Deposit bytes (wallet.proto:14-17) in Kafka message
+    // framing, decoded per record by the codegen'd wire codec inside the
+    // real micro-batch engine — same oracle as stream_check, so the
+    // encode→wire→decode round trip must be value-exact.
+    Q("stream_check_proto", checkSql(DetectorLogic.RollingPeriodSec, DetectorLogic.MaxAmount)) {
+      (s, d) => materialized(s, "stream_check_proto", protoDepositFeed(s, d))(
+        streamCheck(s, d, DetectorLogic.RollingPeriodSec, DetectorLogic.MaxAmount,
+          proto = true))(byWallet)
     },
     // The production many-micro-batch shape: the time-sliced chunk feed
     // replayed one file per trigger — per-wallet detector/collector state

@@ -184,4 +184,30 @@ class ProtoWireSpec extends AnyFunSuite with SparkSpec {
 
     assert(run(decoded, "proto_path") == run(deposits, "direct_path"))
   }
+
+  test("topology edge: expression-framed feed bytes equal the Go producer's wire bytes") {
+    import spark.implicits._
+    // What stream_check_proto's feed writer produces (the codegen'd
+    // proto_encode_deposit over a distributed projection, through a parquet
+    // round trip) must be byte-identical to what the reference's Go
+    // producer marshals for the same deposits (depositaja.go:16) — pinned
+    // here against the plain-JVM codec the golden-byte tests certify.
+    val deposits = Seq(
+      TimedDeposit("w-1", 12.5, 100, 1), TimedDeposit("w-2", 0.01, 150, 2),
+      TimedDeposit("ütf-∂", 99999.99, 200, 3), TimedDeposit("w-4", 1e9, 250, 4))
+    val dir = java.nio.file.Files.createTempDirectory("proto_feed_edge").toString
+    deposits.toDF()
+      .select(call_function("proto_encode_deposit", col("walletId"), col("amount"))
+        .as("value"), col("tsUnix"), col("seq"))
+      .write.mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .select(col("seq"), col("value")).as[(Long, Array[Byte])]
+      .collect().toMap
+    deposits.foreach { d =>
+      val expected = ProtoWire.encode(Deposit(d.walletId, d.amount))
+      assert(java.util.Arrays.equals(read(d.seq), expected),
+        s"seq=${d.seq}: framed bytes differ from the reference wire encoding")
+    }
+    graft.operators.Maintenance.deleteRecursively(new java.io.File(dir))
+  }
 }
