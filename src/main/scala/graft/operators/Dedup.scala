@@ -508,6 +508,21 @@ object Dedup {
     probeLsh(minhashed(hist, k, bands, rows).localCheckpoint()
       .select(col("doc_id"), col("sh"), col("bands")), batch, k, bands, rows, threshold)
 
+  /** True iff a readable index artifact exists at `path` whose recorded
+    * fingerprint matches the live historical table — the read-through
+    * probe: a build step whose in-memory path slot was cleared calls this
+    * before re-shingling the lake, so a cold cache costs one metadata read
+    * instead of a corpus-wide rebuild. */
+  def lshIndexFresh(spark: SparkSession, path: String, hist: DataFrame): Boolean =
+    new java.io.File(path).exists() && {
+      try {
+        val recorded = spark.read.parquet(path)
+          .select(col("fingerprint")).limit(1).collect()
+          .headOption.map(_.getString(0)).getOrElse("")
+        recorded.nonEmpty && recorded == docFp(hist)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
   /** Incremental near-dup pairs served from a PERSISTED index
     * ([[writeLshIndex]]): reads the artifact, verifies its recorded
     * fingerprint against the live historical table (stale ⇒

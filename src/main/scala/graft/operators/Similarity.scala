@@ -363,6 +363,19 @@ object Similarity {
     ivfServe(emb, queries, k, nProbe, cents)
   }
 
+  /** True iff a readable index artifact exists at `path` whose recorded
+    * fingerprint matches the live table — the read-through probe: a serve
+    * path whose in-memory slot was cleared (or a fresh process) calls this
+    * before rebuilding, so a cold cache costs one artifact read + one
+    * fingerprint aggregate instead of a k-means retrain. */
+  def ivfIndexFresh(spark: SparkSession, path: String, emb: DataFrame): Boolean =
+    new java.io.File(path).exists() && {
+      try {
+        val (_, fp) = readIvfIndex(spark, path)
+        fp.nonEmpty && fp == contentFp(emb)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
   /** IVF served from a persisted index ([[writeIvfIndex]]): reads the
     * k-row artifact, verifies its recorded fingerprint against the live
     * table (one cheap aggregate — the staleness check a real index
