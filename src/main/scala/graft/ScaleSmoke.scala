@@ -138,6 +138,10 @@ object ScaleSmoke {
       // (linear in corpus at fixed query count) + shortlist-bounded exact
       // rerank — expected ~linear, like sim_topk_bruteforce.
       "sim_sq_rerank", "sim_prefix_rerank",
+      // IVF-PQ composite (round 9): both models broadcast, encode/assign
+      // map-side, ADC restricted to probed cells — expected ~linear in
+      // the corpus (training passes dominate at fixed cells/codes).
+      "sim_ivfpq_rerank",
       // Late round-8 additions: changepoint + transitions are one keyed
       // shuffle each over 10× events; the dedup-rate report is one
       // (source, hash) aggregation over 10× documents.

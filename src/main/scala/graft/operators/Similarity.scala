@@ -530,6 +530,82 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("dist"))
   }
 
+  /** IVF-PQ composite serve — the FAISS-style 100-TB ANN shape: a coarse
+    * IVF quantizer routes each query to its `nProbe` nearest cells, ADC
+    * scores ONLY the vectors living in probed cells against the 8-byte PQ
+    * codes, and the exact kernel runs solely on the shortlist survivors.
+    * Cost per query is (corpus/nCells)·nProbe code lookups instead of a
+    * corpus scan — the multiplicative composition of IVF's candidate cut
+    * and PQ's bandwidth cut.
+    *
+    * Scale shape: BOTH models are k·d broadcast artifacts (trained via the
+    * cached deterministic Lloyd kernels); cell assignment and PQ encode
+    * are map-side-complete ([[assignNearest]]/[[assignCodes]] — one
+    * pre-aggregated row per vector moves); the probe set and ADC distance
+    * table are |q|-sized broadcasts; the only corpus-keyed shuffle is the
+    * (qid, nid) ADC partial-sum, already cell-filtered. Codebooks here are
+    * trained on the raw vectors (not IVF residuals) so the oracle replays
+    * each stage independently; the residual variant changes one projection.
+    */
+  def ivfPqRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                      nCells: Int = 16, ivfIters: Int = 2, nProbe: Int = 2,
+                      m: Int = 8, nCodes: Int = 16, pqIters: Int = 2,
+                      shortlist: Int = 30): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // Coarse quantizer: cell per corpus vector (map-side assign against
+    // the broadcast centroid model).
+    val model = centroidDf(spark, trainIvfCentroidsArray(emb, nCells, ivfIters))
+    val cells = assignNearest(e, model, Seq.empty)
+      .select(col("vec_id").as("nid"), col("mc.cid").as("cell"))
+    // PQ index: m small ints per vector, encoded in-scan.
+    val subLen = (size(col("v")) / m).cast("int")
+    val sv = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * subLen + 1, subLen).as("sv"))
+    val cbDf = pqCodebookDf(spark, trainPqCodebooksArray(emb, sv, m, nCodes, pqIters))
+    val codes = assignCodes(sv, cbDf)
+      .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
+      .join(cells, "nid")
+    // nProbe nearest cells per query (tiny: collect_list over the
+    // broadcast model, no window).
+    val probes = e.join(queries.select(col("vec_id")), "vec_id")
+      .crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"))
+      .select(col("vec_id").as("qid"), explode(col("pcs")).as("pc"))
+      .select(col("qid"), col("pc.cid").as("cell"))
+    // Per-query ADC table (|q|·m·nCodes rows, broadcast).
+    val dtab = sv.join(queries.select(col("vec_id")), "vec_id")
+      .join(broadcast(cbDf), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        round(dist2(col("sv"), col("cv")), 6).as("d"))
+    // ADC restricted to probed cells: the cell join prunes candidates
+    // BEFORE any distance math; sum of m grid-rounded doubles is on the
+    // 1e-6 grid, so round(6) is engine-portable.
+    val scored = codes.join(broadcast(probes), "cell")
+      .where(col("nid") =!= col("qid"))
+      .join(broadcast(dtab), Seq("qid", "sub", "cid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(round(sum(col("d")), 6).as("adist"))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    val cand = scored.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select(col("qid"), col("nid"))
+    // Exact L2 rerank on the shortlist survivors only.
+    val q = e.join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = broadcast(cand.join(broadcast(q), "qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        round(dist2(col("qv"), col("nv")), 6).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dist"))
+  }
+
   /** LSH-bucketed top-k: only candidates sharing the query's sign bucket are
     * scored. Recall < 1 by construction; bucketBits trades recall for cost. */
   def lshBucketTopK(emb: DataFrame, queries: DataFrame, k: Int,

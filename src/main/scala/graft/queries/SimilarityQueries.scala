@@ -280,6 +280,21 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF-PQ composite — the FAISS-style production serve at 100 TB:
+    // coarse IVF routing cuts candidates to nProbe cells, ADC over 8-byte
+    // PQ codes cuts scan bandwidth 32x, exact L2 reranks only the
+    // shortlist survivors. The oracle replays BOTH training pipelines
+    // (i-/p-prefixed CTEs) plus the cell-filtered ADC and rerank.
+    Q("sim_ivfpq_rerank", ivfPqSql(nCells = 16, ivfIters = 2, nProbe = 2,
+      m = 8, nCodes = 16, pqIters = 2, shortlist = 30, k = 3,
+      nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      Similarity.ivfPqRerankTopK(embT, embT.filter(col("vec_id") < 10), k = 3,
+          nCells = 16, ivfIters = 2, nProbe = 2, m = 8, nCodes = 16,
+          pqIters = 2, shortlist = 30)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Truncated-prefix (matryoshka-style) shortlist + exact rerank: the
     // approximate score is the dot over only the first 16 dims — d/16 of
     // the scan arithmetic — rounded to 6 dp before ranking so the
@@ -366,6 +381,82 @@ object SimilarityQueries {
       "rr AS (SELECT qid, nid, dist, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY dist, nid) AS rank FROM resc) " +
       s"SELECT qid, rank, nid, dist FROM rr WHERE rank <= $k ORDER BY qid, rank"
+
+  /** DuckDB replay of [[Similarity.ivfPqRerankTopK]]: the ivfKmeansSql
+    * training pipeline (i-prefixed CTEs) and the pqCoreSql pipeline
+    * (p-prefixed) composed — ADC scoring restricted to each query's
+    * `nProbe` probed cells, shortlist by ADC distance, exact L2 rerank. */
+  private def ivfPqSql(nCells: Int, ivfIters: Int, nProbe: Int, m: Int,
+                       nCodes: Int, pqIters: Int, shortlist: Int, k: Int,
+                       nQueries: Int): String = {
+    def iDist(name: String, cent: String) =
+      s"$name AS (SELECT e.vec_id, c.cid, ROUND(list_sum(list_transform(" +
+        "range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) " +
+        s"AS dist FROM e, $cent c)"
+    val iTrain = (1 to ivfIters).map { t =>
+      iDist(s"id$t", s"icent${t - 1}") + ", " +
+        s"ia$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        s"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM id$t) WHERE rn = 1), " +
+        s"is$t AS (SELECT a.cid, u.pos, ROUND(AVG(u.val), 6) AS val " +
+        s"FROM ia$t a JOIN iu u USING (vec_id) GROUP BY a.cid, u.pos), " +
+        s"icent$t AS (SELECT cid, list(val ORDER BY pos) AS cv FROM is$t GROUP BY cid)"
+    }.mkString(", ")
+    def pDist(name: String, cent: String) =
+      s"$name AS (SELECT s.vec_id, s.sub, c.cid, ROUND(list_sum(list_transform(" +
+        "range(1, len(s.s) + 1), i -> (s.s[i] - c.cv[i]) * (s.s[i] - c.cv[i]))), 6) " +
+        s"AS dist FROM sv s JOIN $cent c USING (sub))"
+    val pTrain = (1 to pqIters).map { t =>
+      pDist(s"pd$t", s"pcent${t - 1}") + ", " +
+        s"pa$t AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn " +
+        s"FROM pd$t) WHERE rn = 1), " +
+        s"ps$t AS (SELECT a.sub, a.cid, u.pos, ROUND(AVG(u.val), 6) AS val " +
+        s"FROM pa$t a JOIN pu u ON u.vec_id = a.vec_id AND u.sub = a.sub " +
+        "GROUP BY a.sub, a.cid, u.pos), " +
+        s"pcent$t AS (SELECT sub, cid, list(val ORDER BY pos) AS cv FROM ps$t " +
+        "GROUP BY sub, cid)"
+    }.mkString(", ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      // IVF coarse quantizer.
+      "iu AS (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM e), " +
+      s"icent0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM e WHERE vec_id < $nCells), " +
+      s"$iTrain, " +
+      iDist("idf", s"icent$ivfIters") + ", " +
+      "irf AS (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM idf), " +
+      "cell AS (SELECT vec_id AS nid, cid AS cell FROM irf WHERE rn = 1), " +
+      s"probe AS (SELECT vec_id AS qid, cid AS cell FROM irf " +
+      s"WHERE rn <= $nProbe AND vec_id < $nQueries), " +
+      // PQ codebooks + codes.
+      s"sv AS (SELECT vec_id, sub, list_slice(v, sub * (len(v) // $m) + 1, " +
+      s"(sub + 1) * (len(v) // $m)) AS s FROM e, range(0, $m) r(sub)), " +
+      "pu AS (SELECT vec_id, sub, unnest(s) AS val, " +
+      "unnest(range(1, len(s) + 1)) AS pos FROM sv), " +
+      s"pcent0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, s AS cv FROM sv " +
+      s"WHERE vec_id < $nCodes), " +
+      s"$pTrain, " +
+      pDist("pdf", s"pcent$pqIters") + ", " +
+      "codes AS (SELECT vec_id AS nid, sub, cid FROM (SELECT vec_id, sub, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn " +
+      "FROM pdf) WHERE rn = 1), " +
+      s"dtab AS (SELECT vec_id AS qid, sub, cid, dist AS d FROM pdf " +
+      s"WHERE vec_id < $nQueries), " +
+      // ADC over probed cells only, shortlist, exact rerank.
+      "sc AS (SELECT p.qid, c.nid, ROUND(SUM(t.d), 6) AS adist " +
+      "FROM codes c JOIN cell USING (nid) JOIN probe p USING (cell) " +
+      "JOIN dtab t ON t.qid = p.qid AND t.sub = c.sub AND t.cid = c.cid " +
+      "WHERE c.nid != p.qid GROUP BY p.qid, c.nid), " +
+      "r AS (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY adist, nid) AS srank FROM sc), " +
+      s"cand AS (SELECT qid, nid FROM r WHERE srank <= $shortlist), " +
+      "resc AS (SELECT c.qid, c.nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(a.v) + 1), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) " +
+      "AS dist FROM cand c JOIN e a ON a.vec_id = c.qid " +
+      "JOIN e b ON b.vec_id = c.nid), " +
+      "rr AS (SELECT qid, nid, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, nid) AS rank FROM resc) " +
+      s"SELECT qid, rank, nid, dist FROM rr WHERE rank <= $k ORDER BY qid, rank"
+  }
 
   /** DuckDB replay of [[Similarity.trainIvfCentroids]] + the IVF probe:
     * cent0 = first-`nCells` seeds; each iteration ranks the sequential
