@@ -134,6 +134,52 @@ object Corpus {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Iterative BPE training — the actual tokenizer-training loop run as
+    * engine aggregations: per merge round, count adjacent symbol pairs
+    * weighted by word frequency, take the global argmax (count DESC, pair
+    * ASC tie-break — integer counts, engine-portable), and rewrite every
+    * word's symbol array with a greedy left-to-right non-overlapping merge
+    * fold. The 100-TB insight this encodes: after ONE corpus-wide word
+    * count, training touches only the VOCAB table (thousands of rows per
+    * million of corpus) — each round is a vocab-sized pair aggregation, a
+    * distributed TakeOrdered(1), and a map-side array fold against the
+    * 1-row broadcast merge; the corpus is never rescanned. Returns one row
+    * per merge round: (it, a, b, n). */
+  def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    // Word-frequency table; letters-only lowercase words keep the symbol
+    // alphabet closed under concatenation (and '/'-safe for the oracle's
+    // string-accumulator fold).
+    var words = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint() // vocab-sized; iterations re-read it, and the
+                         // rewrite folds would otherwise compound lazily
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to iters) {
+      val pairs = words.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint() // 1 row; feeds both the output and the rewrite
+      merges += best.select(lit(t.toLong).as("it"), col("a"), col("b"), col("n"))
+      // Greedy non-overlapping merge: a freshly merged token (a||b) can
+      // never equal `a` (longer), so the fold cannot double-merge.
+      words = words.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(expr(
+          "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b " +
+            "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))) " +
+            "ELSE concat(acc, array(x)) END)").as("syms"), col("freq"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ unionAll _).orderBy(col("it"))
+  }
+
   /** Zipf-law fit over the top-R token ranks: OLS slope (and R²) of
     * ln freq vs ln rank — the corpus-health diagnostic (natural text sits
     * near slope −1; pathological or synthetic segments drift off it).

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFunctions._
+import graft.operators.Corpus
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents`: language ID (marker-word
@@ -321,6 +322,43 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(30)
+    },
+
+    // Iterative BPE TRAINING (3 merge rounds) — the real tokenizer loop:
+    // pair counts weighted by word freq, global argmax, greedy
+    // left-to-right merge rewrite, repeat. After one corpus word count the
+    // loop touches only the vocab (Corpus.bpeTrain). The oracle unrolls
+    // the identical three rounds; its rewrite fold is a string-accumulator
+    // list_reduce with the same greedy non-overlap semantics as the Spark
+    // array fold (a merged token can never re-merge within a round).
+    Q("text_bpe_train", bpeTrainSql(3)) { (s, d) =>
+      Corpus.bpeTrain(Tables.documents(s, d), iters = 3)
     }
   )
+
+  /** DuckDB replay of [[Corpus.bpeTrain]], `iters` rounds unrolled. The
+    * merge rewrite is a list_reduce whose accumulator is the '/'-joined
+    * output symbols (symbols are [a-z]+ so '/' cannot collide): when the
+    * accumulator ends with '/a' and the next symbol is b, the tail symbol
+    * is replaced by a||b — the same greedy left-to-right non-overlapping
+    * fold the Spark array aggregate runs. */
+  private def bpeTrainSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"p$t AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS n " +
+        s"FROM w${t - 1}, unnest(range(1, len(syms))) u$t(i) " +
+        "WHERE len(syms) >= 2 GROUP BY 1, 2), " +
+        s"m$t AS (SELECT a, b, n FROM p$t ORDER BY n DESC, a, b LIMIT 1), " +
+        s"w$t AS (SELECT string_split(substr(list_reduce(list_prepend('', syms), " +
+        "(acc, x) -> CASE WHEN ends_with(acc, '/' || m.a) AND x = m.b " +
+        "THEN left(acc, len(acc) - len(m.a) - 1) || '/' || m.a || m.b " +
+        "ELSE acc || '/' || x END), 2), '/') AS syms, freq " +
+        s"FROM w${t - 1}, m$t m)"
+    }.mkString(", ")
+    val out = (1 to iters).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS it, a, b, n FROM m$t").mkString(" UNION ALL ")
+    "WITH w0 AS (SELECT string_split(w, '') AS syms, COUNT(*)::BIGINT AS freq " +
+      "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
+      "FROM documents) GROUP BY w), " +
+      s"$rounds SELECT it, a, b, n FROM ($out) ORDER BY it"
+  }
 }
