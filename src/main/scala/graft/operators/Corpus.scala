@@ -134,6 +134,57 @@ object Corpus {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Trained quality model: full-batch logistic-regression gradient
+    * descent run entirely as engine aggregations — "model training as
+    * aggregation" one level up from the bigram LM: the model state is a
+    * 1-row broadcast weight vector, each iteration is ONE pass over the
+    * feature table (scored in-scan against the broadcast weights, gradient
+    * = a 4-column partial+final aggregate), and the update is arithmetic
+    * on two 1-row frames. Nothing corpus-sized ever shuffles; at 100 TB
+    * each GD step is exactly one map-side-combined scan.
+    *
+    * Cross-engine determinism: features, z, and the sigmoid are ROUNDED to
+    * the 6-dp grid per row, gradient sums round to 4 dp before the /n
+    * (the divide-the-rounded-sum rule), weights re-round to 6 dp each
+    * step — so DuckDB replays the identical trajectory.
+    *
+    * Label: lang = 'en' (the documents table's own tag); features: length
+    * saturation, whitespace ratio, digit ratio + bias. Returns one row
+    * per iteration: (it, w0..w3) — the training trace. */
+  def qualityLrTrain(docs: DataFrame, iters: Int, lr: Double = 1.0): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val f = docs.where(length(col("text")) > 0)
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        round(least(length(col("text")), lit(2000)) / 2000.0, 6).as("x1"),
+        round((len - length(regexp_replace(col("text"), " ", ""))) / len, 6).as("x2"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")) / len, 6).as("x3"))
+      .localCheckpoint() // one materialized feature table feeds every step
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var w = Seq((0.0, 0.0, 0.0, 0.0)).toDF("w0", "w1", "w2", "w3")
+    val js = 0 to 3
+    val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to iters) {
+      val scored = f.crossJoin(broadcast(w))
+        .withColumn("z", round(js.map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _), 6))
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      val grad = scored.agg(
+        round(sum((col("p") - col("y")) * col("x0")), 4).as("s0"),
+        round(sum((col("p") - col("y")) * col("x1")), 4).as("s1"),
+        round(sum((col("p") - col("y")) * col("x2")), 4).as("s2"),
+        round(sum((col("p") - col("y")) * col("x3")), 4).as("s3"),
+        count(lit(1)).cast("double").as("n"))
+      w = grad.crossJoin(broadcast(w))
+        .select(js.map(j =>
+          round(col(s"w$j") - lit(lr) * round(col(s"s$j") / col("n"), 6), 6).as(s"w$j")): _*)
+        .localCheckpoint() // 1 row; ends the lazy chain across iterations
+      trace += w.select(lit(t.toLong).as("it") +: js.map(j => col(s"w$j")): _*)
+    }
+    trace.reduce(_ unionAll _).orderBy(col("it"))
+  }
+
   /** Iterative BPE training — the actual tokenizer-training loop run as
     * engine aggregations: per merge round, count adjacent symbol pairs
     * weighted by word frequency, take the global argmax (count DESC, pair

@@ -418,8 +418,46 @@ object PipelineQueries {
         .select((col("rin") + col("off")).as("rnk"), col("lang"), col("doc_id"))
         .where(col("rnk") <= 10)
         .orderBy(col("rnk"), col("lang"))
+    },
+
+    // TRAINED quality model: 3 steps of full-batch logistic-regression GD
+    // run as engine aggregations (Corpus.qualityLrTrain) — the model is a
+    // 1-row broadcast weight vector, each step one map-side-combined scan
+    // of the feature table; the corpus never shuffles. Rounded-grid
+    // features/sigmoid/gradients make the trajectory engine-portable; the
+    // oracle unrolls the identical three steps. Output = training trace.
+    Q("pipeline_quality_lr", qualityLrSql(3)) { (s, d) =>
+      Corpus.qualityLrTrain(Tables.documents(s, d), iters = 3)
     }
   )
+
+  /** DuckDB replay of [[Corpus.qualityLrTrain]], `iters` steps unrolled
+    * (regexp_replace needs the 'g' flag — DuckDB replaces only the first
+    * match by default, Spark replaces all). */
+  private def qualityLrSql(iters: Int): String = {
+    val js = 0 to 3
+    val steps = (1 to iters).map { t =>
+      val sums = js.map(j =>
+        s"ROUND(SUM((p - y) * x$j), 4) AS s$j").mkString(", ")
+      val ups = js.map(j =>
+        s"ROUND(w.w$j - 1.0 * ROUND(g.s$j / g.n, 6), 6) AS w$j").mkString(", ")
+      s"g$t AS (SELECT $sums, COUNT(*)::DOUBLE AS n FROM " +
+        "(SELECT y, x0, x1, x2, x3, " +
+        "ROUND(1.0 / (1.0 + EXP(-ROUND(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3, 6))), 6) AS p " +
+        s"FROM f, w${t - 1}t w)), " +
+        s"w${t}t AS (SELECT $ups FROM w${t - 1}t w, g$t g)"
+    }.mkString(", ")
+    val out = (1 to iters).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS it, w0, w1, w2, w3 FROM w${t}t")
+      .mkString(" UNION ALL ")
+    "WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "1.0 AS x0, ROUND(LEAST(length(text), 2000) / 2000.0, 6) AS x1, " +
+      "ROUND((length(text) - length(regexp_replace(text, ' ', '', 'g'))) / length(text)::DOUBLE, 6) AS x2, " +
+      "ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE, 6) AS x3 " +
+      "FROM documents WHERE length(text) > 0), " +
+      "w0t AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3), " +
+      s"$steps SELECT it, w0, w1, w2, w3 FROM ($out) ORDER BY it"
+  }
 
   /** Shared packing core: (doc_id, lang, n_tok, before, seq_id) with
     * `before` = per-lang running token count ahead of the doc, computed by
