@@ -134,6 +134,74 @@ object Corpus {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Sparse tf-idf document similarity — the inverted-index retrieval
+    * shape that complements the dense ANN kernels: documents are sparse
+    * tf-idf vectors over their own vocabulary, the df cut (df ≤
+    * maxDfFrac·N, the standard stop-token cut) bounds every token's
+    * posting list, and the query side probes by a token-keyed join so the
+    * per-pair dot product accumulates only over SHARED tokens. With a
+    * bounded query set the probe is a broadcast-hash join against the
+    * corpus-side postings scan — the 100-TB postings are never shuffled;
+    * corpus-to-corpus all-pairs would instead shuffle both sides on tok,
+    * still bounded by the df cut. Zero-norm docs (all tokens cut) are
+    * excluded on both engines rather than divide-by-zero diverge. */
+  def sparseTopK(docs: DataFrame, k: Int, nQueries: Int,
+                 maxDfFrac: Double = 0.1): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+      .where(col("df") <= col("n_docs") * maxDfFrac)
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w"))
+      .localCheckpoint() // feeds norms + both probe sides once
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("nrm"))
+      .where(col("nrm") > 0)
+    val wn = w.join(nrm, "doc_id")
+    val q = wn.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"), col("w").as("wq"),
+        col("nrm").as("nq"))
+    val scored = wn
+      .select(col("doc_id").as("nid"), col("tok"), col("w").as("wc"),
+        col("nrm").as("nc"))
+      .join(broadcast(q), "tok")
+      .where(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"), col("nq"), col("nc"))
+      .agg(round(sum(col("wq") * col("wc")), 6).as("dot"))
+      .select(col("qid"), col("nid"),
+        round(col("dot") / (col("nq") * col("nc")), 6).as("cosine"))
+    val rw = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
+  /** Token-distribution drift between two corpus splits (train/validation
+    * monitoring): add-1-smoothed unigram distributions over the union
+    * vocabulary, KL divergence both directions. ONE token-keyed count
+    * shuffle builds both distributions (conditional aggregation), the
+    * scalar totals broadcast back, and the KL sums are one final scalar
+    * aggregate — per-split probabilities never materialize outside the
+    * scan. */
+  def tokenKlDrift(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = t.groupBy(col("tok")).agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("tot_a"), sum(col("cb")).as("tot_b"))
+    val pa = (col("ca") + 1) / (col("tot_a") + col("v")).cast("double")
+    val pb = (col("cb") + 1) / (col("tot_b") + col("v")).cast("double")
+    counts.crossJoin(broadcast(tot))
+      .select(col("v"), col("tot_a"), col("tot_b"),
+        (pa * log(pa / pb)).as("term_ab"), (pb * log(pb / pa)).as("term_ba"))
+      .groupBy(col("v"), col("tot_a"), col("tot_b"))
+      .agg(round(sum(col("term_ab")), 6).as("kl_ab"),
+        round(sum(col("term_ba")), 6).as("kl_ba"))
+  }
+
   /** Trained quality model: full-batch logistic-regression gradient
     * descent run entirely as engine aggregations — "model training as
     * aggregation" one level up from the bigram LM: the model state is a

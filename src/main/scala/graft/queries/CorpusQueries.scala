@@ -132,6 +132,55 @@ object CorpusQueries {
         "LEFT JOIN uni u ON h.w1 = u.w1, v GROUP BY 1 ORDER BY 1") { (s, d) =>
       Corpus.bigramNll(Tables.documents(s, d), holdoutMod = 5)
         .orderBy(col("doc_id"))
+    },
+
+    // Sparse tf-idf top-5 neighbors for query docs (doc_id < 10) via an
+    // inverted-index probe: pairs accumulate the dot product over SHARED
+    // tokens only and the bounded query side broadcasts so the postings
+    // scan never shuffles. The df stop cut (maxDfFrac) is the at-scale
+    // posting-list bound for natural vocabularies; THIS corpus's synthetic
+    // vocabulary is 31 words (every token near-ubiquitous, max df ≈ 0.8N),
+    // so the cut registers open (1.0) — at any real vocabulary it would be
+    // ~0.1 and each list would be bounded. Dense complement:
+    // sim_topk_bruteforce.
+    Q("sim_sparse_topk",
+      s"WITH $tokCte, " +
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok1 GROUP BY 1, 2), " +
+        "dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "w AS (SELECT doc_id, tok, ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS w " +
+        "FROM tf JOIN dfreq USING (tok), nd WHERE df <= n_docs * 1.0), " +
+        "nrm AS (SELECT doc_id, ROUND(sqrt(SUM(w * w)), 6) AS nrm FROM w " +
+        "GROUP BY 1 HAVING ROUND(sqrt(SUM(w * w)), 6) > 0), " +
+        "wn AS (SELECT doc_id, tok, w, nrm FROM w JOIN nrm USING (doc_id)), " +
+        "sc AS (SELECT q.doc_id AS qid, c.doc_id AS nid, q.nrm AS nq, c.nrm AS nc, " +
+        "ROUND(SUM(q.w * c.w), 6) AS dot FROM wn q JOIN wn c USING (tok) " +
+        "WHERE q.doc_id < 10 AND c.doc_id != q.doc_id GROUP BY 1, 2, 3, 4), " +
+        "r AS (SELECT qid, nid, ROUND(dot / (nq * nc), 6) AS cosine FROM sc), " +
+        "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM r) " +
+        "SELECT qid, rank, nid, cosine FROM t WHERE rank <= 5 ORDER BY qid, rank") {
+      (s, d) =>
+        Corpus.sparseTopK(Tables.documents(s, d), k = 5, nQueries = 10,
+            maxDfFrac = 1.0)
+          .orderBy(col("qid"), col("rank"))
+    },
+
+    // Token-distribution KL drift between the even/odd doc_id splits —
+    // the train/validation distribution monitor: add-1-smoothed unigram
+    // distributions over the union vocabulary, KL both directions, ONE
+    // token-keyed shuffle + a scalar aggregate.
+    Q("corpus_kl_drift",
+      s"WITH $tokCte, " +
+        "c AS (SELECT tok, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(SUM(CASE WHEN doc_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM tok1 GROUP BY 1), " +
+        "t AS (SELECT COUNT(*)::BIGINT AS v, CAST(SUM(ca) AS BIGINT) AS tot_a, " +
+        "CAST(SUM(cb) AS BIGINT) AS tot_b FROM c) " +
+        "SELECT v, tot_a, tot_b, " +
+        "ROUND(SUM(((ca + 1) / (tot_a + v)::DOUBLE) * ln(((ca + 1) / (tot_a + v)::DOUBLE) / ((cb + 1) / (tot_b + v)::DOUBLE))), 6) AS kl_ab, " +
+        "ROUND(SUM(((cb + 1) / (tot_b + v)::DOUBLE) * ln(((cb + 1) / (tot_b + v)::DOUBLE) / ((ca + 1) / (tot_a + v)::DOUBLE))), 6) AS kl_ba " +
+        "FROM c, t GROUP BY 1, 2, 3") { (s, d) =>
+      Corpus.tokenKlDrift(Tables.documents(s, d))
     }
   )
 }
