@@ -142,6 +142,13 @@ object ScaleSmoke {
       // map-side, ADC restricted to probed cells — expected ~linear in
       // the corpus (training passes dominate at fixed cells/codes).
       "sim_ivfpq_rerank",
+      // Round-9 trained-model + retrieval batch (documents-only): BPE
+      // rounds touch the VOCAB after one corpus count (vocab grows
+      // sub-linearly); LR GD = 3 map-side scans; sparse top-k joins
+      // postings against a broadcast 10-doc query side; KL drift = one
+      // token-keyed shuffle — all expected ~linear or flatter.
+      "text_bpe_train", "pipeline_quality_lr", "sim_sparse_topk",
+      "corpus_kl_drift",
       // Late round-8 additions: changepoint + transitions are one keyed
       // shuffle each over 10× events; the dedup-rate report is one
       // (source, hash) aggregation over 10× documents.
