@@ -142,6 +142,10 @@ object ScaleSmoke {
       // map-side, ADC restricted to probed cells — expected ~linear in
       // the corpus (training passes dominate at fixed cells/codes).
       "sim_ivfpq_rerank",
+      // Custom whole-operator fold (round 9): ONE wallet-keyed exchange +
+      // per-partition sort, then an O(1)-state streaming fold — expected
+      // ~linear over 10× events with 10× wallets.
+      "o4_fold_exec",
       // Round-9 trained-model + retrieval batch (documents-only): BPE
       // rounds touch the VOCAB after one corpus count (vocab grows
       // sub-linearly); LR GD = 3 map-side scans; sparse top-k joins

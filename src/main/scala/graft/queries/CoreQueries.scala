@@ -158,6 +158,43 @@ object CoreQueries {
           lit(false).as("flag_removed"))
         DepositOps.lwwFlag(DepositOps.withManualFlags(det, man))
           .orderBy(col("wallet_id"))
+    },
+
+    // O4 through the CUSTOM WHOLE-OPERATOR path (round 9): the exact
+    // reset-discards-the-deposit machine as a logical node + planner
+    // strategy + physical exec (graft.plans.DetectorFold). The exec
+    // declares ClusteredDistribution(wallet) + (wallet, tsec, seq)
+    // ordering, so EnsureRequirements plans ONE hash exchange + sort and
+    // the fold streams each wallet's run in O(1) state — unbounded
+    // history, no per-wallet array row, no recursion cap. Tuned
+    // constants; the oracle replays the fold as an unbounded-depth
+    // recursive CTE.
+    Q("o4_fold_exec", {
+      val w = TunedWindowSec; val th = TunedThreshold
+      val nxt = s"CASE WHEN s.st = 0 THEN d.tsec WHEN d.tsec - s.st > $w THEN 0 ELSE s.st END"
+      val recv = s"CASE WHEN s.st <> 0 AND d.tsec - s.st > $w THEN CAST(0.0 AS DOUBLE) ELSE s.rc + d.amount END"
+      "WITH RECURSIVE dd AS (SELECT user_id AS wallet_id, epoch_us(ts) // 1000000 AS tsec, " +
+        "event_id AS seq, value AS amount FROM events WHERE value > 0), " +
+        "d AS (SELECT wallet_id, tsec, amount, " +
+        "ROW_NUMBER() OVER (PARTITION BY wallet_id ORDER BY tsec, seq) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY wallet_id) AS n FROM dd), " +
+        "s AS (SELECT wallet_id, CAST(0 AS BIGINT) AS st, CAST(0.0 AS DOUBLE) AS rc, " +
+        "true AS fr, CAST(0 AS BIGINT) AS rn, n FROM (SELECT DISTINCT wallet_id, n FROM d) " +
+        "UNION ALL " +
+        s"SELECT s.wallet_id, CAST($nxt AS BIGINT), $recv, " +
+        s"NOT (($recv) >= $th AND ($nxt) <> 0), s.rn + 1, s.n " +
+        "FROM s JOIN d ON d.wallet_id = s.wallet_id AND d.rn = s.rn + 1) " +
+        "SELECT wallet_id, ROUND(rc, 2) AS win_sum, NOT fr AS above_threshold " +
+        "FROM s WHERE rn = n ORDER BY wallet_id"
+    }) { (s, d) =>
+      val dep = Tables.events(s, d).filter(col("value") > 0)
+        .select(col("user_id").as("wallet_id"),
+          expr("unix_micros(ts) div 1000000").as("tsec"),
+          col("event_id").as("seq"), col("value").as("amount"))
+      graft.plans.DetectorFold(s, dep, TunedWindowSec, TunedThreshold)
+        .select(col("wallet_id"), round(col("win_sum"), 2).as("win_sum"),
+          col("above_threshold"))
+        .orderBy(col("wallet_id"))
     }
   )
 }
