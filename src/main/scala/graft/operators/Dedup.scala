@@ -107,6 +107,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC near-dup detection by shingle CONTAINMENT — C(A,B) =
+    * |A∩B| / |A| — the relation Jaccard misses: a short document quoted or
+    * subset-copied inside a much larger one has high containment but low
+    * Jaccard (the big doc's extra shingles blow up the union). Candidates
+    * come from the same banded MinHash join as [[minhashLshPairs]] (the
+    * documented LSH recall trade: containment-skewed pairs whose Jaccard
+    * is very low can evade band collision — the same knob, more bands ÷
+    * fewer rows, recovers them); the verify computes exact containment
+    * both directions plus Jaccard, keeping pairs where either direction
+    * clears the threshold. Ratios stay RAW integer-count divisions —
+    * bit-identical in any engine, no rounding boundary. */
+  def containmentPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
+                       rows: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val mh = swapCached(minhashed(docs, k, bands, rows))
+    val bandRows = mh.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("pos", "band")))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val cands = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sh = mh.select(col("doc_id"), col("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .where(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a"))).as("cont_ab"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_b"))).as("cont_ba"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+  }
+
   /** Exact-Jaccard self-join over the length band |Δn_chars| ≤ maxDiff,
     * with size-ADAPTIVE candidate generation (length-band bucket join
     * below `prefixCutover` docs, df-ordered prefix filter above — see the

@@ -414,6 +414,31 @@ object DedupQueries {
         .orderBy(col("new_id"), col("dup_of"))
     },
 
+    // ASYMMETRIC containment dedup (round 9): C(A,B) = |A∩B|/|A| catches
+    // quote/subset copies whose Jaccard is diluted by the longer doc's
+    // extra shingles. Same banded candidates as dedup_minhash_lsh, exact
+    // both-direction containment verify, raw integer-count ratios (no
+    // rounding boundary).
+    Q("dedup_containment",
+      s"WITH $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, " +
+        "md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT id_a, id_b, " +
+        "len(list_intersect(sa.s, sb.s))::DOUBLE / len(sa.s) AS cont_ab, " +
+        "len(list_intersect(sa.s, sb.s))::DOUBLE / len(sb.s) AS cont_ba, " +
+        "len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard " +
+        "FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b " +
+        "WHERE len(sa.s) > 0 AND len(sb.s) > 0) " +
+        "SELECT id_a, id_b, cont_ab, cont_ba, jaccard FROM v " +
+        "WHERE GREATEST(cont_ab, cont_ba) >= 0.7 ORDER BY id_a, id_b") { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Dedup observability: the per-source report every corpus pipeline
     // publishes after a dedup pass — documents, exact-unique texts (md5
     // content hash), surviving share, and the duplicate-copy mass. ONE

@@ -329,6 +329,43 @@ object WarehouseQueries {
         .orderBy(col("check_name"))
     },
 
+    // Calendar gap-fill + trailing moving average (round 9): the
+    // time-series densify every metric pipeline needs — days with no
+    // events exist as explicit zeros, so the 7-day trailing mean is
+    // computed over the true calendar, not just observed days. The spine
+    // generates from each type's own [min, max] day range (a per-type
+    // aggregate over the already-aggregated daily table — types×days
+    // rows, trivial vs the events scan); the window partition is bounded
+    // by days-per-type. Daily totals round to 2 dp BEFORE the window so
+    // the frame fold sees identical values in both engines; the ordered
+    // frame itself folds in the same row order everywhere.
+    Q("q_gapfill_ma",
+      "WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day, value FROM events), " +
+        "d AS (SELECT event_type, day, ROUND(SUM(value), 2) AS total FROM e GROUP BY 1, 2), " +
+        "mm AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM d GROUP BY 1), " +
+        "spine AS (SELECT event_type, unnest(range(mn, mx + 1)) AS day FROM mm), " +
+        "f AS (SELECT s.event_type, s.day, COALESCE(d.total, 0.0) AS total " +
+        "FROM spine s LEFT JOIN d USING (event_type, day)), " +
+        "m AS (SELECT event_type, day, total, ROUND(AVG(total) OVER " +
+        "(PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7 FROM f) " +
+        "SELECT event_type, day, total, ma7 FROM m ORDER BY event_type, day") { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 1000000 div 86400").as("day"), col("value"))
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val mm = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val spine = mm.select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+      val f = spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("total", coalesce(col("total"), lit(0.0)))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      f.withColumn("ma7", round(avg(col("total")).over(w), 6))
+        .select(col("event_type"), col("day"), col("total"), col("ma7"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // CUSUM changepoint detection: per event type, the day where the
     // cumulative sum of (daily total − mean) peaks in magnitude — the
     // classic level-shift locator every metric-monitoring pipeline runs.
