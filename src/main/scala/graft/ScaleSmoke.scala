@@ -153,6 +153,11 @@ object ScaleSmoke {
       // token-keyed shuffle — all expected ~linear or flatter.
       "text_bpe_train", "pipeline_quality_lr", "sim_sparse_topk",
       "corpus_kl_drift",
+      // Containment rides the same banded-candidate machinery as
+      // dedup_minhash_lsh (pair density linear under the dissimilar-
+      // replica synth); gap-fill is one daily aggregate + a types×days
+      // spine — both expected ~linear.
+      "dedup_containment", "q_gapfill_ma",
       // Late round-8 additions: changepoint + transitions are one keyed
       // shuffle each over 10× events; the dedup-rate report is one
       // (source, hash) aggregation over 10× documents.

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+
+/** Executable plan audits: the PERF/PLANS claims that make queries fast at
+  * 100 TB — filter pushdown into the scan, map-side WindowGroupLimit,
+  * distributed TakeOrdered top-k, broadcast of tiny stats tables, the
+  * custom fold exec — pinned as assertions so a refactor that silently
+  * loses one fails CI instead of the bench. Plans are inspected PRE-execution
+  * (the static shapes are what Catalyst promises regardless of AQE's
+  * runtime re-planning). */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q1_pricing_summary pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter not pushed")
+  }
+
+  test("tfidf_top_terms ranks per doc via map-side WindowGroupLimit") {
+    val p = planOf("tfidf_top_terms")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q_top_spenders top-k compiles to distributed TakeOrderedAndProject") {
+    val p = planOf("q_top_spenders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_anomaly_zscore broadcasts the per-type stats table") {
+    val p = planOf("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("o4_fold_exec plans the custom DetectorFold operator") {
+    val p = planOf("o4_fold_exec")
+    assert(p.contains("DetectorFold"), p.take(2000))
+  }
+
+  test("dedup_exact never broadcasts the corpus-sized hash table") {
+    // Exact dedup is one hash aggregation: a broadcast anywhere in this
+    // plan would mean a corpus-sized build side.
+    val p = planOf("dedup_exact")
+    assert(!p.contains("BroadcastExchange"), p.take(2000))
+  }
+}
