@@ -141,7 +141,7 @@ object ScaleSmoke {
       // IVF-PQ composite (round 9): both models broadcast, encode/assign
       // map-side, ADC restricted to probed cells — expected ~linear in
       // the corpus (training passes dominate at fixed cells/codes).
-      "sim_ivfpq_rerank",
+      "sim_ivfpq_rerank", "sim_ivfpq_residual",
       // Custom whole-operator fold (round 9): ONE wallet-keyed exchange +
       // per-partition sort, then an O(1)-state streaming fold — expected
       // ~linear over 10× events with 10× wallets.

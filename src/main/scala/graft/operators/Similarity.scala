@@ -426,8 +426,9 @@ object Similarity {
     * every subsequent probe. Deterministic, so a cache miss only
     * re-derives the identical table. */
   private def trainPqCodebooksArray(emb: DataFrame, sv: DataFrame, m: Int,
-                                    nCodes: Int, iters: Int): Array[SubCentroid] =
-    cachedModel(s"pq", emb, s"$m|$nCodes|$iters") {
+                                    nCodes: Int, iters: Int,
+                                    variant: String = ""): Array[SubCentroid] =
+    cachedModel(s"pq$variant", emb, s"$m|$nCodes|$iters") {
       var cents = sv.where(col("vec_id") < nCodes)
         .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv"))
         .collect()
@@ -594,6 +595,81 @@ object Similarity {
       .where(col("srank") <= shortlist)
       .select(col("qid"), col("nid"))
     // Exact L2 rerank on the shortlist survivors only.
+    val q = e.join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = broadcast(cand.join(broadcast(q), "qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        round(dist2(col("qv"), col("nv")), 6).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dist"))
+  }
+
+  /** RESIDUAL IVF-PQ — the FAISS-default refinement of
+    * [[ivfPqRerankTopK]]: PQ codebooks are trained on (and codes encode)
+    * the residual v − centroid(cell(v)) instead of the raw vector, so the
+    * quantizer spends its 8 bytes on the WITHIN-cell geometry the coarse
+    * quantizer already localized — tighter codes at identical cost. The
+    * query side computes one residual per PROBED cell (q − centroid(c)),
+    * making the ADC table (qid, cell, sub, cid)-keyed — nProbe× larger
+    * than the raw variant's, still a |q|-bounded broadcast. Same scale
+    * shape otherwise: broadcast models, map-side assign/encode, the one
+    * corpus-keyed shuffle is the cell-filtered ADC partial sum. */
+  def ivfPqResidualRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                              nCells: Int = 16, ivfIters: Int = 2,
+                              nProbe: Int = 2, m: Int = 8, nCodes: Int = 16,
+                              pqIters: Int = 2, shortlist: Int = 30): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val model = centroidDf(spark, trainIvfCentroidsArray(emb, nCells, ivfIters))
+    val cellCv = broadcast(model.select(col("cid").as("cell"), col("cv")))
+    // Residual per corpus vector: assigned cell + v − centroid.
+    val cells = assignNearest(e, model, Seq("v"))
+      .select(col("vec_id"), col("v"), col("mc.cid").as("cell"))
+      .join(cellCv, "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+    val subLen = (size(col("r")) / m).cast("int")
+    val sv = cells.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("r"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("r"), col("sub") * subLen + 1, subLen).as("sv"))
+    val cbDf = pqCodebookDf(spark,
+      trainPqCodebooksArray(emb, sv, m, nCodes, pqIters, variant = "res"))
+    val codes = assignCodes(sv, cbDf)
+      .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
+      .join(cells.select(col("vec_id").as("nid"), col("cell")), "nid")
+    // Query probes: nProbe nearest cells, one residual per probed cell.
+    val probes = e.join(queries.select(col("vec_id")), "vec_id")
+      .crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"),
+        first(col("v")).as("qv"))
+      .select(col("vec_id").as("qid"), explode(col("pcs")).as("pc"), col("qv"))
+      .select(col("qid"), col("pc.cid").as("cell"), col("qv"))
+      .join(cellCv, "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rq"))
+    val subLenQ = (size(col("rq")) / m).cast("int")
+    val qsv = probes.select(col("qid"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rq"))
+      .select(col("qid"), col("cell"), col("sub"),
+        slice(col("rq"), col("sub") * subLenQ + 1, subLenQ).as("sv"))
+    val dtab = qsv.join(broadcast(cbDf), "sub")
+      .select(col("qid"), col("cell"), col("sub"), col("cid"),
+        round(dist2(col("sv"), col("cv")), 6).as("d"))
+    val scored = codes
+      .join(broadcast(probes.select(col("qid"), col("cell"))), "cell")
+      .where(col("nid") =!= col("qid"))
+      .join(broadcast(dtab), Seq("qid", "cell", "sub", "cid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(round(sum(col("d")), 6).as("adist"))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    val cand = scored.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select(col("qid"), col("nid"))
     val q = e.join(queries.select(col("vec_id")), "vec_id")
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = broadcast(cand.join(broadcast(q), "qid"))

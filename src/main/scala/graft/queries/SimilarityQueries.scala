@@ -295,6 +295,21 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // RESIDUAL IVF-PQ (the FAISS default): codebooks train on — and codes
+    // encode — v − centroid(cell(v)), spending the 8 bytes on the
+    // within-cell geometry the coarse quantizer already localized; the
+    // query side carries one residual per probed cell, so the broadcast
+    // ADC table keys on (qid, cell, sub, cid).
+    Q("sim_ivfpq_residual", ivfPqResidualSql(nCells = 16, ivfIters = 2,
+      nProbe = 2, m = 8, nCodes = 16, pqIters = 2, shortlist = 30, k = 3,
+      nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      Similarity.ivfPqResidualRerankTopK(embT, embT.filter(col("vec_id") < 10),
+          k = 3, nCells = 16, ivfIters = 2, nProbe = 2, m = 8, nCodes = 16,
+          pqIters = 2, shortlist = 30)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Truncated-prefix (matryoshka-style) shortlist + exact rerank: the
     // approximate score is the dot over only the first 16 dims — d/16 of
     // the scan arithmetic — rounded to 6 dp before ranking so the
@@ -446,6 +461,91 @@ object SimilarityQueries {
       "FROM codes c JOIN cell USING (nid) JOIN probe p USING (cell) " +
       "JOIN dtab t ON t.qid = p.qid AND t.sub = c.sub AND t.cid = c.cid " +
       "WHERE c.nid != p.qid GROUP BY p.qid, c.nid), " +
+      "r AS (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY adist, nid) AS srank FROM sc), " +
+      s"cand AS (SELECT qid, nid FROM r WHERE srank <= $shortlist), " +
+      "resc AS (SELECT c.qid, c.nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(a.v) + 1), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) " +
+      "AS dist FROM cand c JOIN e a ON a.vec_id = c.qid " +
+      "JOIN e b ON b.vec_id = c.nid), " +
+      "rr AS (SELECT qid, nid, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, nid) AS rank FROM resc) " +
+      s"SELECT qid, rank, nid, dist FROM rr WHERE rank <= $k ORDER BY qid, rank"
+  }
+
+  /** DuckDB replay of [[Similarity.ivfPqResidualRerankTopK]]: the same
+    * i-/p-prefixed composition as [[ivfPqSql]], with PQ training, encoding
+    * and the ADC table all computed on RESIDUALS (v − assigned-cell
+    * centroid; the query side gets one residual per probed cell, so the
+    * distance table keys on (qid, cell, sub, cid)). */
+  private def ivfPqResidualSql(nCells: Int, ivfIters: Int, nProbe: Int,
+                               m: Int, nCodes: Int, pqIters: Int,
+                               shortlist: Int, k: Int, nQueries: Int): String = {
+    def iDist(name: String, cent: String) =
+      s"$name AS (SELECT e.vec_id, c.cid, ROUND(list_sum(list_transform(" +
+        "range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) " +
+        s"AS dist FROM e, $cent c)"
+    val iTrain = (1 to ivfIters).map { t =>
+      iDist(s"id$t", s"icent${t - 1}") + ", " +
+        s"ia$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        s"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM id$t) WHERE rn = 1), " +
+        s"is$t AS (SELECT a.cid, u.pos, ROUND(AVG(u.val), 6) AS val " +
+        s"FROM ia$t a JOIN iu u USING (vec_id) GROUP BY a.cid, u.pos), " +
+        s"icent$t AS (SELECT cid, list(val ORDER BY pos) AS cv FROM is$t GROUP BY cid)"
+    }.mkString(", ")
+    def pDist(name: String, cent: String) =
+      s"$name AS (SELECT s.vec_id, s.sub, c.cid, ROUND(list_sum(list_transform(" +
+        "range(1, len(s.s) + 1), i -> (s.s[i] - c.cv[i]) * (s.s[i] - c.cv[i]))), 6) " +
+        s"AS dist FROM sv s JOIN $cent c USING (sub))"
+    val pTrain = (1 to pqIters).map { t =>
+      pDist(s"pd$t", s"pcent${t - 1}") + ", " +
+        s"pa$t AS (SELECT vec_id, sub, cid FROM (SELECT vec_id, sub, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn " +
+        s"FROM pd$t) WHERE rn = 1), " +
+        s"ps$t AS (SELECT a.sub, a.cid, u.pos, ROUND(AVG(u.val), 6) AS val " +
+        s"FROM pa$t a JOIN pu u ON u.vec_id = a.vec_id AND u.sub = a.sub " +
+        "GROUP BY a.sub, a.cid, u.pos), " +
+        s"pcent$t AS (SELECT sub, cid, list(val ORDER BY pos) AS cv FROM ps$t " +
+        "GROUP BY sub, cid)"
+    }.mkString(", ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "iu AS (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM e), " +
+      s"icent0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM e WHERE vec_id < $nCells), " +
+      s"$iTrain, " +
+      iDist("idf", s"icent$ivfIters") + ", " +
+      "irf AS (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM idf), " +
+      "cell AS (SELECT vec_id AS nid, cid AS cell FROM irf WHERE rn = 1), " +
+      s"probe AS (SELECT vec_id AS qid, cid AS cell FROM irf " +
+      s"WHERE rn <= $nProbe AND vec_id < $nQueries), " +
+      // Corpus residuals against the ASSIGNED cell centroid.
+      s"rescv AS (SELECT c.nid AS vec_id, list_transform(range(1, len(e.v) + 1), " +
+      s"i -> e.v[i] - ic.cv[i]) AS r FROM cell c JOIN e ON e.vec_id = c.nid " +
+      s"JOIN icent$ivfIters ic ON ic.cid = c.cell), " +
+      s"sv AS (SELECT vec_id, sub, list_slice(r, sub * (len(r) // $m) + 1, " +
+      s"(sub + 1) * (len(r) // $m)) AS s FROM rescv, range(0, $m) r2(sub)), " +
+      "pu AS (SELECT vec_id, sub, unnest(s) AS val, " +
+      "unnest(range(1, len(s) + 1)) AS pos FROM sv), " +
+      s"pcent0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, s AS cv FROM sv " +
+      s"WHERE vec_id < $nCodes), " +
+      s"$pTrain, " +
+      pDist("pdf", s"pcent$pqIters") + ", " +
+      "codes AS (SELECT vec_id AS nid, sub, cid FROM (SELECT vec_id, sub, cid, " +
+      "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn " +
+      "FROM pdf) WHERE rn = 1), " +
+      // Query residual per PROBED cell; ADC table keyed by (qid, cell).
+      s"qres AS (SELECT p.qid, p.cell, list_transform(range(1, len(e.v) + 1), " +
+      s"i -> e.v[i] - ic.cv[i]) AS rq FROM probe p JOIN e ON e.vec_id = p.qid " +
+      s"JOIN icent$ivfIters ic ON ic.cid = p.cell), " +
+      s"qsv AS (SELECT qid, cell, sub, list_slice(rq, sub * (len(rq) // $m) + 1, " +
+      s"(sub + 1) * (len(rq) // $m)) AS s FROM qres, range(0, $m) r3(sub)), " +
+      s"dtab AS (SELECT q.qid, q.cell, q.sub, c.cid, ROUND(list_sum(list_transform(" +
+      "range(1, len(q.s) + 1), i -> (q.s[i] - c.cv[i]) * (q.s[i] - c.cv[i]))), 6) AS d " +
+      s"FROM qsv q JOIN pcent$pqIters c USING (sub)), " +
+      "sc AS (SELECT p.qid, c.nid, ROUND(SUM(t.d), 6) AS adist " +
+      "FROM codes c JOIN cell cl ON cl.nid = c.nid JOIN probe p ON p.cell = cl.cell " +
+      "JOIN dtab t ON t.qid = p.qid AND t.cell = cl.cell AND t.sub = c.sub AND t.cid = c.cid " +
+      "WHERE c.nid != p.qid GROUP BY 1, 2), " +
       "r AS (SELECT qid, nid, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY adist, nid) AS srank FROM sc), " +
       s"cand AS (SELECT qid, nid FROM r WHERE srank <= $shortlist), " +
