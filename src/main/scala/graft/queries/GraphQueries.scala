@@ -237,6 +237,55 @@ object GraphQueries {
           round(col("cn") / (col("da") + col("db") - col("cn")), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("cn").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // Label-propagation communities (round 9): 3 SYNCHRONOUS iterations of
+    // most-frequent-neighbor-label voting, ties broken by the smallest
+    // label — deterministic by construction, so the fixed-iteration sync
+    // variant (unlike async LPA) is oracle-replayable. Per iteration: one
+    // edge⋈labels join, one (node, label)-keyed count, one per-node
+    // WindowGroupLimit argmax — every stage keyed, nothing quadratic; the
+    // co-occurrence edge list is linear in lineitem (≤7 lines/order).
+    // Output: the 50 largest communities after round 3.
+    Q("q_label_propagation", {
+      def iter(t: Int) =
+        s"c$t AS (SELECT e.dst AS node, l.lab, COUNT(*) AS cnt " +
+          s"FROM ed e JOIN l${t - 1} l ON e.src = l.node GROUP BY 1, 2), " +
+          s"l$t AS (SELECT node, lab FROM (SELECT node, lab, ROW_NUMBER() OVER " +
+          s"(PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c$t) WHERE rn = 1)"
+      "WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'), " +
+        "ed AS (SELECT DISTINCT a.p AS src, b.p AS dst FROM lp a " +
+        "JOIN lp b ON a.o = b.o AND a.p <> b.p), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed), " +
+        s"${iter(1)}, ${iter(2)}, ${iter(3)} " +
+        "SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members FROM l3 " +
+        "GROUP BY 1 ORDER BY n_members DESC, community LIMIT 50"
+    }) { (s, d) =>
+      val lp = Tables.lineitem(s, d)
+        .where(col("l_shipdate").between("1995-01-01", "1995-06-30"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = lp.as("a").join(lp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+        .localCheckpoint() // 3 iterations re-read the edge list
+      var labels = ed.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("cnt").desc, col("lab"))
+      for (_ <- 1 to 3) {
+        labels = ed.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("node"), col("lab"))
+          .localCheckpoint() // synchronous rounds: fix each frontier
+      }
+      labels.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(50)
     }
   )
 }

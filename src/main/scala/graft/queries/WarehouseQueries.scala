@@ -366,6 +366,31 @@ object WarehouseQueries {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Rolling exact median over the 7-day trailing frame (round 9): the
+    // robust companion to q_gapfill_ma's trailing mean — a single spike
+    // day barely moves it. Daily totals round to 2 dp BEFORE the window;
+    // odd frames pick an exact element and even (series-head) frames
+    // average two rounded values, identical interpolation in both
+    // engines. Same bounded (type, day) window partition as its siblings.
+    Q("q_rolling_median",
+      "WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day, value FROM events), " +
+        "d AS (SELECT event_type, day, ROUND(SUM(value), 2) AS total FROM e GROUP BY 1, 2) " +
+        "SELECT event_type, day, total, ROUND(MEDIAN(total) OVER " +
+        "(PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7 " +
+        "FROM d ORDER BY event_type, day") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 1000000 div 86400").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily.withColumn("med7",
+          round(expr("percentile(total, 0.5)").over(w), 6))
+        .select(col("event_type"), col("day"), col("total"), col("med7"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     // CUSUM changepoint detection: per event type, the day where the
     // cumulative sum of (daily total − mean) peaks in magnitude — the
     // classic level-shift locator every metric-monitoring pipeline runs.
