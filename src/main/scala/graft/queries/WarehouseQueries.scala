@@ -391,6 +391,54 @@ object WarehouseQueries {
         .orderBy(col("event_type"), col("day"))
     },
 
+    // Day-over-day percent change (round 9): the period-over-period
+    // readout every metrics dashboard leads with. One (type, day)
+    // aggregate, then a LAG window inside the bounded per-type partition;
+    // the ratio divides two 2-dp-rounded totals (NULLIF guards a zero
+    // prior day identically in both engines) and rounds to 6.
+    Q("q_period_over_period",
+      "WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day, value FROM events), " +
+        "d AS (SELECT event_type, day, ROUND(SUM(value), 2) AS total FROM e GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, total, " +
+        "LAG(total) OVER (PARTITION BY event_type ORDER BY day) AS prev FROM d) " +
+        "SELECT event_type, day, total, prev, " +
+        "ROUND((total - prev) / NULLIF(prev, 0), 6) AS pct_change " +
+        "FROM w WHERE prev IS NOT NULL ORDER BY event_type, day") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 1000000 div 86400").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.withColumn("prev", lag(col("total"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("pct_change",
+          round((col("total") - col("prev")) / nullif(col("prev"), lit(0d)), 6))
+        .select(col("event_type"), col("day"), col("total"), col("prev"),
+          col("pct_change"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Fixed-width value histogram (round 9): 20 equal buckets over the
+    // observed [min, max] — the profiling staple. Bounds come from one
+    // tiny aggregate broadcast back; the bucket index is exact double
+    // arithmetic computed identically in both engines (same min/max, same
+    // width, same floor), with the max value clamped into the last
+    // bucket. One narrow scan + one bucket-keyed count.
+    Q("q_histogram",
+      "WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events), " +
+        "h AS (SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 20.0)) AS BIGINT), 19) AS bucket " +
+        "FROM events, b) " +
+        "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1 ORDER BY bucket") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      ev.crossJoin(broadcast(b))
+        .select(least(floor((col("value") - col("mn")) /
+          ((col("mx") - col("mn")) / 20.0)).cast("long"), lit(19L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
     // CUSUM changepoint detection: per event type, the day where the
     // cumulative sum of (daily total − mean) peaks in magnitude — the
     // classic level-shift locator every metric-monitoring pipeline runs.
