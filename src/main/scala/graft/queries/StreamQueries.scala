@@ -3,6 +3,7 @@ package graft.queries
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import graft.Q
@@ -417,6 +418,54 @@ object StreamQueries {
     }
   }
 
+  /** Streaming windowed TOP-K: the aggregate (day × type totals) is
+    * maintained BY the micro-batch engine — that is the streaming-legal
+    * part — and the rank is applied to the continuously-maintained output
+    * table at serve time (update-mode streams cannot rank across keys
+    * in-flight; production serves "top dimensions per window" exactly
+    * this way: stream maintains, reader ranks). Integer-cent sums keep
+    * the totals engine-exact, so the rank order is portable. */
+  private def streamTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val feed = eventsFeed(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val name = unique
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = s.readStream
+        .schema(StructType(Seq(
+          StructField("userId", LongType), StructField("eventId", LongType),
+          StructField("eventType", org.apache.spark.sql.types.StringType),
+          StructField("value", org.apache.spark.sql.types.DoubleType),
+          StructField("tsUs", LongType))))
+        .parquet(feed)
+        .withColumn("eventTime", timestamp_micros(col("tsUs")))
+        .withWatermark("eventTime", "1 hour")
+        .groupBy(window(col("eventTime"), "1 day").as("w"),
+          col("eventType").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total"))
+        .select(unix_timestamp(col("w.start")).as("day_start"),
+          col("event_type"), col("n"), col("total"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      val rw = Window.partitionBy(col("day_start"))
+        .orderBy(col("total").desc, col("event_type"))
+      s.table(name)
+        .withColumn("rnk", row_number().over(rw).cast("long"))
+        .where(col("rnk") <= k)
+        .select(col("day_start"), col("rnk"), col("event_type"), col("n"),
+          col("total"))
+        .orderBy(col("day_start"), col("rnk"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
+  }
+
   /** Stream ⋈ static enrichment — the canonical streaming dimension
     * join: the event stream joins a BATCH dimension table (customer)
     * that Spark broadcasts into every micro-batch task, stateless (no
@@ -672,6 +721,24 @@ object StreamQueries {
         "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
       (s, d) => materialized(s, "stream_window_agg", depositFeed(s, d))(
         streamWindowAgg(s, d))(_.orderBy(col("day_start")))
+    },
+
+    // Streaming windowed top-3 event types per day: the day×type totals
+    // are maintained by the real micro-batch engine; the rank reads the
+    // maintained output (update-mode streams cannot rank across keys
+    // in-flight — this maintain-then-rank split IS the production serve
+    // shape). Integer-cent sums make the rank order engine-exact.
+    Q("stream_topk",
+      "WITH e AS (SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS day_start, " +
+        "event_type, value FROM events), " +
+        "d AS (SELECT day_start, event_type, COUNT(*) AS n, " +
+        "SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT day_start, event_type, n, total, ROW_NUMBER() OVER " +
+        "(PARTITION BY day_start ORDER BY total DESC, event_type) AS rnk FROM d) " +
+        "SELECT day_start, rnk, event_type, n, total FROM r WHERE rnk <= 3 " +
+        "ORDER BY day_start, rnk") {
+      (s, d) => materialized(s, "stream_topk", eventsFeed(s, d))(
+        streamTopK(s, d, k = 3))(_.orderBy(col("day_start"), col("rnk")))
     },
 
     // Streaming session windows (30-min inactivity gap) over the deposit
