@@ -419,13 +419,15 @@ object WarehouseQueries {
         .orderBy(col("event_type"), col("day"))
     },
 
-    // Fixed-width value histogram (round 9): 20 equal buckets over the
-    // observed [min, max] — the profiling staple. Bounds come from one
+    // Fixed-width value histogram over DATA-DERIVED bounds (round 9):
+    // 20 equal buckets over the observed [min, max] — the profiling
+    // staple (q_histogram's width_bucket sibling uses FIXED bounds; here
+    // the bounds come from the data). Bounds come from one
     // tiny aggregate broadcast back; the bucket index is exact double
     // arithmetic computed identically in both engines (same min/max, same
     // width, same floor), with the max value clamped into the last
     // bucket. One narrow scan + one bucket-keyed count.
-    Q("q_histogram",
+    Q("q_value_histogram",
       "WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events), " +
         "h AS (SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 20.0)) AS BIGINT), 19) AS bucket " +
         "FROM events, b) " +
