@@ -158,6 +158,11 @@ object ScaleSmoke {
       // replica synth); gap-fill is one daily aggregate + a types×days
       // spine — both expected ~linear.
       "dedup_containment", "q_gapfill_ma",
+      // Late round-9 events-based staples: one (type, day) or bucket
+      // aggregate each + bounded windows — expected ~flat.
+      // (q_label_propagation reads lineitem, which this synth does not
+      // produce; stream_topk is covered by the streaming-throughput row.)
+      "q_rolling_median", "q_period_over_period", "q_value_histogram",
       // Late round-8 additions: changepoint + transitions are one keyed
       // shuffle each over 10× events; the dedup-rate report is one
       // (source, hash) aggregation over 10× documents.
