@@ -194,9 +194,14 @@ object Corpus {
       sum(col("ca")).as("tot_a"), sum(col("cb")).as("tot_b"))
     val pa = (col("ca") + 1) / (col("tot_a") + col("v")).cast("double")
     val pb = (col("cb") + 1) / (col("tot_b") + col("v")).cast("double")
+    // Each per-token term lands on the 6-dp grid BEFORE the sum (the
+    // repo's divide-the-rounded-sum convention): Spark's partial-agg
+    // order vs DuckDB's sequential order can otherwise flip the last ulp
+    // of the float sum across a rounding boundary.
     counts.crossJoin(broadcast(tot))
       .select(col("v"), col("tot_a"), col("tot_b"),
-        (pa * log(pa / pb)).as("term_ab"), (pb * log(pb / pa)).as("term_ba"))
+        round(pa * log(pa / pb), 6).as("term_ab"),
+        round(pb * log(pb / pa), 6).as("term_ba"))
       .groupBy(col("v"), col("tot_a"), col("tot_b"))
       .agg(round(sum(col("term_ab")), 6).as("kl_ab"),
         round(sum(col("term_ba")), 6).as("kl_ba"))

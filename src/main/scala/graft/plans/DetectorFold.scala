@@ -137,9 +137,14 @@ object DetectorFold {
     * `SparkSessionExtensions.injectPlannerStrategy`). */
   def apply(spark: SparkSession, deposits: DataFrame,
             windowSec: Long, threshold: Double): DataFrame = {
-    if (!spark.experimental.extraStrategies.contains(DetectorFoldStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ DetectorFoldStrategy
+    // Synchronized check-then-append: extraStrategies is shared session
+    // state, and two concurrent first calls would otherwise both pass the
+    // contains() check and register the strategy twice.
+    DetectorFold.synchronized {
+      if (!spark.experimental.extraStrategies.contains(DetectorFoldStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ DetectorFoldStrategy
+    }
     val child = deposits.select(
       col("wallet_id").cast("long").as("wallet_id"),
       col("tsec").cast("long").as("tsec"),

@@ -177,8 +177,8 @@ object CorpusQueries {
         "t AS (SELECT COUNT(*)::BIGINT AS v, CAST(SUM(ca) AS BIGINT) AS tot_a, " +
         "CAST(SUM(cb) AS BIGINT) AS tot_b FROM c) " +
         "SELECT v, tot_a, tot_b, " +
-        "ROUND(SUM(((ca + 1) / (tot_a + v)::DOUBLE) * ln(((ca + 1) / (tot_a + v)::DOUBLE) / ((cb + 1) / (tot_b + v)::DOUBLE))), 6) AS kl_ab, " +
-        "ROUND(SUM(((cb + 1) / (tot_b + v)::DOUBLE) * ln(((cb + 1) / (tot_b + v)::DOUBLE) / ((ca + 1) / (tot_a + v)::DOUBLE))), 6) AS kl_ba " +
+        "ROUND(SUM(ROUND(((ca + 1) / (tot_a + v)::DOUBLE) * ln(((ca + 1) / (tot_a + v)::DOUBLE) / ((cb + 1) / (tot_b + v)::DOUBLE)), 6)), 6) AS kl_ab, " +
+        "ROUND(SUM(ROUND(((cb + 1) / (tot_b + v)::DOUBLE) * ln(((cb + 1) / (tot_b + v)::DOUBLE) / ((ca + 1) / (tot_a + v)::DOUBLE)), 6)), 6) AS kl_ba " +
         "FROM c, t GROUP BY 1, 2, 3") { (s, d) =>
       Corpus.tokenKlDrift(Tables.documents(s, d))
     }

@@ -98,11 +98,11 @@ object StatsQueries {
     // Correlated EXISTS through the SQL layer.
     Q("q_exists_correlated",
       "SELECT c_custkey FROM customer WHERE EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 500000) " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 480000) " +
         "ORDER BY c_custkey") { (s, d) =>
       Tables.registerAll(s, d)
       s.sql("SELECT c_custkey FROM customer WHERE EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 500000) " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 480000) " +
         "ORDER BY c_custkey")
     },
 

@@ -426,17 +426,21 @@ object WarehouseQueries {
     // tiny aggregate broadcast back; the bucket index is exact double
     // arithmetic computed identically in both engines (same min/max, same
     // width, same floor), with the max value clamped into the last
-    // bucket. One narrow scan + one bucket-keyed count.
+    // bucket. One narrow scan + one bucket-keyed count. A constant-valued
+    // column (mx = mn) short-circuits to bucket 0 via NULLIF + COALESCE —
+    // the same degenerate-case guard q_anomaly_mad uses for MAD = 0
+    // (Spark would cast the NaN to 0 while DuckDB errors on the CAST).
     Q("q_value_histogram",
       "WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events), " +
-        "h AS (SELECT LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 20.0)) AS BIGINT), 19) AS bucket " +
+        "h AS (SELECT LEAST(COALESCE(CAST(FLOOR((value - mn) / (NULLIF(mx - mn, 0) / 20.0)) AS BIGINT), 0), 19) AS bucket " +
         "FROM events, b) " +
         "SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1 ORDER BY bucket") { (s, d) =>
       val ev = Tables.events(s, d)
       val b = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
       ev.crossJoin(broadcast(b))
-        .select(least(floor((col("value") - col("mn")) /
-          ((col("mx") - col("mn")) / 20.0)).cast("long"), lit(19L)).as("bucket"))
+        .select(least(coalesce(floor((col("value") - col("mn")) /
+            (nullif(col("mx") - col("mn"), lit(0d)) / 20.0)).cast("long"),
+          lit(0L)), lit(19L)).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
     },

@@ -54,11 +54,28 @@ object Tables {
     * keyed on the session because a plan is bound to the session state
     * that resolved it. Data under a dir is driver-written once per round,
     * never mutated in place, so staleness cannot arise; tests that write
-    * fresh dirs get fresh keys. */
-  private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * fresh dirs get fresh keys.
+    *
+    * Bounded access-order LRU (not an unbounded map): a long-lived JVM
+    * that cycles through many sessions — the 41-suite test run, a
+    * multi-tenant serve process — would otherwise retain every stopped
+    * session and its resolved file indexes forever. 64 slots covers the
+    * ten tables across several live (session, dir) pairs; evicted entries
+    * are just re-resolved (one footer read). */
+  private val MaxCachedRelations = 64
+  private val relCache: java.util.Map[(SparkSession, String, String), DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+          128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+          size() > MaxCachedRelations
+      })
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    // computeIfAbsent on a synchronizedMap holds the map mutex for the
+    // whole resolve — correct (resolution must not race) and cheap (only
+    // the first touch of a table pays the footer read).
     relCache.computeIfAbsent((spark, dir, name), { _ =>
       graft.functions.GraftFunctions.register(spark) // idempotent
       // Surface TIMESTAMP(NANOS) as a raw LONG instead of a read error —
