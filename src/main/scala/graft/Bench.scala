@@ -79,8 +79,17 @@ object Bench {
     // query that failed every run reports "failed" (never a number), so a
     // regression that crashes queries can only hurt the total, not flatter
     // it (a crash takes ~0.06 s vs the seconds of real work it replaced).
+    // Index/model cache traffic per query, accumulated across runs from
+    // IndexCache counter deltas (`<kind>.mem` / `.disk` / `.build` /
+    // `.train`) — embedded in the output JSON so a draw is
+    // SELF-DIAGNOSING: a serve query that unexpectedly slowed shows
+    // whether it rebuilt an artifact or served from cache, attributable
+    // from the artifact alone.
+    val forensicsAcc =
+      scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
     val samples: Seq[Seq[(String, Option[Double])]] = (1 to runs).map { _ =>
       val round = names.map { name =>
+        val fBefore = operators.IndexCache.forensicsSnapshot
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -88,7 +97,19 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
           }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val delta = operators.IndexCache.forensicsSnapshot.flatMap {
+          case (k, v) =>
+            val d = v - fBefore.getOrElse(k, 0L)
+            if (d != 0) Some(k -> d) else None
+        }
+        if (delta.nonEmpty) {
+          val prev = forensicsAcc.getOrElse(name, Map.empty[String, Long])
+          forensicsAcc(name) = delta.foldLeft(prev) { case (acc, (k, d)) =>
+            acc.updated(k, acc.getOrElse(k, 0L) + d)
+          }
+        }
+        name -> (if (ok) Some(elapsed) else None)
       }
       // Between rounds (outside any timed region): a full GC lets Spark's
       // ContextCleaner reap the dead localCheckpoint blocks the round left
@@ -121,9 +142,16 @@ object Bench {
     val (calPost1, calPostN) = calibrate()
     val calib = s""""calib":{"pre_1t":${r4(calPre1)},"pre_allcore":${r4(calPreN)},""" +
       s""""post_1t":${r4(calPost1)},"post_allcore":${r4(calPostN)}}"""
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,${failedJson}"queries":$qs,$calib,"sf":"$sfDir"}""")
-    // Short, truncation-proof summary LAST (tail captures keep it whole).
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$failedJson$calib,"sf":"$sfDir"}""")
+    val forensicsJson = forensicsAcc.map { case (n, m) =>
+      "\"" + n + "\":" + m.toSeq.sorted.map { case (k, v) =>
+        "\"" + k + "\":" + v
+      }.mkString("{", ",", "}")
+    }.mkString("\"forensics\":{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,${failedJson}"queries":$qs,$forensicsJson,$calib,"sf":"$sfDir"}""")
+    // Short, truncation-proof summary LAST (tail captures keep it whole;
+    // it carries the forensics block too, so cache-traffic attribution
+    // survives a truncated big line).
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$failedJson$forensicsJson,$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

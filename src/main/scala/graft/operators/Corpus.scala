@@ -136,34 +136,66 @@ object Corpus {
 
   /** Sparse tf-idf document similarity — the inverted-index retrieval
     * shape that complements the dense ANN kernels: documents are sparse
-    * tf-idf vectors over their own vocabulary, the df cut (df ≤
-    * maxDfFrac·N, the standard stop-token cut) bounds every token's
-    * posting list, and the query side probes by a token-keyed join so the
-    * per-pair dot product accumulates only over SHARED tokens. With a
-    * bounded query set the probe is a broadcast-hash join against the
-    * corpus-side postings scan — the 100-TB postings are never shuffled;
-    * corpus-to-corpus all-pairs would instead shuffle both sides on tok,
-    * still bounded by the df cut. Zero-norm docs (all tokens cut) are
-    * excluded on both engines rather than divide-by-zero diverge. */
+    * tf-idf vectors over their own vocabulary, and the query side probes
+    * by a token-keyed join so the per-pair dot product accumulates only
+    * over SHARED tokens. With a bounded query set the probe is a
+    * broadcast-hash join against the corpus-side postings scan — the
+    * 100-TB postings are never shuffled.
+    *
+    * TWO composed posting-list bounds, so per-token probe work is capped
+    * on EVERY corpus, not just natural vocabularies:
+    *  - df stop cut (df ≤ maxDfFrac·N): drops near-ubiquitous tokens
+    *    entirely — the classic stop-token cut, effective when the
+    *    vocabulary is natural (Zipf tail) and useless on a degenerate
+    *    one (this testdata's 31-word synthetic vocabulary has every df
+    *    near 0.8·N, so the cut registers open);
+    *  - impact-ordered truncation (rank ≤ postingCap per token by weight
+    *    DESC, doc_id tie-break): every surviving posting list is pruned
+    *    to its `postingCap` highest-impact entries — the standard
+    *    impact-sorted index prune, and it engages UNCONDITIONALLY, which
+    *    is what holds probe cost ≤ |q tokens|·cap at any scale. The
+    *    row_number ≤ cap filter compiles to WindowGroupLimit, so a
+    *    billion-row stop token moves ≤ cap rows per map partition, never
+    *    the full skewed list.
+    * Norms stay EXACT (computed from the un-pruned weights), so the
+    * pruned cosine is a documented lower bound — the same recall trade
+    * the LSH kernels make, per-token instead of per-bucket.
+    * Zero-norm docs (all tokens cut) are excluded on both engines rather
+    * than divide-by-zero diverge. */
   def sparseTopK(docs: DataFrame, k: Int, nQueries: Int,
-                 maxDfFrac: Double = 0.1): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
-      .where(col("df") <= col("n_docs") * maxDfFrac)
-      .select(col("doc_id"), col("tok"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w"))
-      .localCheckpoint() // feeds norms + both probe sides once
-    val nrm = w.groupBy(col("doc_id"))
-      .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("nrm"))
-      .where(col("nrm") > 0)
-    val wn = w.join(nrm, "doc_id")
+                 maxDfFrac: Double = 0.1, postingCap: Int = 64): DataFrame = {
+    // The weighted postings table (doc, tok, w, nrm) IS the inverted
+    // index: built once per (corpus fingerprint, df cut) and persisted
+    // read-through (IndexCache) — serving probes the artifact, it does
+    // not re-tokenize the corpus per query. Same build/serve lifecycle
+    // as the IVF index; at 100 TB this is the maintained index table.
+    val wn = IndexCache.cachedFrame(docs.sparkSession, "sparse_postings",
+        s"$maxDfFrac", Dedup.docFp(docs)) {
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+        .where(col("df") <= col("n_docs") * maxDfFrac)
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("w"))
+        .localCheckpoint() // feeds norms + the final join once
+      val nrm = w.groupBy(col("doc_id"))
+        .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("nrm"))
+        .where(col("nrm") > 0)
+      w.join(nrm, "doc_id")
+    }
+    // Query postings stay un-pruned: the query side is |q|-bounded by
+    // construction, and pruning it would only lose terms the corpus side
+    // already bounds.
     val q = wn.where(col("doc_id") < nQueries)
       .select(col("doc_id").as("qid"), col("tok"), col("w").as("wq"),
         col("nrm").as("nq"))
+    val iw = Window.partitionBy(col("tok"))
+      .orderBy(col("w").desc, col("doc_id"))
     val scored = wn
+      .withColumn("ir", row_number().over(iw))
+      .where(col("ir") <= postingCap)
       .select(col("doc_id").as("nid"), col("tok"), col("w").as("wc"),
         col("nrm").as("nc"))
       .join(broadcast(q), "tok")

@@ -1,0 +1,109 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk read-through cache for derived index artifacts — the shared
+  * build-once/serve-many layer behind every trained or encoded table the
+  * engine derives from a source corpus: IVF centroid models, PQ codebooks,
+  * per-vector cell/code assignments, sparse-retrieval postings.
+  *
+  * Contract:
+  *  - an artifact is keyed by (kind, params, source-content fingerprint);
+  *    the fingerprint is IN the path, so a changed source can never serve
+  *    a stale artifact — staleness is "the path does not exist";
+  *  - the root is DETERMINISTIC per machine (overridable via
+  *    SPARK_GRAFT_INDEX_ROOT), so a fresh process rediscovers artifacts a
+  *    previous build step wrote — training/encoding is a build step, reads
+  *    are the serve path. This is the same lifecycle split a production
+  *    index service has (nightly build job, read-through serve fleet);
+  *  - every resolution bumps a forensics counter (`<kind>.disk` artifact
+  *    hit / `<kind>.build` cold build, plus whatever callers record, e.g.
+  *    `ivf.mem` for in-JVM model-cache hits). [[graft.Bench]] embeds the
+  *    per-query deltas in its JSON line, so a bench draw is
+  *    self-diagnosing: an anomalously slow serve query shows its `.build`
+  *    count instead of leaving the regression unattributable.
+  *
+  * Artifacts are parquet directories; a build is complete iff `_SUCCESS`
+  * exists (a crashed write leaves no marker and is rebuilt). Builds of the
+  * same path are serialized per-JVM; cross-process races are benign
+  * (deterministic content — both writers produce identical bytes).
+  */
+object IndexCache {
+
+  /** Deterministic artifact root (see class doc). */
+  lazy val root: String = {
+    val p = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
+      s"${System.getProperty("java.io.tmpdir")}/graft_index_cache")
+    new java.io.File(p).mkdirs()
+    p
+  }
+
+  // ------------------------------ forensics ------------------------------
+
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+
+  /** Bump a named forensics counter (kinds use `<kind>.<event>`). */
+  def record(name: String): Unit =
+    counters.computeIfAbsent(name, _ => new AtomicLong()).incrementAndGet()
+
+  /** Immutable snapshot of all counters (Bench diffs two snapshots to
+    * attribute cache traffic to one query). */
+  def forensicsSnapshot: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    counters.forEach((k, v) => b += k -> v.get())
+    b.result()
+  }
+
+  // ----------------------------- read-through ----------------------------
+
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._]", "-")
+
+  /** Artifact directory for (kind, params, fingerprint). */
+  def path(kind: String, params: String, fp: String): String =
+    s"$root/${sanitize(kind)}_${sanitize(params)}_${sanitize(fp)}"
+
+  private def complete(p: String): Boolean =
+    new java.io.File(p, "_SUCCESS").isFile
+
+  private val buildLocks = new ConcurrentHashMap[String, Object]()
+
+  /** Read-through resolve: return a DataFrame scanning the persisted
+    * artifact for (kind, params, fp), building and persisting it first if
+    * absent. Both branches return a scan OF THE ARTIFACT, so the serve
+    * plan is identical on hit and cold build. `build` must be
+    * deterministic given the fingerprinted source — which also makes
+    * cross-process write races benign. */
+  def cachedFrame(spark: SparkSession, kind: String, params: String,
+                  fp: String)(build: => DataFrame): DataFrame = {
+    val p = path(kind, params, fp)
+    buildLocks.computeIfAbsent(p, _ => new Object).synchronized {
+      if (complete(p)) record(s"$kind.disk")
+      else {
+        build.write.mode("overwrite").parquet(p)
+        record(s"$kind.build")
+      }
+    }
+    spark.read.parquet(p)
+  }
+
+  /** Read-through resolve of a small driver-resident model artifact
+    * (centroid/codebook arrays — bounded k·d doubles, persisted as a
+    * k-row parquet): `read(path)` on artifact hit, else `build` then
+    * `write(path, model)`. Counter events: `<kind>.disk` / `<kind>.train`
+    * (callers record `<kind>.mem` for their in-JVM LRU hits). */
+  def cachedModelArtifact[T](kind: String, params: String, fp: String)(
+      read: String => T, write: (String, T) => Unit)(build: => T): T = {
+    val p = path(s"model_$kind", params, fp)
+    buildLocks.computeIfAbsent(p, _ => new Object).synchronized {
+      if (complete(p)) { record(s"$kind.disk"); read(p) }
+      else {
+        val m = build
+        write(p, m)
+        record(s"$kind.train")
+        m
+      }
+    }
+  }
+}

@@ -182,25 +182,38 @@ object Similarity {
           size() > MaxCachedModels
       })
 
-  /** Cache-through build: returns the cached model for (kind, fp, params)
-    * or trains and caches, printing forensics either way. */
+  /** Test hook: drop the in-JVM model LRU (simulates a fresh process;
+    * persisted artifacts remain, so the next resolve must come from the
+    * disk tier, not retraining). */
+  def invalidateModelCache(): Unit = trainedModels.clear()
+
+  /** Cache-through build with a persisted middle tier: in-JVM LRU hit →
+    * disk artifact hit ([[IndexCache.cachedModelArtifact]] — a fresh
+    * process rediscovers what an earlier build step trained) → train and
+    * persist. Every resolution bumps an [[IndexCache]] forensics counter
+    * (`<kind>.mem` / `<kind>.disk` / `<kind>.train`), which Bench embeds
+    * per query, so a draw that unexpectedly retrained is self-diagnosing. */
   private def cachedModel[T <: AnyRef](kind: String, emb: DataFrame,
-                                       params: String)(train: => T): T = {
+                                       params: String,
+                                       read: String => T,
+                                       write: (String, T) => Unit)
+                                      (train: => T): T = {
     val t0 = System.nanoTime()
     val fp = contentFp(emb)
     val tFp = System.nanoTime()
     val key = s"$kind|$fp|$params"
     val hit = trainedModels.get(key)
     if (hit != null) {
+      IndexCache.record(s"$kind.mem")
       if (forensics) System.err.println(
         f"""{"forensics":"${kind}_model","cache":"hit","fp_s":${(tFp - t0) / 1e9}%.3f}""")
       return hit.asInstanceOf[T]
     }
-    val model = train
+    val model = IndexCache.cachedModelArtifact(kind, params, fp)(read, write)(train)
     trainedModels.put(key, model)
     if (forensics) System.err.println(
       f"""{"forensics":"${kind}_model","cache":"miss","fp_s":${(tFp - t0) / 1e9}%.3f,""" +
-      f""""train_s":${(System.nanoTime() - tFp) / 1e9}%.3f}""")
+      f""""resolve_s":${(System.nanoTime() - tFp) / 1e9}%.3f}""")
     model
   }
 
@@ -252,7 +265,10 @@ object Similarity {
     */
   def trainIvfCentroidsArray(emb: DataFrame, nCells: Int,
                              iters: Int): Array[Centroid] =
-    cachedModel(s"ivf", emb, s"$nCells|$iters") {
+    cachedModel[Array[Centroid]](s"ivf", emb, s"$nCells|$iters",
+      read = p => readCentroidArray(emb.sparkSession, p),
+      write = (p, m) => centroidDf(emb.sparkSession, m.toSeq)
+        .coalesce(1).write.mode("overwrite").parquet(p)) {
       val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       var cents = seedCentroids(emb, nCells)
       for (_ <- 1 to iters) {
@@ -283,6 +299,28 @@ object Similarity {
     spark.createDataFrame(
       cents.map(c => org.apache.spark.sql.Row(c.cid, c.cv.toSeq)).asJava,
       centroidSchema)
+  }
+
+  /** Load a persisted centroid-model artifact (the read side of
+    * [[cachedModel]]'s disk tier). */
+  private def readCentroidArray(spark: SparkSession,
+                                path: String): Array[Centroid] =
+    spark.read.parquet(path).select(col("cid"), col("cv")).collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_.cid)
+
+  /** Deterministic content digest of a centroid model — keys the persisted
+    * inverted-file artifact independently of how the model was obtained
+    * (trained, seeded, or read back from a named index). FNV-1a over the
+    * exact double bits, so bit-identical models share one artifact. */
+  private def centsDigest(cents: Seq[Centroid]): String = {
+    var h = 1469598103934665603L
+    cents.foreach { c =>
+      h = h * 1099511628211L + c.cid
+      c.cv.foreach(x =>
+        h = h * 1099511628211L + java.lang.Double.doubleToLongBits(x))
+    }
+    java.lang.Long.toHexString(h)
   }
 
   /** DataFrame view of [[trainIvfCentroidsArray]] (specs, oracle builds). */
@@ -323,9 +361,17 @@ object Similarity {
                        nProbe: Int, cents: Array[Centroid]): DataFrame = {
     val model = centroidDf(emb.sparkSession, cents)
     val n = prep(emb)
-    val cells = assignNearest(n, model, Seq("v", "nrm"))
-      .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
-        col("v").as("nv"), col("nrm").as("nn"))
+    // The inverted file itself — (vector → cell) plus the vector payload
+    // the rerank reads — is a persisted artifact keyed by the centroid
+    // digest + corpus fingerprint: serving scans it instead of re-running
+    // the assignment pass per query. At 100 TB this artifact IS the index
+    // (vectors grouped by cell), maintained by a build job.
+    val cells = IndexCache.cachedFrame(emb.sparkSession, "ivf_cells",
+        centsDigest(cents.toSeq), contentFp(emb)) {
+      assignNearest(n, model, Seq("v", "nrm"))
+        .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
+          col("v").as("nv"), col("nrm").as("nn"))
+    }
     // nProbe nearest cells per query: the query side is tiny, so a
     // collect_list + array_sort per query replaces any window.
     val probes = n.join(queries.select(col("vec_id")), "vec_id")
@@ -418,6 +464,15 @@ object Similarity {
       pqCodebookSchema)
   }
 
+  /** Load a persisted PQ-codebook artifact (the read side of
+    * [[cachedModel]]'s disk tier). */
+  private def readPqCodebookArray(spark: SparkSession,
+                                  path: String): Array[SubCentroid] =
+    spark.read.parquet(path).select(col("sub"), col("cid"), col("cv"))
+      .collect()
+      .map(r => SubCentroid(r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy(c => (c.sub, c.cid))
+
   /** PQ codebook training — the same seeded, grid-rounded Lloyd as
     * [[trainIvfCentroidsArray]] run once per subspace (`sub` is just
     * another grouping key), with the same content-fingerprint cache:
@@ -428,7 +483,10 @@ object Similarity {
   private def trainPqCodebooksArray(emb: DataFrame, sv: DataFrame, m: Int,
                                     nCodes: Int, iters: Int,
                                     variant: String = ""): Array[SubCentroid] =
-    cachedModel(s"pq$variant", emb, s"$m|$nCodes|$iters") {
+    cachedModel[Array[SubCentroid]](s"pq$variant", emb, s"$m|$nCodes|$iters",
+      read = p => readPqCodebookArray(emb.sparkSession, p),
+      write = (p, cb) => pqCodebookDf(emb.sparkSession, cb.toSeq)
+        .coalesce(1).write.mode("overwrite").parquet(p)) {
       var cents = sv.where(col("vec_id") < nCodes)
         .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv"))
         .collect()
@@ -484,9 +542,14 @@ object Similarity {
     val cbs = trainPqCodebooksArray(emb, sv, m, nCodes, iters)
     val cbDf = pqCodebookDf(emb.sparkSession, cbs)
     // The PQ index: m small ints per vector — the only per-vector state
-    // ADC reads. Map-side-complete argmin encode (assignCodes).
-    val codes = assignCodes(sv, cbDf)
-      .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
+    // ADC reads. Encoded once (map-side-complete argmin, assignCodes) and
+    // persisted read-through: serving scans the code table, it does not
+    // re-encode the corpus per query.
+    val codes = IndexCache.cachedFrame(emb.sparkSession, "pq_codes",
+        s"$m|$nCodes|$iters", contentFp(emb)) {
+      assignCodes(sv, cbDf)
+        .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
+    }
     // Per-query ADC table: distance from each query subvector to EVERY
     // code of its subspace (not just the nearest) — tiny, broadcast.
     val dtab = sv.join(queries.select(col("vec_id")), "vec_id")
@@ -557,18 +620,23 @@ object Similarity {
     // Coarse quantizer: cell per corpus vector (map-side assign against
     // the broadcast centroid model).
     val model = centroidDf(spark, trainIvfCentroidsArray(emb, nCells, ivfIters))
-    val cells = assignNearest(e, model, Seq.empty)
-      .select(col("vec_id").as("nid"), col("mc.cid").as("cell"))
-    // PQ index: m small ints per vector, encoded in-scan.
+    // PQ index: m small ints per vector + its coarse cell, encoded in-scan
+    // ONCE and persisted read-through — the stored IVF-PQ index a serve
+    // fleet reads; per-query work starts at the probe, not the encode.
     val subLen = (size(col("v")) / m).cast("int")
     val sv = e.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * subLen + 1, subLen).as("sv"))
     val cbDf = pqCodebookDf(spark, trainPqCodebooksArray(emb, sv, m, nCodes, pqIters))
-    val codes = assignCodes(sv, cbDf)
-      .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
-      .join(cells, "nid")
+    val codes = IndexCache.cachedFrame(spark, "ivfpq_codes",
+        s"$nCells|$ivfIters|$m|$nCodes|$pqIters", contentFp(emb)) {
+      val cells = assignNearest(e, model, Seq.empty)
+        .select(col("vec_id").as("nid"), col("mc.cid").as("cell"))
+      assignCodes(sv, cbDf)
+        .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
+        .join(cells, "nid")
+    }
     // nProbe nearest cells per query (tiny: collect_list over the
     // broadcast model, no window).
     val probes = e.join(queries.select(col("vec_id")), "vec_id")
@@ -638,9 +706,14 @@ object Similarity {
         slice(col("r"), col("sub") * subLen + 1, subLen).as("sv"))
     val cbDf = pqCodebookDf(spark,
       trainPqCodebooksArray(emb, sv, m, nCodes, pqIters, variant = "res"))
-    val codes = assignCodes(sv, cbDf)
-      .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
-      .join(cells.select(col("vec_id").as("nid"), col("cell")), "nid")
+    // Residual code table + coarse cell, encoded once and persisted
+    // read-through (the stored residual IVF-PQ index).
+    val codes = IndexCache.cachedFrame(spark, "ivfpqres_codes",
+        s"$nCells|$ivfIters|$m|$nCodes|$pqIters", contentFp(emb)) {
+      assignCodes(sv, cbDf)
+        .select(col("vec_id").as("nid"), col("sub"), col("mc.cid").as("cid"))
+        .join(cells.select(col("vec_id").as("nid"), col("cell")), "nid")
+    }
     // Query probes: nProbe nearest cells, one residual per probed cell.
     val probes = e.join(queries.select(col("vec_id")), "vec_id")
       .crossJoin(broadcast(model))

@@ -137,12 +137,13 @@ object CorpusQueries {
     // Sparse tf-idf top-5 neighbors for query docs (doc_id < 10) via an
     // inverted-index probe: pairs accumulate the dot product over SHARED
     // tokens only and the bounded query side broadcasts so the postings
-    // scan never shuffles. The df stop cut (maxDfFrac) is the at-scale
-    // posting-list bound for natural vocabularies; THIS corpus's synthetic
-    // vocabulary is 31 words (every token near-ubiquitous, max df ≈ 0.8N),
-    // so the cut registers open (1.0) — at any real vocabulary it would be
-    // ~0.1 and each list would be bounded. Dense complement:
-    // sim_topk_bruteforce.
+    // scan never shuffles. Two composed posting bounds (Corpus.sparseTopK
+    // scaladoc): the df stop cut — open (1.0) here because THIS corpus's
+    // 31-word synthetic vocabulary makes every token near-ubiquitous —
+    // and the impact-ordered truncation (top-64 postings per token by
+    // weight), which engages UNCONDITIONALLY and is what bounds probe
+    // work on any corpus; norms stay exact, so the pruned cosine is a
+    // documented lower bound. Dense complement: sim_topk_bruteforce.
     Q("sim_sparse_topk",
       s"WITH $tokCte, " +
         "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok1 GROUP BY 1, 2), " +
@@ -153,8 +154,11 @@ object CorpusQueries {
         "nrm AS (SELECT doc_id, ROUND(sqrt(SUM(w * w)), 6) AS nrm FROM w " +
         "GROUP BY 1 HAVING ROUND(sqrt(SUM(w * w)), 6) > 0), " +
         "wn AS (SELECT doc_id, tok, w, nrm FROM w JOIN nrm USING (doc_id)), " +
+        "pr AS (SELECT doc_id, tok, w, nrm FROM (SELECT doc_id, tok, w, nrm, " +
+        "ROW_NUMBER() OVER (PARTITION BY tok ORDER BY w DESC, doc_id) AS ir " +
+        "FROM wn) WHERE ir <= 64), " +
         "sc AS (SELECT q.doc_id AS qid, c.doc_id AS nid, q.nrm AS nq, c.nrm AS nc, " +
-        "ROUND(SUM(q.w * c.w), 6) AS dot FROM wn q JOIN wn c USING (tok) " +
+        "ROUND(SUM(q.w * c.w), 6) AS dot FROM wn q JOIN pr c USING (tok) " +
         "WHERE q.doc_id < 10 AND c.doc_id != q.doc_id GROUP BY 1, 2, 3, 4), " +
         "r AS (SELECT qid, nid, ROUND(dot / (nq * nc), 6) AS cosine FROM sc), " +
         "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
@@ -162,7 +166,7 @@ object CorpusQueries {
         "SELECT qid, rank, nid, cosine FROM t WHERE rank <= 5 ORDER BY qid, rank") {
       (s, d) =>
         Corpus.sparseTopK(Tables.documents(s, d), k = 5, nQueries = 10,
-            maxDfFrac = 1.0)
+            maxDfFrac = 1.0, postingCap = 64)
           .orderBy(col("qid"), col("rank"))
     },
 

@@ -1,13 +1,12 @@
 package graft.queries
 
-import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Maintenance}
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` / `embeddings` (the
@@ -44,13 +43,12 @@ object DedupQueries {
       "FROM cand JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = dup_of) " +
       "SELECT new_id, dup_of, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY new_id, dup_of"
 
-  /** Per-JVM root for persisted LSH index artifacts, removed on exit. */
+  // DETERMINISTIC root, kept across processes: a fresh JVM rediscovers
+  // what an earlier build step wrote, and the per-artifact fingerprint
+  // staleness check makes stale reuse impossible (no cleanup hook needed).
   private lazy val idxRoot: String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
-      UUID.randomUUID().toString.replace("-", "")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx"
     new java.io.File(p).mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Maintenance.deleteRecursively(new java.io.File(p))))
     p
   }
 

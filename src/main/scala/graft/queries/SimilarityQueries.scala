@@ -1,11 +1,10 @@
 package graft.queries
 
-import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.operators.{Maintenance, Similarity}
+import graft.operators.Similarity
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table: exact brute-force cosine
@@ -15,13 +14,13 @@ import graft.sources.Tables
   */
 object SimilarityQueries {
 
-  /** Per-JVM root for persisted ANN index artifacts, removed on exit. */
+  /** DETERMINISTIC root for persisted ANN index artifacts (kept across
+    * processes — a fresh JVM rediscovers what an earlier build step wrote;
+    * the per-artifact fingerprint staleness check makes stale reuse
+    * impossible, so the dir needs no cleanup hook). */
   private lazy val idxRoot: String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
-      UUID.randomUUID().toString.replace("-", "")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx"
     new java.io.File(p).mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Maintenance.deleteRecursively(new java.io.File(p))))
     p
   }
 
