@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale smoke: synthesize a ~10× corpus from sf0.1 and measure how the
+/** Scale smoke: synthesize a `SPARK_GRAFT_SCALE_MULT`× corpus (default
+  * 10×; 100× gives the second decade) from sf0.1 and measure how the
   * dedup / similarity / corpus heavy set scales, emitting per-query
   * scaling exponents (PERF.md "Scale smoke" section).
   *
@@ -14,9 +15,16 @@ import org.apache.spark.sql.functions._
   *    density scales linearly with the corpus, the realistic regime. A
   *    naive copy would make every doc a 10-way exact dup and blow the
   *    candidate space quadratically, measuring an artifact.
-  *  - embeddings: replica i rotates the vector by i dimensions —
-  *    norms and intra-replica dot products are preserved bit-for-bit,
-  *    cross-replica cosines decorrelate.
+  *  - embeddings: replica i multiplies the vector by a deterministic
+  *    per-replica ±1 sign pattern — norms and intra-replica dot products
+  *    are preserved BIT-FOR-BIT (±1 multiplication is exact), while
+  *    cross-replica cosines decorrelate under the independent sign
+  *    patterns. (An earlier rotate-by-i transform capped mult at the
+  *    vector dimensionality and collided past it; sign patterns support
+  *    any mult.)
+  *  - orders/lineitem (only when `basket` is in SPARK_GRAFT_SCALE_TABLES):
+  *    order keys offset per replica, customer/part keys SHARED — at scale
+  *    the fact table grows, the dims don't. Dim tables copy verbatim.
   *  - id offset 100,000,000 per replica (preserves doc_id % 20, the
   *    contamination bench split).
   *
@@ -31,8 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  private val Mult = 10
+  private val Mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
   private val Offset = 100000000L
+
+  /** Which table groups to synthesize: docs,emb always; `events` feeds the
+    * streaming/events rows, `basket` feeds orders/lineitem(+dims) rows. */
+  private val SynthTables = sys.env
+    .getOrElse("SPARK_GRAFT_SCALE_TABLES", "docs,emb,events,basket")
+    .split(",").map(_.trim).toSet
 
   private def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
@@ -47,31 +61,61 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val embDim = emb.select(size(col("embedding")).as("d")).first().getInt(0)
+    val embType = emb.schema("embedding").dataType
     (0 until Mult).map { i =>
       val v =
         if (i == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
-          slice(col("embedding"), lit(1), lit(i)))
+        else {
+          // Deterministic per-replica sign pattern (seeded PRNG): exact
+          // arithmetic, any mult.
+          val rnd = new scala.util.Random(0xC0FFEE + i)
+          val signs = array(Seq.fill(embDim)(
+            lit(if (rnd.nextBoolean()) 1.0 else -1.0)): _*)
+          zip_with(col("embedding"), signs, (a, b) => a * b).cast(embType)
+        }
       emb.select((col("vec_id") + lit(i * Offset)).as("vec_id"),
         v.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // Events ×10 for the streaming-throughput smoke: wallet ids offset per
-    // replica (10× keys, each with its replica's intact per-wallet
+    // Events ×mult for the streaming-throughput smoke: wallet ids offset
+    // per replica (mult× keys, each with its replica's intact per-wallet
     // history), seqs offset to stay unique. Load through Tables.events so
     // whatever physical ts type the driver testdata ships (nanos LONG,
     // micros NTZ, micros LTZ — it has changed between regenerations) is
     // normalized to TimestampType; the synth dir then round-trips through
     // the loader's TimestampType branch.
-    val ev = sources.Tables.events(spark, baseDir)
-    (0 until Mult).map { i =>
-      ev.select((col("event_id") + lit(i * Offset)).as("event_id"), col("ts"),
-        (col("user_id") + lit(i * Offset)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (SynthTables("events")) {
+      val ev = sources.Tables.events(spark, baseDir)
+      (0 until Mult).map { i =>
+        ev.select((col("event_id") + lit(i * Offset)).as("event_id"), col("ts"),
+          (col("user_id") + lit(i * Offset)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+
+    // Fact-table growth for the basket/graph queries: order keys offset
+    // per replica, part/customer keys SHARED (the dims stay dims — at
+    // scale the catalog does not grow with the fact table). Dim tables
+    // copy verbatim so loaders and broadcast joins work against outDir.
+    if (SynthTables("basket")) {
+      val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+      (0 until Mult).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * Offset))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      (0 until Mult).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * Offset))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      Seq("part", "customer", "supplier", "nation", "region").foreach { t =>
+        spark.read.parquet(s"$baseDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,7 +210,11 @@ object ScaleSmoke {
       // Late round-8 additions: changepoint + transitions are one keyed
       // shuffle each over 10× events; the dedup-rate report is one
       // (source, hash) aggregation over 10× documents.
-      "q_changepoint", "q_event_transitions", "dedup_rate_by_source")
+      "q_changepoint", "q_event_transitions", "dedup_rate_by_source",
+      // Basket-table queries (need `basket` in SPARK_GRAFT_SCALE_TABLES):
+      // one broadcast dim join + one basket-keyed shuffle with in-row
+      // Apriori pair expansion — fact grows, dims don't, so ~linear.
+      "q_market_basket")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

@@ -53,6 +53,11 @@ object Multimodal {
   def pngDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // ImageIO defaults to a FILE-backed stream cache — a temp file per
+      // encode — which turns these small in-memory payloads into disk
+      // I/O. Memory-cached streams are strictly better here (static
+      // setting, set executor-side where the partition runs).
+      ImageIO.setUseCache(false)
       it.map { id =>
         val (w, h) = pngDims(id)
         val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -89,6 +94,7 @@ object Multimodal {
     * under a `corrupt/` format — the quarantine row a real pipeline emits
     * instead of killing the task. */
   private def decodePartition(it: Iterator[BinaryDoc]): Iterator[MediaMeta] = {
+    ImageIO.setUseCache(false) // in-memory payloads: no temp-file cache
     val digest = MessageDigest.getInstance("SHA-256")
     def raw(b: BinaryDoc, n: Long, sha: String, tag: String) =
       MediaMeta(b.doc_id, n, tag, 64L + n % 1024L, 64L + (n * 31L) % 1024L, sha)
