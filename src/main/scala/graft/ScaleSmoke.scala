@@ -9,12 +9,20 @@ import org.apache.spark.sql.functions._
   * scaling exponents (PERF.md "Scale smoke" section).
   *
   * Corpus synthesis (union + id offset, replica i of `mult`):
-  *  - documents: every token gets a replica-specific `_i` suffix, so
-  *    replicas are DISSIMILAR (cross-replica Jaccard ≈ 0) while the
-  *    intra-replica near-dup structure is preserved exactly — pair
-  *    density scales linearly with the corpus, the realistic regime. A
-  *    naive copy would make every doc a 10-way exact dup and blow the
-  *    candidate space quadratically, measuring an artifact.
+  *  - documents: replica i applies a deterministic CHARACTER-SUBSTITUTION
+  *    CIPHER (a seeded permutation of [a-zA-Z0-9] via `translate`). A
+  *    bijection on characters is a bijection on tokens AND on char
+  *    k-shingles, so the intra-replica near-dup structure is preserved
+  *    EXACTLY (same Jaccard values, same lengths, same bands) while
+  *    cross-replica tokens and shingles are disjoint — pair density
+  *    scales linearly with the corpus, the realistic regime. A naive
+  *    copy would make every doc a mult-way exact dup and blow the
+  *    candidate space quadratically, measuring an artifact. (The earlier
+  *    per-token `_i` SUFFIX scheme had exactly that artifact at the
+  *    CHAR-shingle level: shingles inside long tokens were identical
+  *    across replicas, so every base doc verified as a near-dup of its
+  *    same-suffix-length replicas — quadratic OUTPUT, discovered when
+  *    the 100× char-jaccard leg wedged on a multi-billion-pair verify.)
   *  - embeddings: replica i multiplies the vector by a deterministic
   *    per-replica ±1 sign pattern — norms and intra-replica dot products
   *    are preserved BIT-FOR-BIT (±1 multiplication is exact), while
@@ -48,13 +56,19 @@ object ScaleSmoke {
     .getOrElse("SPARK_GRAFT_SCALE_TABLES", "docs,emb,events,basket")
     .split(",").map(_.trim).toSet
 
+  private val CipherAlphabet =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
   private def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     (0 until Mult).map { i =>
       val txt =
         if (i == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
-          tok => concat(tok, lit(s"_$i"))), " ")
+        else {
+          val rnd = new scala.util.Random(0xD0C5 + i)
+          val perm = rnd.shuffle(CipherAlphabet.toList).mkString
+          translate(col("text"), CipherAlphabet, perm)
+        }
       docs.select((col("doc_id") + lit(i * Offset)).as("doc_id"), txt.as("text"),
         col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
     }.reduce(_ unionAll _)
@@ -235,44 +249,39 @@ object ScaleSmoke {
         val fn = SparkEntry.queries(n)
         (time(() => fn(spark, baseDir)), time(() => fn(spark, bigDir)))
       }
-    } :+ ("dedup_semantic_growk" -> { () =>
+    }
+
+    // Streaming rows: mult× deposits AND mult× state keys (wallets /
+    // users / sessions). The feed parquet is rebuilt once per dir by the
+    // harness; materialized outputs are dropped per run so every sample
+    // measures the topology, not the serve path. Each row also prints its
+    // per-run state-store bytes at both scales (delta of the workspace
+    // `state/` subtrees) — the witness that state scales with keys.
+    def streamRow(name: String): (String, () => (Double, Double)) =
+      name -> { () =>
+        val fn = SparkEntry.queries(name)
+        def fresh(dir: String): DataFrame = {
+          queries.StreamQueries.invalidateMaterialized()
+          fn(spark, dir)
+        }
+        val s0 = queries.StreamQueries.stateStoreBytes
+        val tBase = time(() => fresh(baseDir))
+        val s1 = queries.StreamQueries.stateStoreBytes
+        val tBig = time(() => fresh(bigDir))
+        val s2 = queries.StreamQueries.stateStoreBytes
+        println(s"""{"query":"$name","state_bytes_base":${(s1 - s0) / runs},""" +
+          s""""state_bytes_x$Mult":${(s2 - s1) / runs}}""")
+        (tBase, tBig)
+      }
+    val withExtra = measured :+ ("dedup_semantic_growk" -> { () =>
       (time(() => semanticAt(baseDir, 8)), time(() => semanticAt(bigDir, 8 * Mult)))
-    }) :+ ("stream_check_tuned" -> { () =>
-      // Streaming throughput scaling: the full detector->flagger+collector
-      // pipeline over 10x deposits AND 10x wallet keys (state scales with
-      // both). The feed parquet is rebuilt once per dir by the harness;
-      // materialized outputs are dropped per run so every sample measures
-      // the topology, not the serve path.
-      val fn = SparkEntry.queries("stream_check_tuned")
-      def fresh(dir: String): DataFrame = {
-        queries.StreamQueries.invalidateMaterialized()
-        fn(spark, dir)
-      }
-      (time(() => fresh(baseDir)), time(() => fresh(bigDir)))
-    }) :+ ("stream_join" -> { () =>
-      // Stream-stream join scaling: 10x events and 10x users => 10x the
-      // buffered-state keys on both join sides.
-      val fn = SparkEntry.queries("stream_join")
-      def fresh(dir: String): DataFrame = {
-        queries.StreamQueries.invalidateMaterialized()
-        fn(spark, dir)
-      }
-      (time(() => fresh(baseDir)), time(() => fresh(bigDir)))
-    }) :+ ("stream_session_agg" -> { () =>
-      // Session-window scaling: 10x deposits and 10x wallets => 10x the
-      // concurrent session state rows; append-mode finalization via the
-      // sentinel batch is part of every sample.
-      val fn = SparkEntry.queries("stream_session_agg")
-      def fresh(dir: String): DataFrame = {
-        queries.StreamQueries.invalidateMaterialized()
-        fn(spark, dir)
-      }
-      (time(() => fresh(baseDir)), time(() => fresh(bigDir)))
-    })
+    }) :+ streamRow("stream_check_tuned") :+
+      streamRow("stream_check_chunked") :+ // many-micro-batch shape
+      streamRow("stream_join") :+ streamRow("stream_session_agg")
 
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val rows = measured
+    val rows = withExtra
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, thunk) =>
         val (tBase, tBig) = thunk()

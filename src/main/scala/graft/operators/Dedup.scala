@@ -264,7 +264,13 @@ object Dedup {
         // guard so the required-overlap ceil can never round UP past the
         // exact integer and prune a boundary pair.
         val c = threshold / (1 + threshold)
-        prefixes.as("a").join(prefixes.as("b"),
+        // SHUFFLED-HASH, not sort-merge: the join output feeds an
+        // unordered DISTINCT, so SMJ's two per-partition sorts are pure
+        // overhead — and at the 100× smoke their spills exceeded the
+        // box's free disk (60+ GB of sorted runs for a join whose hash
+        // build is ~rows/partitions per task). The build side scales
+        // DOWN with shuffle partitions, the knob a cluster already sets.
+        prefixes.as("a").hint("shuffle_hash").join(prefixes.as("b"),
             col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id") &&
               abs(col("a.n_chars") - col("b.n_chars")) <= maxDiff &&
@@ -275,11 +281,14 @@ object Dedup {
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
       }
+    // Verify joins fetch the shingle ARRAYS — hash, not sort-merge: a
+    // sort would move the multi-KB array payload through sorted spill
+    // runs; the hash build holds corpus/partitions arrays per task.
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
-        col("sh64").as("sh_a")), "id_a")
+        col("sh64").as("sh_a")).hint("shuffle_hash"), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
-        col("sh64").as("sh_b")), "id_b")
+        col("sh64").as("sh_b")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
           .as("inter"), col("sz_a"), col("sz_b"))

@@ -197,6 +197,21 @@ object StreamQueries {
     * row would otherwise time the serve path). */
   def invalidateMaterialized(): Unit = outputs.clear()
 
+  /** Total on-disk bytes of the streaming state-store checkpoints (every
+    * `state/` subtree under this JVM's stream workspace) — the
+    * scale-smoke witness that state scales with KEYS, not with events:
+    * a run's delta of this value is its pipelines' persisted state. */
+  def stateStoreBytes: Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).toSeq.flatten.map(size).sum
+    def stateDirs(f: java.io.File): Seq[java.io.File] =
+      if (!f.isDirectory) Seq.empty
+      else if (f.getName == "state") Seq(f)
+      else Option(f.listFiles()).toSeq.flatten.flatMap(stateDirs)
+    stateDirs(new java.io.File(wsRoot)).map(size).sum
+  }
+
   /** Feed-dir file listing fingerprint — the file-source analog of Kafka
     * committed offsets: unchanged listing ⇒ the topology has nothing to
     * catch up on. Local listing of a handful of files; no data read.
