@@ -136,9 +136,16 @@ object ScaleSmoke {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
+    // Shuffle partitions sized to the DATA, not the cores — exactly the
+    // knob a production deployment sets per table volume: at 100× the
+    // per-partition hash-join build sides and sort runs must shrink with
+    // more partitions or they exceed executor memory (AQE re-coalesces
+    // the small stages either way).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
@@ -281,14 +288,18 @@ object ScaleSmoke {
 
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val rows = withExtra
+    // Print each row AS IT COMPLETES (stdout + flush): a multi-hour 100×
+    // leg that dies on query N must not take queries 1..N−1's numbers
+    // with it.
+    withExtra
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (n, thunk) =>
+      .foreach { case (n, thunk) =>
         val (tBase, tBig) = thunk()
         val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)
-        f"""{"query":"$n","t_base_s":$tBase%.3f,"t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f}"""
+        println(
+          f"""{"query":"$n","t_base_s":$tBase%.3f,"t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f}""")
+        System.out.flush()
       }
-    rows.foreach(println)
     spark.stop()
   }
 }

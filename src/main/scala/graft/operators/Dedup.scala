@@ -187,7 +187,18 @@ object Dedup {
     // expression; registration is idempotent, so self-register for callers
     // that never touched graft.sources.Tables.
     graft.functions.GraftFunctions.register(base.sparkSession)
-    val b = base.localCheckpoint()
+    // Partition the materialized shingle table to the session's shuffle
+    // parallelism when the source arrives narrower: the loaders pin small
+    // fixed partitioning (fine at bench scale), but at 100× a 32-way
+    // split makes ~75 MB checkpoint blocks per partition (heap-hostile)
+    // and starves every downstream stage. No-op when the source is
+    // already at least that wide, so bench plans are unchanged.
+    val targetParts =
+      base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val widened =
+      if (base.rdd.getNumPartitions < targetParts) base.repartition(targetParts)
+      else base
+    val b = widened.localCheckpoint()
     val arrs = b.select(col("doc_id"), size(col("sh64")).as("sz"), col("sh64"))
 
     // Candidate generation is ADAPTIVE on corpus size (count is free: `b`
@@ -242,6 +253,15 @@ object Dedup {
         .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"),
           col("p.h").as("h"))
         .join(meta, "doc_id")
+        // STAGE the index build (localCheckpoint): the df-rank index
+        // feeds BOTH sides of the candidate self-join, and without the
+        // materialization the whole candidate query is ONE job holding
+        // every upstream shuffle (explode → df join → per-doc collect ≈
+        // 2× corpus-shingle rows × 3 edges) live on disk simultaneously —
+        // at the 100× smoke that peak exceeded the box's scratch space.
+        // Staged, the build's scratch retires with its job and the join
+        // reads the compact (doc, sz, pos, h) index.
+        .localCheckpoint()
     }
     val bucketW = 2 * maxDiff
     val bandedA = meta.withColumn("bucket",
@@ -395,11 +415,13 @@ object Dedup {
     * (slot, 9-gram) — LOSSLESS, and ~10× fewer candidates than a pure
     * length-bucket join at sf0.1 (81 k vs 812 k) because candidates now
     * need position-aligned CONTENT agreement, not just similar length.
-    * Docs whose prefix is too short for 13 full segments (< 117 chars —
-    * pigeonhole has no spare segment) fall back to the plain
-    * length-bucket block over the short slice of the corpus only; both
-    * pools' pairs union (distinct) before the verify, so the composition
-    * stays lossless. The verify step runs banded Levenshtein
+    * Docs too short for 13 full 9-char segments run the SAME grid at
+    * 4 chars (13 × 4 = 52 — the pigeonhole argument is granularity-
+    * independent, see `passJoinPairs`); only docs under ~52 normalized
+    * chars (plus in-band partners) fall back to the plain length-bucket
+    * block — a few percent of a corpus, with tiny verifies. All pools'
+    * pairs union (distinct) before the verify, so the composition stays
+    * lossless at every tier boundary. The verify step runs banded Levenshtein
     * (`levenshtein(p1, p2, maxEdits)` — the O(maxEdits·len) early-exit
     * form, not the full O(len²) matrix) with prefixes re-attached by two
     * co-partitioned id joins (cheaper than carrying 120-char payloads
@@ -418,38 +440,61 @@ object Dedup {
       .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("p"),
         length(col("norm")).cast("long").as("ln")))
     val longs = n.where(length(col("p")) >= minLongPrefix)
-    // The (slot, 9-gram) join key collapses to ONE xxhash64 long: smaller
-    // shuffle rows and a long-compare hash join instead of string keys.
-    // Still lossless — a hash collision can only ADD a candidate, and the
-    // Levenshtein verify rejects it.
-    def gramKey(slot: Column, gram: Column): Column = xxhash64(slot, gram)
-    // A-side: the 13 grid segments of each long doc.
-    val segs = longs
-      .select(col("doc_id").as("da"), col("ln").as("la"), col("p").as("pa"),
-        explode(sequence(lit(0), lit(nSeg - 1))).as("j"))
-      .select(col("da"), col("la"),
-        gramKey(col("j"), expr(s"substring(pa, $segLen * j + 1, $segLen)")).as("gk"))
-    // B-side: every 9-char window within ±maxEdits of each grid slot.
-    val subs = longs
-      .select(col("doc_id").as("db"), col("ln").as("lb"), col("p").as("pb"),
-        explode(sequence(lit(0), lit(nSeg - 1))).as("j"))
-      .select(col("db"), col("lb"), col("pb"), col("j"),
-        explode(sequence(lit(-maxEdits), lit(maxEdits))).as("d"))
-      .where(expr(s"$segLen * j + 1 + d") >= 1 &&
-        expr(s"$segLen * j + $segLen + d") <= length(col("pb")))
-      .select(col("db"), col("lb"),
-        gramKey(col("j"), expr(s"substring(pb, $segLen * j + 1 + d, $segLen)")).as("gk"))
-    val pairsLL = segs.join(subs, Seq("gk"))
-      .where(col("da") =!= col("db") &&
-        abs(col("la") - col("lb")) <= maxLenDiff)
-      .select(least(col("da"), col("db")).as("d1"),
-        greatest(col("da"), col("db")).as("d2"))
-      .distinct()
-    // Short pool: plain length-bucket block over shorts and their possible
-    // in-band partners only (ln < 117 + maxLenDiff). Long-long pairs that
-    // sneak into this slice re-derive candidates already found above; the
-    // final distinct dedupes them.
-    val nearShort = n.where(col("ln") < minLongPrefix + maxLenDiff)
+    // The (tier, slot, gram) join key collapses to ONE xxhash64 long:
+    // smaller shuffle rows and a long-compare hash join instead of string
+    // keys. Still lossless — a hash collision can only ADD a candidate,
+    // and the Levenshtein verify rejects it.
+    def gramKey(tier: Int, slot: Column, gram: Column): Column =
+      xxhash64(lit(tier), slot, gram)
+    // PassJoin candidate pairs for one pool at one grid granularity: the
+    // pigeonhole holds for ANY fixed segment length s with nSeg = 13 full
+    // segments present — ≤ 12 edits touch ≤ 12 segments, the untouched
+    // one appears in the partner shifted by the net indel balance
+    // (≤ maxEdits). Partial coverage (13·s < |p|) is fine: edits beyond
+    // the covered region touch no segment at all (the 9-char grid already
+    // covers only 117 of 120 chars).
+    def passJoinPairs(pool: DataFrame, segLenT: Int, tier: Int): DataFrame = {
+      val segsT = pool
+        .select(col("doc_id").as("da"), col("ln").as("la"), col("p").as("pa"),
+          explode(sequence(lit(0), lit(nSeg - 1))).as("j"))
+        .select(col("da"), col("la"),
+          gramKey(tier, col("j"),
+            expr(s"substring(pa, $segLenT * j + 1, $segLenT)")).as("gk"))
+      val subsT = pool
+        .select(col("doc_id").as("db"), col("ln").as("lb"), col("p").as("pb"),
+          explode(sequence(lit(0), lit(nSeg - 1))).as("j"))
+        .select(col("db"), col("lb"), col("pb"), col("j"),
+          explode(sequence(lit(-maxEdits), lit(maxEdits))).as("d"))
+        .where(expr(s"$segLenT * j + 1 + d") >= 1 &&
+          expr(s"$segLenT * j + $segLenT + d") <= length(col("pb")))
+        .select(col("db"), col("lb"),
+          gramKey(tier, col("j"),
+            expr(s"substring(pb, $segLenT * j + 1 + d, $segLenT)")).as("gk"))
+      segsT.join(subsT, Seq("gk"))
+        .where(col("da") =!= col("db") &&
+          abs(col("la") - col("lb")) <= maxLenDiff)
+        .select(least(col("da"), col("db")).as("d1"),
+          greatest(col("da"), col("db")).as("d2"))
+        .distinct()
+    }
+    // Tier L: ≥ 117-char prefixes on the 9-char grid (13 × 9 = 117).
+    val pairsLL = passJoinPairs(longs, segLen, tier = 0)
+    // Tier M: the MID pool gets its own 4-char grid (13 × 4 = 52 chars of
+    // coverage) instead of falling into a content-free length block —
+    // that block was QUADRATIC in corpus size (every same-band pair
+    // verified) and dominated the 30× scale smoke (measured 1.4 exponent;
+    // 16 % of this corpus is < 133 chars). The pool spans [52, 133) so
+    // every in-band pair whose longer member is < 133 is found here; the
+    // L/M overlap region re-derives pairs the final distinct dedupes.
+    val midSegLen = 4
+    val minMidPrefix = midSegLen * nSeg // 52
+    val mids = n.where(col("ln") >= minMidPrefix &&
+      col("ln") < minLongPrefix + maxLenDiff)
+    val pairsM = passJoinPairs(mids, midSegLen, tier = 1)
+    // Tiny pool: only docs whose normalized text can't host 13 full
+    // 4-char segments (plus their in-band partners) remain in the plain
+    // length block — ~3 % of this corpus, with ≤ ~68-char verifies.
+    val nearShort = n.where(col("ln") < minMidPrefix + maxLenDiff)
     val b = nearShort.select(col("doc_id"), col("ln"),
         expr(s"ln div $bucketWidth").as("bk"))
       .unionAll(nearShort.select(col("doc_id"), col("ln"),
@@ -461,7 +506,7 @@ object Dedup {
         abs(col("ln1") - col("ln2")) <= maxLenDiff)
       .select(col("d1"), col("d2"))
       .distinct()
-    val pairs = pairsLL.unionAll(pairsS).distinct()
+    val pairs = pairsLL.unionAll(pairsM).unionAll(pairsS).distinct()
     pairs
       .join(n.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
       .join(n.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
