@@ -271,13 +271,16 @@ object ScaleSmoke {
           queries.StreamQueries.invalidateMaterialized()
           fn(spark, dir)
         }
-        val s0 = queries.StreamQueries.stateStoreBytes
+        queries.StreamQueries.resetStateMetrics()
         val tBase = time(() => fresh(baseDir))
-        val s1 = queries.StreamQueries.stateStoreBytes
+        val (rBase, bBase) = queries.StreamQueries.stateMetrics
+        queries.StreamQueries.resetStateMetrics()
         val tBig = time(() => fresh(bigDir))
-        val s2 = queries.StreamQueries.stateStoreBytes
-        println(s"""{"query":"$name","state_bytes_base":${(s1 - s0) / runs},""" +
-          s""""state_bytes_x$Mult":${(s2 - s1) / runs}}""")
+        val (rBig, bBig) = queries.StreamQueries.stateMetrics
+        println(s"""{"query":"$name","state_rows_base":${rBase / runs},""" +
+          s""""state_bytes_base":${bBase / runs},""" +
+          s""""state_rows_x$Mult":${rBig / runs},""" +
+          s""""state_bytes_x$Mult":${bBig / runs}}""")
         (tBase, tBig)
       }
     val withExtra = measured :+ ("dedup_semantic_growk" -> { () =>

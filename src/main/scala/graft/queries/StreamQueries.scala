@@ -197,19 +197,27 @@ object StreamQueries {
     * row would otherwise time the serve path). */
   def invalidateMaterialized(): Unit = outputs.clear()
 
-  /** Total on-disk bytes of the streaming state-store checkpoints (every
-    * `state/` subtree under this JVM's stream workspace) — the
-    * scale-smoke witness that state scales with KEYS, not with events:
-    * a run's delta of this value is its pipelines' persisted state. */
-  def stateStoreBytes: Long = {
-    def size(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles()).toSeq.flatten.map(size).sum
-    def stateDirs(f: java.io.File): Seq[java.io.File] =
-      if (!f.isDirectory) Seq.empty
-      else if (f.getName == "state") Seq(f)
-      else Option(f.listFiles()).toSeq.flatten.flatMap(stateDirs)
-    stateDirs(new java.io.File(wsRoot)).map(size).sum
+  /** Accumulated state-operator totals (rows, reported bytes) across the
+    * streaming queries drained since the last [[resetStateMetrics]] —
+    * recorded from each query's final progress just before it stops
+    * (the per-run workspace and its RocksDB checkpoints are deleted at
+    * teardown, so nothing on disk survives to measure). The scale-smoke
+    * witness that state scales with KEYS, not events. */
+  @volatile private var stateRowsAcc = 0L
+  @volatile private var stateBytesAcc = 0L
+  def resetStateMetrics(): Unit = { stateRowsAcc = 0L; stateBytesAcc = 0L }
+  def stateMetrics: (Long, Long) = (stateRowsAcc, stateBytesAcc)
+
+  /** Drain a streaming query (processAllAvailable), record its final
+    * state-operator metrics, and stop it. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+    val p = Option(q.lastProgress).orElse(q.recentProgress.lastOption)
+    p.foreach(_.stateOperators.foreach { so =>
+      stateRowsAcc += so.numRowsTotal
+      stateBytesAcc += so.memoryUsedBytes
+    })
+    q.stop()
   }
 
   /** Feed-dir file listing fingerprint — the file-source analog of Kafka
@@ -348,11 +356,11 @@ object StreamQueries {
       }
       val q2pre = if (!chunked) Some(startFlagger()) else None
 
-      q1.processAllAvailable(); q1.stop()
-      q3.processAllAvailable(); q3.stop()
+      drain(q1)
+      drain(q3)
       val tHop1 = System.nanoTime()
       val q2 = q2pre.getOrElse(startFlagger())
-      q2.processAllAvailable(); q2.stop()
+      drain(q2)
       val tHop2 = System.nanoTime()
       if (forensics) {
         def batchSec(qs: org.apache.spark.sql.streaming.StreamingQuery*) = qs
@@ -424,7 +432,7 @@ object StreamQueries {
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$work/cp")
         .outputMode("update").start()
-      q.processAllAvailable(); q.stop()
+      drain(q)
       s.table(name).orderBy(col("day_start"))
     } finally {
       if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
@@ -465,7 +473,7 @@ object StreamQueries {
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$work/cp")
         .outputMode("update").start()
-      q.processAllAvailable(); q.stop()
+      drain(q)
       val rw = Window.partitionBy(col("day_start"))
         .orderBy(col("total").desc, col("event_type"))
       s.table(name)
@@ -508,7 +516,7 @@ object StreamQueries {
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$work/cp")
         .outputMode("complete").start()
-      q.processAllAvailable(); q.stop()
+      drain(q)
       s.table(name).orderBy(col("segment"))
     } finally {
       if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
@@ -560,7 +568,7 @@ object StreamQueries {
       val maxTs = s.read.parquet(feed).agg(max(col("tsUnix"))).head.getLong(0)
       Seq(TimedDeposit("sentinel", 0.0, maxTs + 2 * 3600 + 1800 + 10, -1L))
         .toDF().coalesce(1).write.mode("append").parquet(sessionFeed)
-      q.processAllAvailable(); q.stop()
+      drain(q)
       s.table(name)
         .filter(col("walletId") =!= "sentinel")
         .select(col("walletId").cast("long").as("wallet_id"),
@@ -611,7 +619,7 @@ object StreamQueries {
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$work/cp")
         .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      drain(q)
       s.table(name).orderBy(col("purchase_id"), col("click_id"))
     } finally {
       if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
@@ -645,7 +653,7 @@ object StreamQueries {
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$work/cp")
         .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
+      drain(q)
       s.table(name)
         .groupBy(col("walletId").cast("long").as("wallet_id"))
         .agg(count(lit(1)).as("n_deposits"),

@@ -52,4 +52,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val p = planOf("dedup_exact")
     assert(!p.contains("BroadcastExchange"), p.take(2000))
   }
+
+  test("sim_ivfpq_rerank serves from persisted index artifacts, not a rebuild") {
+    // Force artifacts to exist, then re-plan: the serve plan must SCAN the
+    // persisted code table (a parquet relation rooted in the index cache)
+    // — if the codes were being re-encoded, the plan would instead carry
+    // the assignCodes aggregation over the corpus join.
+    SparkEntry.queries("sim_ivfpq_rerank")(spark, sf).count()
+    val p = planOf("sim_ivfpq_rerank")
+    assert(p.contains("graft_index_cache"),
+      "serve plan does not scan the persisted IVF-PQ index artifact")
+  }
+
+  test("sim_sparse_topk probes the persisted postings index and group-limits per token") {
+    SparkEntry.queries("sim_sparse_topk")(spark, sf).count()
+    val p = planOf("sim_sparse_topk")
+    assert(p.contains("graft_index_cache"),
+      "probe plan does not scan the persisted postings artifact")
+    // The impact-ordered posting truncation must stay a WindowGroupLimit
+    // (map-side top-64 per token), never a full per-token sort.
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
 }
