@@ -193,10 +193,15 @@ object Dedup {
     // split makes ~75 MB checkpoint blocks per partition (heap-hostile)
     // and starves every downstream stage. No-op when the source is
     // already at least that wide, so bench plans are unchanged.
-    val targetParts =
-      base.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Width probe WITHOUT touching the DataFrame: `.rdd` would compile a
+    // second deserializing plan per call (measured +3.3 s on
+    // dedup_char_jaccard in-sweep). The loaders pin source width to
+    // defaultParallelism, so that is the narrow-source signal.
+    val sess = base.sparkSession
+    val targetParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
     val widened =
-      if (base.rdd.getNumPartitions < targetParts) base.repartition(targetParts)
+      if (sess.sparkContext.defaultParallelism < targetParts)
+        base.repartition(targetParts)
       else base
     val b = widened.localCheckpoint()
     val arrs = b.select(col("doc_id"), size(col("sh64")).as("sz"), col("sh64"))
@@ -229,7 +234,11 @@ object Dedup {
     // |Δn_chars| band is part of the operator's OUTPUT contract and
     // stays in both strategies.
     val meta = b.select(col("doc_id"), col("n_chars"))
-    val prefixes = {
+    // LAZY: localCheckpoint is eager, and only the prefix branch reads
+    // this — a strict val would build (and materialize!) the df-rank
+    // index on every banded-path call too (measured +3.5 s in-sweep on
+    // dedup_char_jaccard when this was briefly strict).
+    lazy val prefixes = {
       // collect_list + in-row sort/slice, NOT a row_number window: the
       // windowed formulation re-measured slower at BOTH scales for char
       // shingles (23.5 s vs 16.4 s at the 10× smoke) — the per-doc array
@@ -301,14 +310,16 @@ object Dedup {
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
       }
-    // Verify joins fetch the shingle ARRAYS — hash, not sort-merge: a
-    // sort would move the multi-KB array payload through sorted spill
-    // runs; the hash build holds corpus/partitions arrays per task.
+    // Verify joins fetch the shingle ARRAYS. NO join hint here: at bench
+    // scale the array table is small and AQE broadcasts it (forcing
+    // shuffle_hash measured 1.4 s → 10.2 s on dedup_char_jaccard — the
+    // broadcast is the right plan until the corpus outgrows it, at which
+    // point AQE picks the shuffled join on its own).
     cand
       .join(arrs.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
-        col("sh64").as("sh_a")).hint("shuffle_hash"), "id_a")
+        col("sh64").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
-        col("sh64").as("sh_b")).hint("shuffle_hash"), "id_b")
+        col("sh64").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
           .as("inter"), col("sz_a"), col("sz_b"))
