@@ -70,6 +70,17 @@ object GraftFunctions {
       }, "built-in")
       registry.createOrReplaceTempFunction(
         "bloom_might_contain", e => BloomMightContain(e(0), e(1)), "built-in")
+      // Mergeable HLL sketch — fixed 2^p-byte registers, register-wise-max
+      // merge; hash derivation defined on md5 hex so the DuckDB oracle
+      // replays the estimate BY VALUE (see HllSketch scaladoc).
+      registry.createOrReplaceTempFunction(
+        "hll_md5_sketch", e => HllSketchAgg(e.head), "built-in")
+      registry.createOrReplaceTempFunction(
+        "hll_md5_merge_agg", e => HllMergeAgg(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "hll_md5_union", e => HllUnion(e(0), e(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "hll_md5_estimate", e => HllEstimate(e(0)), "built-in")
       registry.createOrReplaceTempFunction(
         "theta_union_agg", e => ThetaUnionAgg(e(0)), "built-in")
       registry.createOrReplaceTempFunction(

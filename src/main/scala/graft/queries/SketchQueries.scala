@@ -130,6 +130,94 @@ object SketchQueries {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("item"), col("e.count").as("n"))
         .orderBy(col("n").desc, col("item"))
+    },
+
+    // Custom md5-derived HLL ([[graft.functions.HllSketchAgg]]) — unlike
+    // q_hll_union's tolerance booleans, the ESTIMATE ITSELF is the oracle
+    // check: registers come from md5 hex of the key's string form, so
+    // DuckDB replays register assignment, max-rho, the exact-integer
+    // harmonic sum (HUGEINT ≡ BigInteger) and the one rounded division.
+    Q("q_hll_md5_distinct", HllOracle.distinctSql) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(
+          round(call_function("hll_md5_estimate",
+            call_function("hll_md5_sketch", col("o_custkey"))), 2)
+            .as("approx_distinct"),
+          countDistinct(col("o_custkey")).as("exact_distinct"))
+        .orderBy("pri")
+    },
+
+    // Mergeability, value-checked: per-(priority, month) sketches rolled
+    // up with hll_md5_merge_agg must give the BIT-IDENTICAL estimate of a
+    // direct per-priority sketch (register-wise max is associative), and
+    // the oracle recomputes that same value from scratch. This is the
+    // stored-sketch rollup path: at 100 TB only 4 KiB sketches cross the
+    // second shuffle and a yearly rollup never rescans raw data.
+    Q("q_hll_md5_merge", HllOracle.mergeSql) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val orders = Tables.orders(s, d)
+      val merged = orders
+        .groupBy(col("o_orderpriority").as("pri"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(call_function("hll_md5_sketch", col("o_custkey")).as("sk"))
+        .groupBy("pri")
+        .agg(round(call_function("hll_md5_estimate",
+          call_function("hll_md5_merge_agg", col("sk"))), 2).as("approx_merged"))
+      val direct = orders
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(round(call_function("hll_md5_estimate",
+          call_function("hll_md5_sketch", col("o_custkey"))), 2).as("approx_direct"))
+      merged.join(direct, "pri")
+        .select(col("pri"), col("approx_merged"), col("approx_direct"),
+          (col("approx_merged") === col("approx_direct")).as("merge_exact"))
+        .orderBy("pri")
     }
   )
+}
+
+/** DuckDB replay of the md5-HLL derivation (see [[graft.functions.HllSketch]]):
+  * register = md5 hex chars [1..3], rho = leading zero bits of chars
+  * [4..16] + 1, harmonic sum as exact HUGEINT Σ 2^(53−Mj), then the
+  * identical float expression tree as the Scala estimator. */
+private object HllOracle {
+
+  /** CTE chain computing `pri, est` (the rounded HLL estimate). */
+  private val estCte: String =
+    "WITH h AS (SELECT o_orderpriority AS pri, " +
+      "md5(CAST(o_custkey AS VARCHAR)) AS hh FROM orders), " +
+    "r AS (SELECT pri, substr(hh, 1, 3) AS reg, " +
+      "CASE WHEN substr(hh, 4, 13) = '0000000000000' THEN 53 " +
+      "ELSE 4 * length(regexp_extract(substr(hh, 4, 13), '^0*')) " +
+      "+ CASE substr(ltrim(substr(hh, 4, 13), '0'), 1, 1) " +
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 " +
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 " +
+        "ELSE 0 END + 1 END AS rho FROM h), " +
+    "regs AS (SELECT pri, reg, MAX(rho) AS mj FROM r GROUP BY pri, reg), " +
+    "agg AS (SELECT pri, COUNT(*) AS nreg, " +
+      "SUM(CAST((1::BIGINT << (53 - mj)) AS HUGEINT)) AS s_present " +
+      "FROM regs GROUP BY pri), " +
+    "fin AS (SELECT pri, 4096 - nreg AS vzero, " +
+      "(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 9007199254740992.0 " +
+      "/ CAST(CAST(4096 - nreg AS HUGEINT) * (1::BIGINT << 53) + s_present AS DOUBLE) " +
+      "AS eraw FROM agg), " +
+    "est AS (SELECT pri, " +
+      "ROUND(CASE WHEN eraw <= 2.5 * 4096.0 AND vzero > 0 " +
+        "THEN 4096.0 * LN(4096.0 / vzero) ELSE eraw END, 2) AS est FROM fin)"
+
+  val distinctSql: String =
+    estCte + ", " +
+      "ex AS (SELECT o_orderpriority AS pri, " +
+        "COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders GROUP BY 1) " +
+      "SELECT est.pri, est.est AS approx_distinct, ex.exact_distinct " +
+      "FROM est JOIN ex ON est.pri = ex.pri ORDER BY est.pri"
+
+  // Merged-over-months and direct sketches have identical registers
+  // (max over a partition of the rows = max over the rows), so the
+  // oracle emits the one recomputed estimate for both columns.
+  val mergeSql: String =
+    estCte + " " +
+      "SELECT pri, est AS approx_merged, est AS approx_direct, " +
+      "TRUE AS merge_exact FROM est ORDER BY pri"
 }
