@@ -81,6 +81,14 @@ object GraftFunctions {
         "hll_md5_union", e => HllUnion(e(0), e(1)), "built-in")
       registry.createOrReplaceTempFunction(
         "hll_md5_estimate", e => HllEstimate(e(0)), "built-in")
+      // Count-min sketch — mergeable frequency grid; md5-chunk bucket
+      // derivation, all-integer oracle replay (see CountMinSketch).
+      registry.createOrReplaceTempFunction(
+        "cms_sketch", e => CmsSketchAgg(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "cms_merge_agg", e => CmsMergeAgg(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "cms_estimate", e => CmsEstimate(e(0), e(1)), "built-in")
       registry.createOrReplaceTempFunction(
         "theta_union_agg", e => ThetaUnionAgg(e(0)), "built-in")
       registry.createOrReplaceTempFunction(

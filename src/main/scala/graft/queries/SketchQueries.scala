@@ -173,8 +173,62 @@ object SketchQueries {
         .select(col("pri"), col("approx_merged"), col("approx_direct"),
           (col("approx_merged") === col("approx_direct")).as("merge_exact"))
         .orderBy("pri")
+    },
+
+    // Count-min sketch ([[graft.functions.CmsSketchAgg]]) — mergeable
+    // frequency grid, md5-chunk buckets, ALL-INTEGER oracle: DuckDB
+    // replays bucket membership per probe key and takes the same min over
+    // 4 hash rows, so the estimate compares exactly with no float caveats.
+    // cms_merged comes through per-month grids + cms_merge_agg and must
+    // equal the direct estimate (element-wise sum = total counts).
+    Q("q_cms_heavy_hitters", CmsOracle.sql) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val li = Tables.lineitem(s, d)
+      val probes = (1L to 10L).toSeq
+      val direct = li.agg(call_function("cms_sketch", col("l_suppkey")).as("sk"))
+      val merged = li
+        .groupBy(month(col("l_shipdate")).as("mon"))
+        .agg(call_function("cms_sketch", col("l_suppkey")).as("msk"))
+        .agg(call_function("cms_merge_agg", col("msk")).as("skm"))
+      val est = direct.crossJoin(merged).select(
+        explode(array(probes.map(p => struct(
+          lit(p).as("suppkey"),
+          call_function("cms_estimate", col("sk"), lit(p)).as("cms_count"),
+          call_function("cms_estimate", col("skm"), lit(p)).as("cms_merged"))): _*))
+          .as("e"))
+        .select(col("e.suppkey"), col("e.cms_count"), col("e.cms_merged"))
+      val exact = li.where(col("l_suppkey").isin(probes: _*))
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("suppkey"), "left_outer")
+        .select(col("suppkey"), col("cms_count"), col("cms_merged"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy("suppkey")
     }
   )
+}
+
+/** DuckDB replay of the count-min derivation (see
+  * [[graft.functions.CountMinSketch]]): hash row i's bucket is md5 hex
+  * chars [3i+1, 3i+3]; a probe's counter in row i is the count of input
+  * rows sharing that bucket; the estimate is the min over the 4 rows.
+  * Merged-over-months grids sum to the direct grid, so one computed
+  * estimate serves both columns. */
+private object CmsOracle {
+  val sql: String =
+    "WITH rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) r(i)), " +
+    "probes AS (SELECT CAST(pk AS BIGINT) AS pk FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(pk)), " +
+    "db AS (SELECT i, substr(md5(CAST(l_suppkey AS VARCHAR)), 1 + 3 * i, 3) AS b, " +
+      "COUNT(*) AS c FROM lineitem CROSS JOIN rows_ GROUP BY 1, 2), " +
+    "pb AS (SELECT pk, i, substr(md5(CAST(pk AS VARCHAR)), 1 + 3 * i, 3) AS b " +
+      "FROM probes CROSS JOIN rows_), " +
+    "est AS (SELECT pk, MIN(COALESCE(c, 0)) AS cms_count " +
+      "FROM pb LEFT JOIN db USING (i, b) GROUP BY pk), " +
+    "ex AS (SELECT l_suppkey AS pk, COUNT(*) AS exact_count FROM lineitem " +
+      "WHERE l_suppkey BETWEEN 1 AND 10 GROUP BY 1) " +
+    "SELECT est.pk AS suppkey, est.cms_count, est.cms_count AS cms_merged, " +
+      "COALESCE(ex.exact_count, 0) AS exact_count " +
+    "FROM est LEFT JOIN ex ON est.pk = ex.pk ORDER BY suppkey"
 }
 
 /** DuckDB replay of the md5-HLL derivation (see [[graft.functions.HllSketch]]):
