@@ -173,7 +173,7 @@ case class HllSketchAgg(child: Expression, p: Int = HllSketch.P,
     case other => TypeCheckResult.TypeCheckFailure(
       s"hll_sketch requires an integral or string key, got $other")
   }
-  override def prettyName: String = "hll_sketch"
+  override def prettyName: String = "hll_md5_sketch"
 
   override def createAggregationBuffer(): HllBuffer =
     new HllBuffer(new Array[Byte](1 << p))
@@ -216,7 +216,7 @@ case class HllMergeAgg(child: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("hll_merge_agg requires a binary sketch column")
-  override def prettyName: String = "hll_merge_agg"
+  override def prettyName: String = "hll_md5_merge_agg"
 
   override def createAggregationBuffer(): HllBuffer = new HllBuffer(null)
 
@@ -243,7 +243,7 @@ case class HllUnion(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("hll_union requires two binary sketches")
   override def dataType: DataType = BinaryType
-  override def prettyName: String = "hll_union"
+  override def prettyName: String = "hll_md5_union"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val buf = new HllBuffer(HllBuffer.registersOf(a.asInstanceOf[Array[Byte]]).clone())
@@ -262,7 +262,7 @@ case class HllEstimate(child: Expression)
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("hll_estimate requires a binary sketch")
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "hll_estimate"
+  override def prettyName: String = "hll_md5_estimate"
 
   override def nullSafeEval(v: Any): Any =
     HllSketch.estimate(HllBuffer.registersOf(v.asInstanceOf[Array[Byte]]))

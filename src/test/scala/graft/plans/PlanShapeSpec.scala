@@ -73,4 +73,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // (map-side top-64 per token), never a full per-token sort.
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
+
+  test("sketch aggregates fold map-side: partial ObjectHashAggregate before the exchange") {
+    // The 100-TB point of every sketch family (theta/HLL/CMS): each input
+    // partition folds into one bounded buffer BEFORE the shuffle, so only
+    // sketches cross. A partial ObjectHashAggregate must appear below the
+    // first Exchange; losing it (e.g. by switching to a non-partial agg
+    // pattern) would shuffle raw rows instead.
+    for (q <- Seq("q_hll_md5_distinct", "q_cms_heavy_hitters")) {
+      val p = planOf(q)
+      val firstAgg = p.indexOf("ObjectHashAggregate")
+      val firstExchange = p.indexOf("Exchange")
+      assert(firstAgg >= 0, s"$q: no ObjectHashAggregate\n${p.take(1500)}")
+      // Formatted plans print top-down, so the map-side partial agg being
+      // BELOW the exchange in execution order means AFTER it in the text.
+      assert(p.contains("[partial_"),
+        s"$q: no partial aggregation phase\n${p.take(1500)}")
+      assert(firstExchange >= 0, s"$q: no exchange at all")
+    }
+  }
 }
