@@ -74,7 +74,12 @@ object GraftFunctions {
       // merge; hash derivation defined on md5 hex so the DuckDB oracle
       // replays the estimate BY VALUE (see HllSketch scaladoc).
       registry.createOrReplaceTempFunction(
-        "hll_md5_sketch", e => HllSketchAgg(e.head), "built-in")
+        "hll_md5_sketch", {
+          case Seq(child) => HllSketchAgg(child)
+          case e => throw new IllegalArgumentException(
+            s"hll_md5_sketch expects exactly (key) — only p = ${HllSketch.P} " +
+              s"is wired (oracle-replayable split); got ${e.size} args")
+        }, "built-in")
       registry.createOrReplaceTempFunction(
         "hll_md5_merge_agg", e => HllMergeAgg(e(0)), "built-in")
       registry.createOrReplaceTempFunction(

@@ -155,10 +155,11 @@ private[functions] trait HllAggBase extends TypedImperativeAggregate[HllBuffer] 
   override def deserialize(bytes: Array[Byte]): HllBuffer = HllBuffer.decode(bytes)
 }
 
-/** `hll_sketch(key[, p])`: build an HLL sketch over an integral or string
+/** `hll_md5_sketch(key)`: build an HLL sketch over an integral or string
   * key. Keys hash through md5 of their canonical string form so the DuckDB
-  * oracle replays registers exactly; p other than 12 changes the register
-  * split and has no oracle (engine-side spec coverage only). */
+  * oracle replays registers exactly; only p = 12 is wired (the SQL
+  * registration rejects extra args — a different p would change the
+  * register split and have no oracle). */
 case class HllSketchAgg(child: Expression, p: Int = HllSketch.P,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)

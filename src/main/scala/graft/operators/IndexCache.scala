@@ -27,15 +27,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Artifacts are parquet directories; a build is complete iff `_SUCCESS`
   * exists (a crashed write leaves no marker and is rebuilt). Builds of the
-  * same path are serialized per-JVM; cross-process races are benign
-  * (deterministic content — both writers produce identical bytes).
+  * same path are serialized per-JVM; cross-process publication is atomic:
+  * a build writes to a private temp sibling and renames it into place, so
+  * a concurrent reader sees either no artifact or a complete one — never
+  * a half-written directory. Losing a publish race is benign
+  * (deterministic content — both writers produce identical bytes; the
+  * loser discards its temp copy).
   */
 object IndexCache {
 
-  /** Deterministic artifact root (see class doc). */
+  /** Bumped whenever ANY cached artifact's build logic or layout changes
+    * (tokenization, weighting, encoding, wire format, schema). The version
+    * is part of every artifact path, so a new binary can never read-through
+    * an artifact written by older build logic — stale-format artifacts are
+    * simply invisible and get rebuilt. */
+  val FormatVersion = 2
+
+  /** Deterministic artifact root (see class doc). Scoped per OS user so
+    * shared machines don't collide on a world-shared /tmp path; override
+    * entirely via SPARK_GRAFT_INDEX_ROOT in multi-tenant environments. */
   lazy val root: String = {
+    val user = sanitize(System.getProperty("user.name", "anon"))
     val p = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      s"${System.getProperty("java.io.tmpdir")}/graft_index_cache")
+      s"${System.getProperty("java.io.tmpdir")}/graft_index_cache_$user")
     new java.io.File(p).mkdirs()
     p
   }
@@ -60,12 +74,39 @@ object IndexCache {
 
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._]", "-")
 
-  /** Artifact directory for (kind, params, fingerprint). */
+  /** Artifact directory for (kind, params, fingerprint). The format
+    * version leads the name so a logic change in any builder invalidates
+    * every old artifact at once (see [[FormatVersion]]). */
   def path(kind: String, params: String, fp: String): String =
-    s"$root/${sanitize(kind)}_${sanitize(params)}_${sanitize(fp)}"
+    s"$root/v${FormatVersion}_${sanitize(kind)}_${sanitize(params)}_${sanitize(fp)}"
 
   private def complete(p: String): Boolean =
     new java.io.File(p, "_SUCCESS").isFile
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Atomically publish a freshly-built artifact directory: rename the
+    * temp sibling into `dest`. If another process published first (the
+    * race the per-JVM lock can't cover), keep theirs — content is
+    * deterministic, so both copies are identical — and discard ours. */
+  private def publish(tmp: java.io.File, dest: java.io.File): Unit = {
+    if (complete(dest.getPath)) { deleteRecursively(tmp); return }
+    deleteRecursively(dest) // crashed-write leftovers (no _SUCCESS marker)
+    if (!tmp.renameTo(dest)) {
+      // rename lost a cross-process race that completed between the check
+      // and the move; if dest is now complete that's fine, else fail loud.
+      if (complete(dest.getPath)) deleteRecursively(tmp)
+      else sys.error(s"IndexCache: cannot publish ${dest.getPath}")
+    }
+  }
+
+  private def tmpSibling(p: String): java.io.File =
+    new java.io.File(
+      p + ".tmp-" + ProcessHandle.current().pid() + "-" + System.nanoTime())
 
   private val buildLocks = new ConcurrentHashMap[String, Object]()
 
@@ -81,7 +122,9 @@ object IndexCache {
     buildLocks.computeIfAbsent(p, _ => new Object).synchronized {
       if (complete(p)) record(s"$kind.disk")
       else {
-        build.write.mode("overwrite").parquet(p)
+        val tmp = tmpSibling(p)
+        build.write.mode("overwrite").parquet(tmp.getPath)
+        publish(tmp, new java.io.File(p))
         record(s"$kind.build")
       }
     }
@@ -100,7 +143,9 @@ object IndexCache {
       if (complete(p)) { record(s"$kind.disk"); read(p) }
       else {
         val m = build
-        write(p, m)
+        val tmp = tmpSibling(p)
+        write(tmp.getPath, m)
+        publish(tmp, new java.io.File(p))
         record(s"$kind.train")
         m
       }

@@ -47,7 +47,8 @@ object DedupQueries {
   // what an earlier build step wrote, and the per-artifact fingerprint
   // staleness check makes stale reuse impossible (no cleanup hook needed).
   private lazy val idxRoot: String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx"
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
+      System.getProperty("user.name", "anon").replaceAll("[^A-Za-z0-9._]", "-")
     new java.io.File(p).mkdirs()
     p
   }

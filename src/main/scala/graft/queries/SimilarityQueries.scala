@@ -19,7 +19,8 @@ object SimilarityQueries {
     * the per-artifact fingerprint staleness check makes stale reuse
     * impossible, so the dir needs no cleanup hook). */
   private lazy val idxRoot: String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx"
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+      System.getProperty("user.name", "anon").replaceAll("[^A-Za-z0-9._]", "-")
     new java.io.File(p).mkdirs()
     p
   }

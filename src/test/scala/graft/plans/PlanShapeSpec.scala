@@ -80,16 +80,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // sketches cross. A partial ObjectHashAggregate must appear below the
     // first Exchange; losing it (e.g. by switching to a non-partial agg
     // pattern) would shuffle raw rows instead.
-    for (q <- Seq("q_hll_md5_distinct", "q_cms_heavy_hitters")) {
+    for ((q, fn) <- Seq("q_hll_md5_distinct" -> "hll_md5_sketch",
+                        "q_cms_heavy_hitters" -> "cms_sketch")) {
       val p = planOf(q)
-      val firstAgg = p.indexOf("ObjectHashAggregate")
+      // The SKETCH aggregate itself (not just any aggregate in the plan)
+      // must have a partial phase, and — formatted plans printing
+      // top-down — that partial phase must sit AFTER the first Exchange
+      // in the text, i.e. BELOW it in execution order (map side).
+      val partialSketch = p.indexOf(s"partial_$fn")
       val firstExchange = p.indexOf("Exchange")
-      assert(firstAgg >= 0, s"$q: no ObjectHashAggregate\n${p.take(1500)}")
-      // Formatted plans print top-down, so the map-side partial agg being
-      // BELOW the exchange in execution order means AFTER it in the text.
-      assert(p.contains("[partial_"),
-        s"$q: no partial aggregation phase\n${p.take(1500)}")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: no ObjectHashAggregate\n${p.take(1500)}")
+      assert(partialSketch >= 0,
+        s"$q: no partial phase for $fn\n${p.take(1500)}")
       assert(firstExchange >= 0, s"$q: no exchange at all")
+      assert(partialSketch > firstExchange,
+        s"$q: partial $fn at $partialSketch is not below the first " +
+          s"Exchange at $firstExchange — raw rows would cross the shuffle")
     }
   }
 }
