@@ -28,6 +28,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("tfidf_top_terms ranks per doc via map-side WindowGroupLimit") {
     val p = planOf("tfidf_top_terms")
     assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // Serving ranks over the persisted term-weight artifact — no
+    // per-query re-tokenization of the corpus.
+    assert(p.contains("graft_index_cache"),
+      "tfidf serve plan does not scan the persisted tfidf_terms artifact")
   }
 
   test("q_top_spenders top-k compiles to distributed TakeOrderedAndProject") {
