@@ -94,6 +94,17 @@ object GraftFunctions {
         "cms_merge_agg", e => CmsMergeAgg(e(0)), "built-in")
       registry.createOrReplaceTempFunction(
         "cms_estimate", e => CmsEstimate(e(0), e(1)), "built-in")
+      // Quantile sketch — mergeable HDR-style integer log grid; bucket
+      // assignment and rank selection are all-integer, replayed by value
+      // in DuckDB (see QuantileSketch).
+      registry.createOrReplaceTempFunction(
+        "qsk_sketch", e => QskSketchAgg(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "qsk_merge_agg", e => QskMergeAgg(e(0)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "qsk_quantile", e => QskQuantile(e(0), e(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "qsk_n", e => QskN(e(0)), "built-in")
       registry.createOrReplaceTempFunction(
         "theta_union_agg", e => ThetaUnionAgg(e(0)), "built-in")
       registry.createOrReplaceTempFunction(

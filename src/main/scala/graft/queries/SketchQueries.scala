@@ -204,8 +204,77 @@ object SketchQueries {
         .select(col("suppkey"), col("cms_count"), col("cms_merged"),
           coalesce(col("exact_count"), lit(0L)).as("exact_count"))
         .orderBy("suppkey")
+    },
+
+    // Quantile sketch ([[graft.functions.QskSketchAgg]]) — mergeable
+    // HDR-style integer log grid, ALL-INTEGER oracle: DuckDB replays the
+    // bucket assignment ((v >> s) << s) and the rank-ceil(q·N) selection
+    // by value, so p50/p90/p99 compare exactly. Sketches build per
+    // (priority, month), roll up via qsk_merge_agg per priority and into
+    // a global 'ALL' row; merge is exact bucket addition, so the merged
+    // estimates must equal direct single-pass estimates (merge_exact —
+    // genuinely computed on the Spark side, literal TRUE in the oracle,
+    // same convention as q_cms_heavy_hitters' cms_merged).
+    Q("q_quantile_sketch_merge", QskOracle.sql) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"), month(col("o_orderdate")).as("mon"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      val withAll = base.union(
+        base.select(lit("ALL").as("grp"), col("mon"), col("c")))
+      val merged = withAll
+        .groupBy(col("grp"), col("mon"))
+        .agg(call_function("qsk_sketch", col("c")).as("sk"))
+        .groupBy("grp")
+        .agg(call_function("qsk_merge_agg", col("sk")).as("skm"))
+      val direct = withAll.groupBy("grp")
+        .agg(call_function("qsk_sketch", col("c")).as("skd"))
+      def qm(q: Double) = call_function("qsk_quantile", col("skm"), lit(q))
+      def qd(q: Double) = call_function("qsk_quantile", col("skd"), lit(q))
+      merged.join(direct, "grp").select(
+        col("grp"),
+        call_function("qsk_n", col("skm")).as("n"),
+        qm(0.5).as("p50"), qm(0.9).as("p90"), qm(0.99).as("p99"),
+        (qm(0.5) === qd(0.5) && qm(0.9) === qd(0.9) &&
+          qm(0.99) === qd(0.99) &&
+          call_function("qsk_n", col("skm")) ===
+            call_function("qsk_n", col("skd"))).as("merge_exact"))
+        .orderBy("grp")
     }
   )
+}
+
+/** DuckDB replay of the quantile-sketch derivation (see
+  * [[graft.functions.QuantileSketch]]): cents = FLOOR(price·100) — the
+  * identical IEEE double multiply on both engines — bucket = value with
+  * all but the top P+1 = 7 significant bits zeroed (integer shift math),
+  * estimate = smallest bucket whose cumulative count reaches
+  * max(ceil(q·N), 1). Merge being exact bucket addition, the oracle
+  * computes each quantile once and asserts merge_exact as literal TRUE. */
+private object QskOracle {
+  val sql: String =
+    "WITH v0 AS (SELECT o_orderpriority AS grp, " +
+      "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders), " +
+    "v AS (SELECT grp, c FROM v0 UNION ALL SELECT 'ALL', c FROM v0), " +
+    "b AS (SELECT grp, (c >> s) << s AS bk, COUNT(*) AS cnt FROM (" +
+      "SELECT grp, c, GREATEST(length(bin(c)) - 1 - 6, 0) AS s FROM v) " +
+      "GROUP BY 1, 2), " +
+    "tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY 1), " +
+    "cum AS (SELECT grp, bk, CAST(SUM(cnt) OVER (" +
+      "PARTITION BY grp ORDER BY bk) AS BIGINT) AS cum FROM b), " +
+    "qs AS (SELECT CAST(q AS DOUBLE) AS q " +
+      "FROM (VALUES (0.5), (0.9), (0.99)) t(q)), " +
+    "sel AS (SELECT cum.grp AS grp, qs.q AS q, MIN(cum.bk) AS est " +
+      "FROM cum JOIN tot ON cum.grp = tot.grp CROSS JOIN qs " +
+      "WHERE cum.cum >= GREATEST(CAST(CEIL(qs.q * tot.n) AS BIGINT), 1) " +
+      "GROUP BY 1, 2) " +
+    "SELECT sel.grp, tot.n, " +
+      "MAX(CASE WHEN sel.q = 0.5 THEN sel.est END) AS p50, " +
+      "MAX(CASE WHEN sel.q = 0.9 THEN sel.est END) AS p90, " +
+      "MAX(CASE WHEN sel.q = 0.99 THEN sel.est END) AS p99, " +
+      "TRUE AS merge_exact " +
+    "FROM sel JOIN tot ON sel.grp = tot.grp " +
+    "GROUP BY sel.grp, tot.n ORDER BY sel.grp"
 }
 
 /** DuckDB replay of the count-min derivation (see
