@@ -125,6 +125,114 @@ object Multimodal {
     bin.as[BinaryDoc].mapPartitions(decodePartition)
   }
 
+  /** PNG corpus WITH PLANTED NEAR-DUPLICATES for the perceptual-hash dedup
+    * path: every doc_id ≡ 1 (mod 10) renders the PREVIOUS doc's image
+    * (same dims, same pixel formula) with the low bit of each channel
+    * cleared on the (x+y) ≡ 0 (mod 7) stripe — a ≤3/765 gray perturbation,
+    * the "re-encoded copy" a real image pipeline deduplicates. Everything
+    * stays a deterministic function of doc_id, so the oracle replays both
+    * the original and the perturbed pixels. */
+  def phashPngDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { id =>
+        val src = if (id % 10 == 1) id - 1 else id
+        val perturbed = id % 10 == 1
+        val (w, h) = pngDims(src)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (src * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff
+            val v = if (perturbed && (x + y) % 7 == 0) base & 0xfefefe else base
+            img.setRGB(x, y, v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        BinaryDoc(id, bos.toByteArray, "image/png")
+      }
+    }.toDF()
+  }
+
+  /** 64-bit average-hash over a decoded image: nearest-neighbor-sample an
+    * 8×8 grid (x_i = ⌊(2i+1)w/16⌋ — always in range, defined for any
+    * dims), gray = r+g+b (a sum, no division), bit k = (64·gray_k > Σgray)
+    * via integer cross-multiply. ALL integer math, so the DuckDB oracle
+    * replays the hash from the pixel formula while THIS path must really
+    * decode the PNG to reproduce it. aHash (threshold-vs-mean) rather than
+    * dHash (neighbor gradient) because tiny test images duplicate sample
+    * coordinates — gradient bits degenerate to structural zeros there,
+    * while threshold bits stay value-dependent at any size. */
+  def aHash64(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = new Array[Long](64)
+    var s = 0L
+    var j = 0
+    while (j < 8) {
+      val y = ((2 * j + 1) * h) / 16
+      var i = 0
+      while (i < 8) {
+        val x = ((2 * i + 1) * w) / 16
+        val v = img.getRGB(x, y) & 0xffffff
+        val gr = ((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255).toLong
+        g(j * 8 + i) = gr
+        s += gr
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (64L * g(k) > s) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** Full pixel decode → perceptual hash, per partition (codec context
+    * constructed once; payloads decode in memory). Unlike the metadata
+    * pass this reads pixel data — the catalog-build step of an image
+    * near-dup pipeline. */
+  def decodeAHash(spark: SparkSession, bin: DataFrame): DataFrame = {
+    import spark.implicits._
+    bin.as[BinaryDoc].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { b =>
+        val img = ImageIO.read(new ByteArrayInputStream(b.payload))
+        (b.doc_id, aHash64(img))
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Image near-duplicate pairs from perceptual hashes: 4×16-bit band
+    * blocking (a near-identical image agrees on ≥1 band w.h.p. — same
+    * LSH-band shape as [[graft.operators.Dedup.simhashPairs]]), then an
+    * exact Hamming verify over the candidate pairs only. At 100 TB the
+    * band join is the only shuffle and moves (id, 16-bit key) pairs; no
+    * all-pairs stage exists. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftrightunsigned(phash, ${16 * b}) & 65535")): _*))
+        .as(Seq("band_idx", "band")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("dup_a"), col("b.doc_id").as("dup_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .select(col("dup_a"), col("dup_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling, declaratively: one row per 256-byte "frame" of the
     * payload (a real pipeline would sample keyframes by timestamp). */
   def frameSample(bin: DataFrame, frameBytes: Int = 256): DataFrame =

@@ -136,6 +136,65 @@ object MultimodalQueries {
       (s, d) =>
         Multimodal.frameSample(Multimodal.binaryDocs(Tables.documents(s, d)))
           .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Image near-duplicate dedup: synthesize real PNGs with planted
+    // near-dups (doc_id ≡ 1 mod 10 re-renders the previous doc's image
+    // with a ≤3/765 gray perturbation on a pixel stripe), DECODE the
+    // pixel data with javax.imageio, take a 64-bit integer aHash, band
+    // 4×16 bits for candidates, verify by exact Hamming distance. The
+    // oracle replays the whole derivation from the doc_id pixel formula —
+    // matching it requires an actual full-pixel decode. Planted pairs
+    // land at Hamming ≤ 3; the threshold is the conventional 10 (tiny
+    // test images have few distinct pixels, so a handful of unrelated
+    // pairs clear a 16-bit band and land at Hamming 7–10 — both engines
+    // agree on them by construction).
+    Q("mm_phash_dedup", PhashOracle.sql) { (s, d) =>
+      Multimodal.phashPairs(
+          Multimodal.decodeAHash(s,
+            Multimodal.phashPngDocs(s, Tables.documents(s, d))),
+          maxHamming = 10)
+        .orderBy(col("dup_a"), col("dup_b"))
     }
   )
+}
+
+/** DuckDB replay of the perceptual-hash dedup (see
+  * [[graft.multimodal.Multimodal.aHash64]]): regenerate each sampled
+  * pixel from the doc_id formula (source id + stripe perturbation for the
+  * planted copies), gray = r+g+b, bit k = 64·gray > Σgray, 16-bit bands
+  * by integer shift-sum, candidates from band equality, Hamming as a
+  * bit-mismatch count join (no 64-bit hash is materialized — BIGINT can't
+  * hold bit 63 via 1<<63 in DuckDB, and the bit table needs none). */
+private object PhashOracle {
+  val sql: String =
+    "WITH ids AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS src, " +
+      "doc_id % 10 = 1 AS pert FROM documents), " +
+    "dim AS (SELECT doc_id, src, pert, 4 + src % 13 AS w, 3 + src % 11 AS h " +
+      "FROM ids), " +
+    "samp AS (SELECT doc_id, src, pert, (j * 8 + i) AS k, " +
+      "(((2 * i + 1) * w) // 16) AS x, (((2 * j + 1) * h) // 16) AS y " +
+      "FROM dim CROSS JOIN range(0, 8) ri(i) CROSS JOIN range(0, 8) rj(j)), " +
+    "px AS (SELECT doc_id, k, " +
+      "CASE WHEN pert AND (x + y) % 7 = 0 " +
+      "THEN ((src * 2654435761 + x * 7919 + y * 104729) & 16777215) & 16711422 " +
+      "ELSE (src * 2654435761 + x * 7919 + y * 104729) & 16777215 END AS v " +
+      "FROM samp), " +
+    "gr AS (SELECT doc_id, k, (v >> 16) + ((v >> 8) & 255) + (v & 255) AS g " +
+      "FROM px), " +
+    "bits AS (SELECT doc_id, k, CASE WHEN 64 * g > " +
+      "SUM(g) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit FROM gr), " +
+    "bands AS (SELECT doc_id, k // 16 AS band_idx, " +
+      "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits GROUP BY 1, 2), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS dup_a, b.doc_id AS dup_b " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
+      "AND a.band = b.band AND a.doc_id < b.doc_id), " +
+    "ham AS (SELECT dup_a, dup_b, " +
+      "CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS hamming FROM cand " +
+      "JOIN bits ba ON ba.doc_id = dup_a " +
+      "JOIN bits bb ON bb.doc_id = dup_b AND bb.k = ba.k GROUP BY 1, 2) " +
+    "SELECT dup_a, dup_b, hamming FROM ham WHERE hamming <= 10 " +
+    "ORDER BY dup_a, dup_b"
 }

@@ -70,6 +70,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.format == "corrupt/image/png")
   }
 
+  test("phash dedup recovers every planted image near-dup, none missed") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val pairs = Multimodal.phashPairs(
+        Multimodal.decodeAHash(spark, Multimodal.phashPngDocs(spark, docs)),
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val planted = (0L until 200L).filter(_ % 10 == 1).map(d => (d - 1, d))
+    planted.foreach { p =>
+      assert(pairs.contains(p), s"planted near-dup $p not recovered")
+      assert(pairs(p) <= 3, s"planted $p at hamming ${pairs(p)} — " +
+        "perturbation should flip at most a few threshold bits")
+    }
+    // The verify stage is real: unrelated pairs that merely share a band
+    // must NOT pass at tight thresholds (hamming separation ≥ 7 here).
+    val unplanted = pairs.keySet -- planted.toSet
+    unplanted.foreach { p =>
+      assert(pairs(p) >= 7, s"unplanted pair $p at hamming ${pairs(p)}")
+    }
+  }
+
+  test("aHash is invariant to a PNG re-encode (decode-side hash, not byte hash)") {
+    import spark.implicits._
+    // The same pixels encoded twice (fresh encoder runs) must hash alike —
+    // a byte-level fingerprint would differ if the container bytes did.
+    val docs = (0L until 20L).toDF("doc_id")
+    val h1 = Multimodal.decodeAHash(spark,
+      Multimodal.pngDocs(spark, docs)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.decodeAHash(spark,
+      Multimodal.pngDocs(spark, docs)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+  }
+
   test("pngDocs synthesizes real containers whose decode matches pngDims") {
     import spark.implicits._
     val docs = (0L until 30L).toDF("doc_id")
