@@ -77,6 +77,21 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact top-k neighbors by L2 distance — the ground truth for the
+    * PQ/ADC recall evaluations (ADC approximates L2, so its recall is
+    * measured against the same metric, not cosine). */
+  def bruteForceL2TopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = prep(queries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = prep(emb)
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dist2(col("qv"), col("v")), 6).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dist"))
+  }
+
   /** The query bucket plus every bucket at Hamming distance 1 (one sign
     * plane flipped) — multi-probe LSH's probe set. Vectors near a
     * hyperplane land on either side; probing the flipped buckets recovers

@@ -195,6 +195,45 @@ object SimilarityQueries {
         .orderBy(col("qid"))
     },
 
+    // Recall@3 of the SERVED IVF probe (persisted index, nProbe = 2)
+    // against exact brute-force cosine — the IVF family's recall as an
+    // oracle-checked row instead of prose. The oracle replays the full
+    // k-means training plus both rankings in one statement.
+    Q("sim_recall_ivf", ivfRecallSql(nCells = 16, iters = 3, k = 3,
+      nProbe = 2, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val qs = embT.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(embT, qs, k = 3)
+        .select(col("qid"), col("nid"))
+      val ivf = Similarity.ivfTopKServed(embT, qs, k = 3, nProbe = 2,
+          indexPath = ivfIndexFor(s, d))
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      bf.join(ivf, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 3.0, 4).as("recall"))
+        .orderBy(col("qid"))
+    },
+
+    // Recall@3 of pure-ADC PQ ranking against exact brute-force L2 (the
+    // metric ADC approximates) — quantifies what the rerank stage buys:
+    // sim_pq_rerank recovers most of what this row shows pure ADC loses.
+    Q("sim_recall_pq", pqRecallSql(m = 8, nCodes = 16, iters = 2, k = 3,
+      nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val qs = embT.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceL2TopK(embT, qs, k = 3)
+        .select(col("qid"), col("nid"))
+      val pq = Similarity.pqTopK(embT, qs, k = 3, m = 8, nCodes = 16,
+          iters = 2)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      bf.join(pq, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 3.0, 4).as("recall"))
+        .orderBy(col("qid"))
+    },
+
     // IVF top-3 with k-means-trained centroids: 3 seeded Lloyd iterations
     // (deterministic — 6-dp distance/centroid grids + cid tie-break), then
     // nearest-cell assignment and a 2-cell probe. The oracle replays the
@@ -564,7 +603,15 @@ object SimilarityQueries {
     * re-averages per (cell, dimension) onto the same grid — exactly the
     * Spark arithmetic, so assignments match bit-for-bit. */
   private def ivfKmeansSql(nCells: Int, iters: Int, k: Int, nProbe: Int,
-                           nQueries: Int): String = {
+                           nQueries: Int): String =
+    ivfKmeansCoreSql(nCells, iters, nProbe, nQueries) +
+      s" SELECT qid, rank, nid, cosine FROM r2 WHERE rank <= $k ORDER BY qid, rank"
+
+  /** [[ivfKmeansSql]] up to the ranked CTE `r2` — reused by the recall
+    * evaluation, which joins the IVF ranking against an exact
+    * brute-force top-k computed in the same statement. */
+  private def ivfKmeansCoreSql(nCells: Int, iters: Int, nProbe: Int,
+                               nQueries: Int): String = {
     def distCte(name: String, cent: String) =
       s"$name AS (SELECT e.vec_id, c.cid, ROUND(list_sum(list_transform(" +
         "range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) " +
@@ -592,7 +639,41 @@ object SimilarityQueries {
       "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
       "FROM probe JOIN cell USING (cid) WHERE nid != qid), " +
       "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
-      s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
-      s"SELECT qid, rank, nid, cosine FROM r2 WHERE rank <= $k ORDER BY qid, rank"
+      s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored)"
   }
+
+  /** Recall@k of the trained-IVF probe against exact brute-force cosine
+    * top-k, per query — both rankings computed in one statement. */
+  private def ivfRecallSql(nCells: Int, iters: Int, k: Int, nProbe: Int,
+                           nQueries: Int): String =
+    ivfKmeansCoreSql(nCells, iters, nProbe, nQueries) +
+      s", ivf AS (SELECT qid, nid, 1 AS hit FROM r2 WHERE rank <= $k), " +
+      "bfs AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "ROUND(list_sum(list_transform(range(1, len(q.v) + 1), " +
+      "i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine " +
+      s"FROM n q, n c WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id), " +
+      "bf AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bfs) " +
+      s"WHERE rnk <= $k) " +
+      "SELECT bf.qid, CAST(COUNT(ivf.hit) AS BIGINT) AS n_hit, " +
+      s"ROUND(COUNT(ivf.hit) / $k.0, 4) AS recall " +
+      "FROM bf LEFT JOIN ivf USING (qid, nid) GROUP BY bf.qid ORDER BY qid"
+
+  /** Recall@k of pure-ADC PQ ranking against exact brute-force L2 top-k
+    * (ADC approximates L2 — recall is measured in the index's own
+    * metric), per query. */
+  private def pqRecallSql(m: Int, nCodes: Int, iters: Int, k: Int,
+                          nQueries: Int): String =
+    pqCoreSql(m, nCodes, iters, nQueries) +
+      s", pq AS (SELECT qid, nid, 1 AS hit FROM r WHERE rank <= $k), " +
+      "bfs AS (SELECT a.vec_id AS qid, b.vec_id AS nid, " +
+      "ROUND(list_sum(list_transform(range(1, len(a.v) + 1), " +
+      "i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) AS dist " +
+      s"FROM e a, e b WHERE a.vec_id < $nQueries AND b.vec_id != a.vec_id), " +
+      "bf AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, nid) AS rnk FROM bfs) " +
+      s"WHERE rnk <= $k) " +
+      "SELECT bf.qid, CAST(COUNT(pq.hit) AS BIGINT) AS n_hit, " +
+      s"ROUND(COUNT(pq.hit) / $k.0, 4) AS recall " +
+      "FROM bf LEFT JOIN pq USING (qid, nid) GROUP BY bf.qid ORDER BY qid"
 }
