@@ -147,11 +147,23 @@ object Bench {
         "\"" + k + "\":" + v
       }.mkString("{", ",", "}")
     }.mkString("\"forensics\":{", ",", "}")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,${failedJson}"queries":$qs,$forensicsJson,$calib,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,${failedJson}"queries":$qs,$forensicsJson,$calib,"sf":"$sfDir"}"""
+    println(fullLine)
     // Short, truncation-proof summary LAST (tail captures keep it whole;
     // it carries the forensics block too, so cache-traffic attribution
     // survives a truncated big line).
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$failedJson$forensicsJson,$calib,"sf":"$sfDir"}""")
+    // Machine-readable artifact of record: the driver's BENCH_r*.json
+    // keeps only a 2000-char stdout tail, so the full per-query medians +
+    // forensics are ALSO written to a file (committed per round → git
+    // history makes per-query regressions diffable by tooling).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
