@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale smoke: synthesize a `SPARK_GRAFT_SCALE_MULT`× corpus (default
@@ -59,8 +59,60 @@ object ScaleSmoke {
   private val CipherAlphabet =
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
 
-  private def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+  /** Natural-Zipf synthetic corpus — the evidence fixture for the heavy
+    * exact-verify dedup exponents. The DRIVER testdata's 31-word vocabulary
+    * defeats the df-ordered prefix filter by construction (every char
+    * shingle is near-ubiquitous, median df ~22, nothing prunes), so
+    * exponents measured on it state the degenerate-vocabulary worst case,
+    * not the production regime. This fixture keeps the driver corpus's
+    * SHAPE (5 000 docs/replica, ~55 tokens/doc, lang/source columns, the
+    * doc_id%10 planted-near-dup protocol, per-replica substitution cipher)
+    * but draws tokens from a 10 000-type Zipf(1) vocabulary — the
+    * natural-text profile under which rare shingles exist and prefix
+    * filtering can do its job.
+    *
+    * Construction is pure codegen'd expressions, fully deterministic:
+    *  - token rank = ⌊exp(u·ln V)⌋ with u = xxhash64-derived uniform —
+    *    P(rank ≤ r) = ln r/ln V, i.e. pmf ∝ 1/r, exactly Zipf(1);
+    *  - token string = "t"+rank (2–6 chars — shingles span token
+    *    boundaries like natural text);
+    *  - doc length = 30 + h%51 tokens (~55 avg, matching the driver's 54);
+    *  - every doc_id ≡ 1 (mod 10) re-emits doc_id−1's token sequence with
+    *    positions (j + doc_id) ≡ 0 (mod 12) substituted — a ~0.8-Jaccard
+    *    planted near-dup, same protocol as the driver corpus.
+    */
+  private def zipfDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    val V = 10000
+    def rank(h: Column): Column =
+      least(lit(V.toLong), greatest(lit(1L),
+        floor(exp((pmod(h, lit(1000003L)).cast("double") / 1000003.0)
+          * math.log(V.toDouble))).cast("long")))
+    val base = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id")).as("src"))
+      .withColumn("len", lit(30L) + pmod(xxhash64(lit("len"), col("src")), lit(51L)))
+    def tokAt(j: Column): Column = {
+      val mutated = col("doc_id") % 10 === 1 &&
+        pmod(j + col("doc_id"), lit(12L)) === 0
+      val h = when(mutated, xxhash64(lit("mut"), col("doc_id"), j))
+        .otherwise(xxhash64(lit("zipf"), col("src"), j))
+      concat(lit("t"), rank(h))
+    }
+    base.select(col("doc_id"), col("src"),
+        concat_ws(" ", transform(sequence(lit(1L), col("len")), tokAt(_)))
+          .as("text_pre"))
+      .select(col("doc_id"), col("text_pre").as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr"), lit("es")),
+          (pmod(xxhash64(lit("lang"), col("src")), lit(4L)) + 1).cast("int"))
+          .as("lang"),
+        concat(lit("src"), pmod(xxhash64(lit("srcn"), col("src")), lit(5L)))
+          .as("source"),
+        length(col("text_pre")).cast("long").as("n_chars"))
+  }
+
+  /** Replicate a documents table `Mult`× under the per-replica
+    * character-substitution cipher (see class doc) — shared by the
+    * real-corpus and zipf-corpus synthesis paths. */
+  private def replicateDocs(docs: DataFrame, outDir: String): Unit = {
     (0 until Mult).map { i =>
       val txt =
         if (i == 0) col("text")
@@ -73,6 +125,10 @@ object ScaleSmoke {
         col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    replicateDocs(spark.read.parquet(s"$baseDir/documents.parquet"), outDir)
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val embDim = emb.select(size(col("embedding")).as("d")).first().getInt(0)
@@ -151,9 +207,57 @@ object ScaleSmoke {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // Keep EVERY micro-batch progress: the latency-percentile rows read
+      // recentProgress, and the chunked feed can exceed the default 100.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Zipf-corpus mode (SPARK_GRAFT_SCALE_CORPUS=zipf): measure the heavy
+    // exact-verify dedup set on the natural-vocabulary fixture instead of
+    // the driver corpus — the evidence run for the prefix-filter scaling
+    // claim (see zipfDocs). Both scales come from the same generator: the
+    // 1× base is the 5 000-doc zipf corpus, the big dir its Mult× cipher
+    // replication, so the exponent isolates corpus GROWTH.
+    if (sys.env.get("SPARK_GRAFT_SCALE_CORPUS").contains("zipf")) {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val zBase = s"$tmp/graft_zipf_base"
+      val zBig = s"$tmp/graft_zipf_x$Mult"
+      val zdocs = zipfDocs(spark, 5000L)
+      zdocs.write.mode("overwrite").parquet(s"$zBase/documents.parquet")
+      replicateDocs(spark.read.parquet(s"$zBase/documents.parquet"), zBig)
+      val zNames = Seq("dedup_char_jaccard", "dedup_ngram_jaccard",
+        "dedup_edit_distance", "dedup_canonical", "dedup_minhash_lsh",
+        "dedup_containment")
+      val zOnly = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      def ztime(fn: () => DataFrame): (Double, Long) = {
+        var rows = 0L
+        val t = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          rows = fn().count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (t, rows)
+      }
+      zNames.filter(n => zOnly.forall(_.contains(n))).foreach { n =>
+        val fn = SparkEntry.queries(n)
+        val (tBase, rBase) = ztime(() => fn(spark, zBase))
+        val (tBig, rBig) = ztime(() => fn(spark, zBig))
+        val exp = math.log(tBig / tBase) / math.log(Mult.toDouble)
+        // Output-row growth is the direct witness against candidate /
+        // pair blowup: a working band+prefix filter keeps verified pairs
+        // LINEAR in replicas (rows_xN ≈ N · rows_base); quadratic pair
+        // growth shows here before it shows in time.
+        println(f"""{"corpus":"zipf","query":"$n","t_base_s":$tBase%.3f,""" +
+          f""""t_x${Mult}_s":$tBig%.3f,"exponent":$exp%.3f,""" +
+          f""""rows_base":$rBase,"rows_x$Mult":$rBig}""")
+        System.out.flush()
+      }
+      spark.stop()
+      return
+    }
 
     val bigDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$Mult"
     synthesize(spark, baseDir, bigDir)
@@ -264,6 +368,12 @@ object ScaleSmoke {
     // measures the topology, not the serve path. Each row also prints its
     // per-run state-store bytes at both scales (delta of the workspace
     // `state/` subtrees) — the witness that state scales with keys.
+    def pct(xs: Seq[Long], p: Double): Long =
+      if (xs.isEmpty) 0L
+      else {
+        val s = xs.sorted
+        s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+      }
     def streamRow(name: String): (String, () => (Double, Double)) =
       name -> { () =>
         val fn = SparkEntry.queries(name)
@@ -272,15 +382,25 @@ object ScaleSmoke {
           fn(spark, dir)
         }
         queries.StreamQueries.resetStateMetrics()
+        queries.StreamQueries.resetBatchDurations()
         val tBase = time(() => fresh(baseDir))
         val (rBase, bBase) = queries.StreamQueries.stateMetrics
+        val dBase = queries.StreamQueries.batchDurations
         queries.StreamQueries.resetStateMetrics()
+        queries.StreamQueries.resetBatchDurations()
         val tBig = time(() => fresh(bigDir))
         val (rBig, bBig) = queries.StreamQueries.stateMetrics
+        val dBig = queries.StreamQueries.batchDurations
         println(s"""{"query":"$name","state_rows_base":${rBase / runs},""" +
           s""""state_bytes_base":${bBase / runs},""" +
           s""""state_rows_x$Mult":${rBig / runs},""" +
-          s""""state_bytes_x$Mult":${bBig / runs}}""")
+          s""""state_bytes_x$Mult":${bBig / runs},""" +
+          s""""n_batches_base":${dBase.size},""" +
+          s""""batch_p50_ms_base":${pct(dBase, 0.5)},""" +
+          s""""batch_p95_ms_base":${pct(dBase, 0.95)},""" +
+          s""""n_batches_x$Mult":${dBig.size},""" +
+          s""""batch_p50_ms_x$Mult":${pct(dBig, 0.5)},""" +
+          s""""batch_p95_ms_x$Mult":${pct(dBig, 0.95)}}""")
         (tBase, tBig)
       }
     val withExtra = measured :+ ("dedup_semantic_growk" -> { () =>

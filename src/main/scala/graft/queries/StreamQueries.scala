@@ -208,8 +208,22 @@ object StreamQueries {
   def resetStateMetrics(): Unit = { stateRowsAcc = 0L; stateBytesAcc = 0L }
   def stateMetrics: (Long, Long) = (stateRowsAcc, stateBytesAcc)
 
+  /** Per-micro-batch triggerExecution durations (ms) accumulated across
+    * the queries drained since the last [[resetBatchDurations]] — the
+    * LATENCY distribution behind the throughput number (a scale-up that
+    * keeps throughput but fattens the per-batch tail shows here, not
+    * there). Sample count is bounded by Spark's recentProgress retention
+    * (spark.sql.streaming.numRecentProgressUpdates, default 100 per
+    * query) — raise it in the measuring session if a feed exceeds that
+    * many micro-batches. */
+  private val batchDurAcc = scala.collection.mutable.ArrayBuffer[Long]()
+  def resetBatchDurations(): Unit =
+    batchDurAcc.synchronized { batchDurAcc.clear() }
+  def batchDurations: Seq[Long] =
+    batchDurAcc.synchronized { batchDurAcc.toVector }
+
   /** Drain a streaming query (processAllAvailable), record its final
-    * state-operator metrics, and stop it. */
+    * state-operator metrics and per-batch durations, and stop it. */
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.processAllAvailable()
     val p = Option(q.lastProgress).orElse(q.recentProgress.lastOption)
@@ -217,6 +231,11 @@ object StreamQueries {
       stateRowsAcc += so.numRowsTotal
       stateBytesAcc += so.memoryUsedBytes
     })
+    q.recentProgress.foreach { pr =>
+      Option(pr.durationMs.get("triggerExecution")).foreach { d =>
+        batchDurAcc.synchronized { batchDurAcc += d.toLong }
+      }
+    }
     q.stop()
   }
 
