@@ -429,6 +429,45 @@ object StreamQueries {
     * consumed in one micro-batch (see class doc), so the update-mode
     * memory sink holds exactly one final row per window.
     */
+  /** Per-day deposit-amount quantiles maintained BY THE STREAM: the
+    * custom mergeable quantile sketch ([[graft.functions.QskSketchAgg]])
+    * runs as the streaming aggregation's state — each micro-batch folds
+    * its rows into the per-window sketch buffer exactly like sum/count
+    * state, which is the point of a MERGEABLE sketch: the same aggregate
+    * serves batch rollups and incremental streaming maintenance. */
+  private def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val feed = depositFeed(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val name = unique
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = s.readStream
+        .schema(Encoders.product[TimedDeposit].schema)
+        .parquet(feed)
+        .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
+        .withWatermark("eventTime", "1 hour")
+        .groupBy(window(col("eventTime"), "1 day").as("w"))
+        .agg(
+          call_function("qsk_sketch",
+            round(col("amount") * 100).cast("long")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("day_start"), col("n"),
+          call_function("qsk_quantile", col("sk"), lit(0.5)).as("p50"),
+          call_function("qsk_quantile", col("sk"), lit(0.95)).as("p95"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("update").start()
+      drain(q)
+      s.table(name).orderBy(col("day_start"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
+  }
+
   private def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     val feed = depositFeed(s, dir)
     def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
@@ -763,6 +802,35 @@ object StreamQueries {
         "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
       (s, d) => materialized(s, "stream_window_agg", depositFeed(s, d))(
         streamWindowAgg(s, d))(_.orderBy(col("day_start")))
+    },
+
+    // Streaming per-day amount quantiles via the custom MERGEABLE
+    // quantile sketch as streaming aggregation state (the cross-family
+    // integration a mergeable sketch exists for: identical aggregate,
+    // batch rollup or incremental micro-batch maintenance). The oracle
+    // replays the integer log-grid selection per day from the same
+    // events — see graft.functions.QuantileSketch.
+    Q("stream_quantile",
+      "WITH e AS (SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS day_start, " +
+        "CAST(ROUND(value * 100) AS BIGINT) AS c FROM events WHERE value > 0), " +
+        "b AS (SELECT day_start, (c >> s) << s AS bk, COUNT(*) AS cnt FROM (" +
+        "SELECT day_start, c, GREATEST(length(bin(c)) - 1 - 6, 0) AS s FROM e) " +
+        "GROUP BY 1, 2), " +
+        "tot AS (SELECT day_start, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY 1), " +
+        "cum AS (SELECT day_start, bk, CAST(SUM(cnt) OVER (" +
+        "PARTITION BY day_start ORDER BY bk) AS BIGINT) AS cum FROM b), " +
+        "qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.95)) t(q)), " +
+        "sel AS (SELECT cum.day_start AS day_start, qs.q AS q, MIN(cum.bk) AS est " +
+        "FROM cum JOIN tot ON cum.day_start = tot.day_start CROSS JOIN qs " +
+        "WHERE cum.cum >= GREATEST(CAST(CEIL(qs.q * tot.n) AS BIGINT), 1) " +
+        "GROUP BY 1, 2) " +
+        "SELECT t.day_start AS day_start, t.n, " +
+        "MAX(CASE WHEN sel.q = 0.5 THEN sel.est END) AS p50, " +
+        "MAX(CASE WHEN sel.q = 0.95 THEN sel.est END) AS p95 " +
+        "FROM sel JOIN tot t ON sel.day_start = t.day_start " +
+        "GROUP BY 1, 2 ORDER BY t.day_start") {
+      (s, d) => materialized(s, "stream_quantile", depositFeed(s, d))(
+        streamQuantile(s, d))(_.orderBy(col("day_start")))
     },
 
     // Streaming windowed top-3 event types per day: the day×type totals

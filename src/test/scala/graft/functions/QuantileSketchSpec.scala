@@ -70,6 +70,36 @@ class QuantileSketchSpec extends AnyFunSuite with SparkSpec {
     assert(p50(1) == p50(13))
   }
 
+  test("sketch state folds incrementally across micro-batches") {
+    registered
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("c")
+      .groupBy()
+      .agg(call_function("qsk_quantile",
+        call_function("qsk_sketch", $"c"), lit(0.5)).as("p50"))
+      .writeStream.format("memory").queryName("qsk_stream")
+      .outputMode("update").start()
+    try {
+      ms.addData(1L to 1000L: _*)
+      q.processAllAvailable()
+      ms.addData(1001L to 2000L: _*)
+      q.processAllAvailable()
+      // Last update reflects BOTH batches folded into one sketch state.
+      val streamed = spark.table("qsk_stream").collect().last.getLong(0)
+      val direct = (1L to 2000L).toDF("c")
+        .agg(call_function("qsk_quantile",
+          call_function("qsk_sketch", $"c"), lit(0.5)))
+        .collect().head.getLong(0)
+      assert(streamed == direct,
+        s"incremental state $streamed != one-pass $direct")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("qsk_stream")
+    }
+  }
+
   test("empty sketch yields null quantile; nulls are skipped") {
     registered
     val df = Seq[Option[Long]](None, Some(10L), None).toDF("c")
