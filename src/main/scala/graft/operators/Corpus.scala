@@ -345,6 +345,42 @@ object Corpus {
     merges.reduce(_ unionAll _).orderBy(col("it"))
   }
 
+  /** Apply trained BPE merges to the corpus — the ENCODE half of the
+    * tokenizer lifecycle ([[bpeTrain]] is the train half): each document's
+    * words fold through the merge list in training order (the same greedy
+    * left-to-right non-overlapping rewrite), yielding per-doc token
+    * accounting (chars vs BPE tokens — the compression a tokenizer buys).
+    * The merge list is a BOUNDED model artifact (`iters` rows): trained
+    * once per corpus fingerprint, persisted read-through (IndexCache),
+    * collected to the driver like a codebook, and applied as `iters`
+    * map-side array folds — the corpus is scanned once per merge with no
+    * shuffle (the one aggregation is the final per-doc rollup). */
+  def bpeEncode(docs: DataFrame, iters: Int): DataFrame = {
+    val merges = IndexCache.cachedFrame(docs.sparkSession, "bpe_merges",
+      s"$iters", Dedup.docFp(docs)) { bpeTrain(docs, iters) }
+    val ms = merges.orderBy(col("it")).collect()
+      .map(r => (r.getString(1), r.getString(2))) // iters rows — model-sized
+    var words = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("w"))
+      .select(col("doc_id"), col("w"), split(col("w"), "").as("syms"))
+    ms.foreach { case (a, b) =>
+      // a/b are lowercase-letter strings by construction (bpeTrain's
+      // [a-z]+ word filter), so literal splicing is safe.
+      words = words.withColumn("syms", expr(
+        s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
+          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
+          s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+          "ELSE concat(acc, array(x)) END)"))
+    }
+    words.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars") / col("n_bpe_tokens"), 4))
+  }
+
   /** Zipf-law fit over the top-R token ranks: OLS slope (and R²) of
     * ln freq vs ln rank — the corpus-health diagnostic (natural text sits
     * near slope −1; pathological or synthetic segments drift off it).

@@ -333,6 +333,16 @@ object TextQueries {
     // array fold (a merged token can never re-merge within a round).
     Q("text_bpe_train", bpeTrainSql(3)) { (s, d) =>
       Corpus.bpeTrain(Tables.documents(s, d), iters = 3)
+    },
+
+    // BPE ENCODE — the apply half of the tokenizer lifecycle: every
+    // document's words fold through the 3 trained merges in training
+    // order (merge list = persisted model artifact, broadcast-applied
+    // map-side), yielding per-doc chars-vs-tokens compression accounting.
+    // The oracle replays training AND the per-document encode folds.
+    Q("text_bpe_encode", bpeEncodeSql(3)) { (s, d) =>
+      Corpus.bpeEncode(Tables.documents(s, d), iters = 3)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -342,7 +352,9 @@ object TextQueries {
     * accumulator ends with '/a' and the next symbol is b, the tail symbol
     * is replaced by a||b — the same greedy left-to-right non-overlapping
     * fold the Spark array aggregate runs. */
-  private def bpeTrainSql(iters: Int): String = {
+  /** The shared training CTE chain (w0 plus p/m/w rounds) up to the
+    * final merge tables m1..m`iters` — reused by the encode oracle. */
+  private def bpeCoreSql(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       s"p$t AS (SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS n " +
         s"FROM w${t - 1}, unnest(range(1, len(syms))) u$t(i) " +
@@ -354,11 +366,37 @@ object TextQueries {
         "ELSE acc || '/' || x END), 2), '/') AS syms, freq " +
         s"FROM w${t - 1}, m$t m)"
     }.mkString(", ")
+    "w0 AS (SELECT string_split(w, '') AS syms, COUNT(*)::BIGINT AS freq " +
+      "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
+      "FROM documents) GROUP BY w), " + rounds
+  }
+
+  private def bpeTrainSql(iters: Int): String = {
     val out = (1 to iters).map(t =>
       s"SELECT CAST($t AS BIGINT) AS it, a, b, n FROM m$t").mkString(" UNION ALL ")
-    "WITH w0 AS (SELECT string_split(w, '') AS syms, COUNT(*)::BIGINT AS freq " +
-      "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
-      "FROM documents) GROUP BY w), " +
-      s"$rounds SELECT it, a, b, n FROM ($out) ORDER BY it"
+    s"WITH ${bpeCoreSql(iters)} SELECT it, a, b, n FROM ($out) ORDER BY it"
+  }
+
+  /** DuckDB replay of [[Corpus.bpeEncode]]: the training chain's merge
+    * tables m1..m`iters` applied to each DOCUMENT's words with the same
+    * string-accumulator fold, then the per-doc chars/tokens rollup. */
+  private def bpeEncodeSql(iters: Int): String = {
+    val docRounds = (1 to iters).map { t =>
+      s"d$t AS (SELECT doc_id, w, string_split(substr(list_reduce(list_prepend('', syms), " +
+        "(acc, x) -> CASE WHEN ends_with(acc, '/' || m.a) AND x = m.b " +
+        "THEN left(acc, len(acc) - len(m.a) - 1) || '/' || m.a || m.b " +
+        "ELSE acc || '/' || x END), 2), '/') AS syms " +
+        s"FROM d${t - 1}, m$t m)"
+    }.mkString(", ")
+    s"WITH ${bpeCoreSql(iters)}, " +
+      "d0 AS (SELECT doc_id, w, string_split(w, '') AS syms " +
+      "FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
+      "FROM documents)), " +
+      s"$docRounds " +
+      s"SELECT doc_id, COUNT(*)::BIGINT AS n_words, " +
+      "CAST(SUM(len(w)) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens, " +
+      "ROUND(CAST(SUM(len(w)) AS DOUBLE) / SUM(len(syms)), 4) AS compression " +
+      s"FROM d$iters GROUP BY doc_id ORDER BY doc_id"
   }
 }
