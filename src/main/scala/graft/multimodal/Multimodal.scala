@@ -233,6 +233,40 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Continuous-ingest image dedup — the SERVED variant of [[phashPairs]],
+    * the image analog of the text LSH serve path: the HISTORICAL corpus's
+    * banded perceptual hashes persist as a read-through index artifact
+    * (keyed by the source fingerprint, built once per corpus), and an
+    * incoming batch (doc_id ≡ 0 mod 5 — the same batch convention as
+    * `dedup_incremental`) decodes, hashes, and probes the index
+    * ASYMMETRICALLY: batch×history only, history×history never re-paired,
+    * so per-batch cost tracks the batch. Returns (new_id, dup_of,
+    * hamming) for verified matches. */
+  def phashServed(spark: SparkSession, docs: DataFrame,
+                  maxHamming: Int = 10): DataFrame = {
+    def banded(hashes: DataFrame) =
+      hashes.select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftrightunsigned(phash, ${16 * b}) & 65535")): _*))
+          .as(Seq("band_idx", "band")))
+    val idx = graft.operators.IndexCache.cachedFrame(spark, "phash_index",
+        "b4x16", graft.operators.Dedup.docFp(docs)) {
+      banded(decodeAHash(spark,
+        phashPngDocs(spark, docs.filter(col("doc_id") % 5 =!= 0))))
+    }
+    val probe = banded(decodeAHash(spark,
+      phashPngDocs(spark, docs.filter(col("doc_id") % 5 === 0))))
+    probe.as("a").join(idx.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .select(col("new_id"), col("dup_of"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling, declaratively: one row per 256-byte "frame" of the
     * payload (a real pipeline would sample keyframes by timestamp). */
   def frameSample(bin: DataFrame, frameBytes: Int = 256): DataFrame =

@@ -541,7 +541,7 @@ object Dedup {
     * staleness contract an object store's etag gives a production index
     * service. Non-file sources always recompute. */
   private val docFpCache = new ConcurrentHashMap[String, String]()
-  private[operators] def docFp(docs: DataFrame): String = {
+  private[graft] def docFp(docs: DataFrame): String = {
     val files = docs.inputFiles.sorted
     val listingKey =
       if (files.isEmpty) ""

@@ -155,6 +155,17 @@ object MultimodalQueries {
             Multimodal.phashPngDocs(s, Tables.documents(s, d))),
           maxHamming = 10)
         .orderBy(col("dup_a"), col("dup_b"))
+    },
+
+    // SERVED image dedup: the historical corpus's banded perceptual
+    // hashes persist as a read-through index artifact; the incoming
+    // batch (doc_id ≡ 0 mod 5) decodes and probes it asymmetrically —
+    // batch×history only — the image analog of dedup_lsh_served. The
+    // planted copies (id ≡ 1 mod 10, source id−1 ≡ 0 mod 10) all cross
+    // the batch/history split, so every planted pair must surface.
+    Q("mm_phash_served", PhashOracle.servedSql) { (s, d) =>
+      Multimodal.phashServed(s, Tables.documents(s, d), maxHamming = 10)
+        .orderBy(col("new_id"), col("dup_of"))
     }
   )
 }
@@ -167,8 +178,10 @@ object MultimodalQueries {
   * bit-mismatch count join (no 64-bit hash is materialized — BIGINT can't
   * hold bit 63 via 1<<63 in DuckDB, and the bit table needs none). */
 private object PhashOracle {
-  val sql: String =
-    "WITH ids AS (SELECT doc_id, " +
+  /** CTE chain through per-doc `bits` and 16-bit `bands` — shared by the
+    * all-pairs and served (batch-probes-history) variants. */
+  val coreSql: String =
+    "ids AS (SELECT doc_id, " +
       "CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS src, " +
       "doc_id % 10 = 1 AS pert FROM documents), " +
     "dim AS (SELECT doc_id, src, pert, 4 + src % 13 AS w, 3 + src % 11 AS h " +
@@ -186,7 +199,10 @@ private object PhashOracle {
     "bits AS (SELECT doc_id, k, CASE WHEN 64 * g > " +
       "SUM(g) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit FROM gr), " +
     "bands AS (SELECT doc_id, k // 16 AS band_idx, " +
-      "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits GROUP BY 1, 2), " +
+      "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits GROUP BY 1, 2)"
+
+  val sql: String =
+    s"WITH $coreSql, " +
     "cand AS (SELECT DISTINCT a.doc_id AS dup_a, b.doc_id AS dup_b " +
       "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
       "AND a.band = b.band AND a.doc_id < b.doc_id), " +
@@ -197,4 +213,18 @@ private object PhashOracle {
       "JOIN bits bb ON bb.doc_id = dup_b AND bb.k = ba.k GROUP BY 1, 2) " +
     "SELECT dup_a, dup_b, hamming FROM ham WHERE hamming <= 10 " +
     "ORDER BY dup_a, dup_b"
+
+  /** Served variant: batch (doc_id ≡ 0 mod 5) probes history only. */
+  val servedSql: String =
+    s"WITH $coreSql, " +
+    "cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
+      "AND a.band = b.band AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
+    "ham AS (SELECT new_id, dup_of, " +
+      "CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS hamming FROM cand " +
+      "JOIN bits ba ON ba.doc_id = new_id " +
+      "JOIN bits bb ON bb.doc_id = dup_of AND bb.k = ba.k GROUP BY 1, 2) " +
+    "SELECT new_id, dup_of, hamming FROM ham WHERE hamming <= 10 " +
+    "ORDER BY new_id, dup_of"
 }
