@@ -304,43 +304,49 @@ private object CmsOracle {
   * register = md5 hex chars [1..3], rho = leading zero bits of chars
   * [4..16] + 1, harmonic sum as exact HUGEINT Σ 2^(53−Mj), then the
   * identical float expression tree as the Scala estimator. */
-private object HllOracle {
+private[queries] object HllOracle {
 
-  /** CTE chain computing `pri, est` (the rounded HLL estimate). */
-  private val estCte: String =
-    "WITH h AS (SELECT o_orderpriority AS pri, " +
-      "md5(CAST(o_custkey AS VARCHAR)) AS hh FROM orders), " +
-    "r AS (SELECT pri, substr(hh, 1, 3) AS reg, " +
+  /** CTE chain computing `grp, est` (the rounded HLL estimate) over any
+    * (grp, hh) source — `src` must yield one row per input element with
+    * its group key as `grp` and `md5(CAST(key AS VARCHAR))` as `hh`.
+    * Parameterized so the batch (orders) and streaming (per-day events)
+    * registrations replay the identical estimator. */
+  def estCteFor(src: String): String =
+    "WITH h AS (" + src + "), " +
+    "r AS (SELECT grp, substr(hh, 1, 3) AS reg, " +
       "CASE WHEN substr(hh, 4, 13) = '0000000000000' THEN 53 " +
       "ELSE 4 * length(regexp_extract(substr(hh, 4, 13), '^0*')) " +
       "+ CASE substr(ltrim(substr(hh, 4, 13), '0'), 1, 1) " +
         "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 " +
         "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 " +
         "ELSE 0 END + 1 END AS rho FROM h), " +
-    "regs AS (SELECT pri, reg, MAX(rho) AS mj FROM r GROUP BY pri, reg), " +
-    "agg AS (SELECT pri, COUNT(*) AS nreg, " +
+    "regs AS (SELECT grp, reg, MAX(rho) AS mj FROM r GROUP BY grp, reg), " +
+    "agg AS (SELECT grp, COUNT(*) AS nreg, " +
       "SUM(CAST((1::BIGINT << (53 - mj)) AS HUGEINT)) AS s_present " +
-      "FROM regs GROUP BY pri), " +
-    "fin AS (SELECT pri, 4096 - nreg AS vzero, " +
+      "FROM regs GROUP BY grp), " +
+    "fin AS (SELECT grp, 4096 - nreg AS vzero, " +
       "(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 9007199254740992.0 " +
       "/ CAST(CAST(4096 - nreg AS HUGEINT) * (1::BIGINT << 53) + s_present AS DOUBLE) " +
       "AS eraw FROM agg), " +
-    "est AS (SELECT pri, " +
+    "est AS (SELECT grp, " +
       "ROUND(CASE WHEN eraw <= 2.5 * 4096.0 AND vzero > 0 " +
         "THEN 4096.0 * LN(4096.0 / vzero) ELSE eraw END, 2) AS est FROM fin)"
 
+  private val ordersSrc =
+    "SELECT o_orderpriority AS grp, md5(CAST(o_custkey AS VARCHAR)) AS hh FROM orders"
+
   val distinctSql: String =
-    estCte + ", " +
-      "ex AS (SELECT o_orderpriority AS pri, " +
+    estCteFor(ordersSrc) + ", " +
+      "ex AS (SELECT o_orderpriority AS grp, " +
         "COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders GROUP BY 1) " +
-      "SELECT est.pri, est.est AS approx_distinct, ex.exact_distinct " +
-      "FROM est JOIN ex ON est.pri = ex.pri ORDER BY est.pri"
+      "SELECT est.grp AS pri, est.est AS approx_distinct, ex.exact_distinct " +
+      "FROM est JOIN ex ON est.grp = ex.grp ORDER BY pri"
 
   // Merged-over-months and direct sketches have identical registers
   // (max over a partition of the rows = max over the rows), so the
   // oracle emits the one recomputed estimate for both columns.
   val mergeSql: String =
-    estCte + " " +
-      "SELECT pri, est AS approx_merged, est AS approx_direct, " +
+    estCteFor(ordersSrc) + " " +
+      "SELECT grp AS pri, est AS approx_merged, est AS approx_direct, " +
       "TRUE AS merge_exact FROM est ORDER BY pri"
 }

@@ -468,6 +468,45 @@ object StreamQueries {
     }
   }
 
+  /** Per-day distinct depositors maintained BY THE STREAM via the custom
+    * md5-HLL sketch as streaming aggregation state — like
+    * [[streamQuantile]], the integration a mergeable sketch exists for.
+    * The exact-distinct column joins in from the batch table (distinct
+    * aggregates are unsupported inside streaming aggregations — exactly
+    * WHY a production stream maintains the sketch instead). */
+  private def streamDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val feed = depositFeed(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val name = unique
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = s.readStream
+        .schema(Encoders.product[TimedDeposit].schema)
+        .parquet(feed)
+        .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
+        .withWatermark("eventTime", "1 hour")
+        .groupBy(window(col("eventTime"), "1 day").as("w"))
+        .agg(call_function("hll_md5_sketch", col("walletId")).as("sk"))
+        .select(unix_timestamp(col("w.start")).as("day_start"),
+          round(call_function("hll_md5_estimate", col("sk")), 2)
+            .as("approx_distinct"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("update").start()
+      drain(q)
+      val exact = depositProjection(s, dir)
+        .groupBy((floor(col("tsUnix") / 86400) * 86400).as("day_start"))
+        .agg(countDistinct(col("walletId")).as("exact_distinct"))
+      s.table(name).join(exact, "day_start").orderBy(col("day_start"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      s.catalog.dropTempView(name)
+      Maintenance.deleteRecursively(new java.io.File(work))
+    }
+  }
+
   private def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
     val feed = depositFeed(s, dir)
     def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
@@ -802,6 +841,26 @@ object StreamQueries {
         "FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1") {
       (s, d) => materialized(s, "stream_window_agg", depositFeed(s, d))(
         streamWindowAgg(s, d))(_.orderBy(col("day_start")))
+    },
+
+    // Streaming per-day distinct depositors via the custom md5-HLL as
+    // streaming aggregation state (distinct aggs are unsupported in
+    // streaming — the sketch IS the production answer); full-value
+    // estimate oracle (HllOracle.estCteFor replays the identical
+    // estimator keyed by day), exact-distinct joined from the batch
+    // table on both engines.
+    Q("stream_distinct_hll",
+      HllOracle.estCteFor(
+        "SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS grp, " +
+          "md5(CAST(user_id AS VARCHAR)) AS hh FROM events WHERE value > 0") +
+        ", ex AS (SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS grp, " +
+        "COUNT(DISTINCT user_id) AS exact_distinct FROM events " +
+        "WHERE value > 0 GROUP BY 1) " +
+        "SELECT est.grp AS day_start, est.est AS approx_distinct, " +
+        "ex.exact_distinct FROM est JOIN ex ON est.grp = ex.grp " +
+        "ORDER BY day_start") {
+      (s, d) => materialized(s, "stream_distinct_hll", depositFeed(s, d))(
+        streamDistinctHll(s, d))(_.orderBy(col("day_start")))
     },
 
     // Streaming per-day amount quantiles via the custom MERGEABLE
