@@ -159,9 +159,14 @@ object Bench {
     // forensics are ALSO written to a file (committed per round → git
     // history makes per-query regressions diffable by tooling).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    try {
+      val abs = java.nio.file.Paths.get(outPath).toAbsolutePath
+      java.nio.file.Files.write(abs, (fullLine + "\n").getBytes("UTF-8"))
+      // The default path is CWD-relative — print where it actually landed
+      // so a harness launched outside the repo root can't silently leave
+      // the committed artifact stale.
+      System.err.println(s"[bench] wrote $abs")
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()

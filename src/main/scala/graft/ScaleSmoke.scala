@@ -377,17 +377,20 @@ object ScaleSmoke {
     def streamRow(name: String): (String, () => (Double, Double)) =
       name -> { () =>
         val fn = SparkEntry.queries(name)
+        // Durations reset PER INVOCATION, so after time()'s `runs`
+        // repetitions batchDurations holds exactly the LAST (warm) run —
+        // n_batches is the true per-run count and the percentiles don't
+        // mix the cold first run's JIT-inflated batches in.
         def fresh(dir: String): DataFrame = {
           queries.StreamQueries.invalidateMaterialized()
+          queries.StreamQueries.resetBatchDurations()
           fn(spark, dir)
         }
         queries.StreamQueries.resetStateMetrics()
-        queries.StreamQueries.resetBatchDurations()
         val tBase = time(() => fresh(baseDir))
         val (rBase, bBase) = queries.StreamQueries.stateMetrics
         val dBase = queries.StreamQueries.batchDurations
         queries.StreamQueries.resetStateMetrics()
-        queries.StreamQueries.resetBatchDurations()
         val tBig = time(() => fresh(bigDir))
         val (rBig, bBig) = queries.StreamQueries.stateMetrics
         val dBig = queries.StreamQueries.batchDurations

@@ -210,7 +210,9 @@ case class QskN(child: Expression)
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("qsk_n requires a binary sketch")
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  // Inherited nullable (child.nullable): a null sketch input yields null
+  // through nullSafeEval, so claiming non-null would let Catalyst fold
+  // IsNotNull checks incorrectly on e.g. the miss side of a left join.
   override def prettyName: String = "qsk_n"
 
   override def nullSafeEval(sk: Any): Any =

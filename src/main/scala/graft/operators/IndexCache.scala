@@ -27,10 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Artifacts are parquet directories; a build is complete iff `_SUCCESS`
   * exists (a crashed write leaves no marker and is rebuilt). Builds of the
-  * same path are serialized per-JVM; cross-process publication is atomic:
-  * a build writes to a private temp sibling and renames it into place, so
-  * a concurrent reader sees either no artifact or a complete one — never
-  * a half-written directory. Losing a publish race is benign
+  * same path are serialized per-JVM; cross-process publication goes
+  * through a private temp sibling renamed into place (rename-first — see
+  * [[publish]]), so readers see no artifact or a complete one rather
+  * than a half-written directory. Losing a publish race is benign
   * (deterministic content — both writers produce identical bytes; the
   * loser discards its temp copy).
   */
@@ -43,16 +43,25 @@ object IndexCache {
     * simply invisible and get rebuilt. */
   val FormatVersion = 2
 
-  /** Deterministic artifact root (see class doc). Scoped per OS user so
-    * shared machines don't collide on a world-shared /tmp path; override
-    * entirely via SPARK_GRAFT_INDEX_ROOT in multi-tenant environments. */
-  lazy val root: String = {
-    val user = sanitize(System.getProperty("user.name", "anon"))
-    val p = sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      s"${System.getProperty("java.io.tmpdir")}/graft_index_cache_$user")
+  /** User-scoped deterministic /tmp root for an artifact family — the ONE
+    * derivation every persisted-index root shares (this cache, the ANN
+    * and LSH index roots, and their tests), so the scoping scheme can't
+    * silently fork between production and test code. */
+  def userScopedRoot(prefix: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      sanitize(System.getProperty("user.name", "anon"))
     new java.io.File(p).mkdirs()
     p
   }
+
+  /** Deterministic artifact root (see class doc). Scoped per OS user so
+    * shared machines don't collide on a world-shared /tmp path; override
+    * entirely via SPARK_GRAFT_INDEX_ROOT in multi-tenant environments. */
+  lazy val root: String =
+    sys.env.get("SPARK_GRAFT_INDEX_ROOT") match {
+      case Some(p) => new java.io.File(p).mkdirs(); p
+      case None    => userScopedRoot("graft_index_cache")
+    }
 
   // ------------------------------ forensics ------------------------------
 
@@ -89,24 +98,45 @@ object IndexCache {
     f.delete()
   }
 
-  /** Atomically publish a freshly-built artifact directory: rename the
-    * temp sibling into `dest`. If another process published first (the
-    * race the per-JVM lock can't cover), keep theirs — content is
-    * deterministic, so both copies are identical — and discard ours. */
+  /** Publish a freshly-built artifact directory by renaming the temp
+    * sibling into `dest`. RENAME-FIRST ordering: the only deletes are of
+    * a dest that a fresh check saw incomplete (crashed-write leftovers),
+    * so a reader can only ever observe no artifact or a complete one —
+    * up to the unavoidable filesystem-level window between that check and
+    * the delete (closing it fully needs an external lock; content being
+    * deterministic, the worst case of the residual race is a rebuild).
+    * Losing the race to another publisher keeps theirs — both copies are
+    * byte-wise equivalent — and discards ours. */
   private def publish(tmp: java.io.File, dest: java.io.File): Unit = {
-    if (complete(dest.getPath)) { deleteRecursively(tmp); return }
-    deleteRecursively(dest) // crashed-write leftovers (no _SUCCESS marker)
-    if (!tmp.renameTo(dest)) {
-      // rename lost a cross-process race that completed between the check
-      // and the move; if dest is now complete that's fine, else fail loud.
-      if (complete(dest.getPath)) deleteRecursively(tmp)
-      else sys.error(s"IndexCache: cannot publish ${dest.getPath}")
+    var attempts = 0
+    while (true) {
+      if (complete(dest.getPath)) { deleteRecursively(tmp); return }
+      if (tmp.renameTo(dest)) return // dest did not exist: clean publish
+      // rename refused: dest exists. Complete ⇒ keep theirs; incomplete ⇒
+      // crashed-write leftovers — clear and retry (bounded).
+      if (complete(dest.getPath)) { deleteRecursively(tmp); return }
+      deleteRecursively(dest)
+      attempts += 1
+      if (attempts > 3) sys.error(s"IndexCache: cannot publish ${dest.getPath}")
     }
   }
 
-  private def tmpSibling(p: String): java.io.File =
+  /** Temp sibling for an in-flight build; also sweeps orphaned siblings
+    * of the same artifact left by crashed processes (old enough that no
+    * live build can still own them — builds run minutes, not hours). */
+  private def tmpSibling(p: String): java.io.File = {
+    val base = new java.io.File(p)
+    val parent = base.getParentFile
+    val prefix = base.getName + ".tmp-"
+    val stale = System.currentTimeMillis() - 6 * 3600 * 1000L
+    val kids = if (parent == null) null else parent.listFiles()
+    if (kids != null) kids.foreach { f =>
+      if (f.getName.startsWith(prefix) && f.lastModified() < stale)
+        deleteRecursively(f)
+    }
     new java.io.File(
       p + ".tmp-" + ProcessHandle.current().pid() + "-" + System.nanoTime())
+  }
 
   private val buildLocks = new ConcurrentHashMap[String, Object]()
 

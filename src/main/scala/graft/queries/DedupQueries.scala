@@ -46,12 +46,8 @@ object DedupQueries {
   // DETERMINISTIC root, kept across processes: a fresh JVM rediscovers
   // what an earlier build step wrote, and the per-artifact fingerprint
   // staleness check makes stale reuse impossible (no cleanup hook needed).
-  private lazy val idxRoot: String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
-      System.getProperty("user.name", "anon").replaceAll("[^A-Za-z0-9._]", "-")
-    new java.io.File(p).mkdirs()
-    p
-  }
+  private lazy val idxRoot: String =
+    graft.operators.IndexCache.userScopedRoot("graft_lshidx")
 
   /** BUILD step of the LSH index lifecycle: shingle + sign the historical
     * corpus once per (JVM, sf dir) and persist the index table; every

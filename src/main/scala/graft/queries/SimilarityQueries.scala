@@ -18,12 +18,8 @@ object SimilarityQueries {
     * processes — a fresh JVM rediscovers what an earlier build step wrote;
     * the per-artifact fingerprint staleness check makes stale reuse
     * impossible, so the dir needs no cleanup hook). */
-  private lazy val idxRoot: String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
-      System.getProperty("user.name", "anon").replaceAll("[^A-Za-z0-9._]", "-")
-    new java.io.File(p).mkdirs()
-    p
-  }
+  private lazy val idxRoot: String =
+    graft.operators.IndexCache.userScopedRoot("graft_annidx")
 
   /** BUILD step of the IVF index lifecycle: train once per (JVM, sf dir)
     * and persist the centroid table as a parquet artifact; every serve

@@ -437,15 +437,9 @@ object StreamQueries {
     * serves batch rollups and incremental streaming maintenance. */
   private def streamQuantile(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val feed = depositFeed(s, dir)
-    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
-    val work = s"$wsRoot/run_$unique"
-    val name = unique
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = s.readStream
-        .schema(Encoders.product[TimedDeposit].schema)
-        .parquet(feed)
+    runStream(s, depositFeed(s, dir),
+        Encoders.product[TimedDeposit].schema) { src =>
+      src
         .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
         .withWatermark("eventTime", "1 hour")
         .groupBy(window(col("eventTime"), "1 day").as("w"))
@@ -456,11 +450,31 @@ object StreamQueries {
         .select(unix_timestamp(col("w.start")).as("day_start"), col("n"),
           call_function("qsk_quantile", col("sk"), lit(0.5)).as("p50"),
           call_function("qsk_quantile", col("sk"), lit(0.95)).as("p95"))
+    }(_.orderBy(col("day_start")))
+  }
+
+  /** Shared harness for the single-query streaming builders: stand up
+    * readStream(`schema` over `feed`) → `transform` → memory sink on a
+    * fresh checkpoint workspace, drain (recording state + latency
+    * metrics), hand the materialized view to `finish`, and ALWAYS tear
+    * down (stop, drop view, delete workspace). `s.table` resolves the
+    * memory sink's plan eagerly, so the returned frame survives the
+    * temp-view drop. */
+  private def runStream(s: SparkSession, feed: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        outputMode: String = "update")
+                       (transform: DataFrame => DataFrame)
+                       (finish: DataFrame => DataFrame): DataFrame = {
+    val name = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$name"
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = transform(s.readStream.schema(schema).parquet(feed))
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$work/cp")
-        .outputMode("update").start()
+        .outputMode(outputMode).start()
       drain(q)
-      s.table(name).orderBy(col("day_start"))
+      finish(s.table(name))
     } finally {
       if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
       s.catalog.dropTempView(name)
@@ -476,15 +490,9 @@ object StreamQueries {
     * WHY a production stream maintains the sketch instead). */
   private def streamDistinctHll(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val feed = depositFeed(s, dir)
-    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
-    val work = s"$wsRoot/run_$unique"
-    val name = unique
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = s.readStream
-        .schema(Encoders.product[TimedDeposit].schema)
-        .parquet(feed)
+    runStream(s, depositFeed(s, dir),
+        Encoders.product[TimedDeposit].schema) { src =>
+      src
         .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
         .withWatermark("eventTime", "1 hour")
         .groupBy(window(col("eventTime"), "1 day").as("w"))
@@ -492,33 +500,18 @@ object StreamQueries {
         .select(unix_timestamp(col("w.start")).as("day_start"),
           round(call_function("hll_md5_estimate", col("sk")), 2)
             .as("approx_distinct"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$work/cp")
-        .outputMode("update").start()
-      drain(q)
+    } { out =>
       val exact = depositProjection(s, dir)
         .groupBy((floor(col("tsUnix") / 86400) * 86400).as("day_start"))
         .agg(countDistinct(col("walletId")).as("exact_distinct"))
-      s.table(name).join(exact, "day_start").orderBy(col("day_start"))
-    } finally {
-      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
-      s.catalog.dropTempView(name)
-      Maintenance.deleteRecursively(new java.io.File(work))
+      out.join(exact, "day_start").orderBy(col("day_start"))
     }
   }
 
-  private def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
-    val feed = depositFeed(s, dir)
-    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
-    val work = s"$wsRoot/run_$unique"
-    val name = unique
-    // start() itself sits inside the try: a start-time failure (e.g.
-    // checkpoint dir creation) must still hit the cleanup.
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = s.readStream
-        .schema(Encoders.product[TimedDeposit].schema)
-        .parquet(feed)
+  private def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    runStream(s, depositFeed(s, dir),
+        Encoders.product[TimedDeposit].schema) { src =>
+      src
         .withColumn("eventTime", timestamp_seconds(col("tsUnix")))
         .withWatermark("eventTime", "1 hour")
         .groupBy(window(col("eventTime"), "1 day").as("w"))
@@ -526,17 +519,7 @@ object StreamQueries {
           (sum(round(col("amount") * 100).cast("long")) / 100.0).as("total"))
         .select(unix_timestamp(col("w.start")).as("day_start"),
           col("n_deposits"), col("total"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$work/cp")
-        .outputMode("update").start()
-      drain(q)
-      s.table(name).orderBy(col("day_start"))
-    } finally {
-      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
-      s.catalog.dropTempView(name)
-      Maintenance.deleteRecursively(new java.io.File(work))
-    }
-  }
+    }(_.orderBy(col("day_start")))
 
   /** Streaming windowed TOP-K: the aggregate (day × type totals) is
     * maintained BY the micro-batch engine — that is the streaming-legal

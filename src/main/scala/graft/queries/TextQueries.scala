@@ -379,14 +379,20 @@ object TextQueries {
 
   /** DuckDB replay of [[Corpus.bpeEncode]]: the training chain's merge
     * tables m1..m`iters` applied to each DOCUMENT's words with the same
-    * string-accumulator fold, then the per-doc chars/tokens rollup. */
+    * string-accumulator fold, then the per-doc chars/tokens rollup. Each
+    * round LEFT-joins its merge table (exactly one row on any corpus with
+    * pairs left; empty when the pair vocabulary exhausts early) with the
+    * merge columns coalesced to a non-letter sentinel, so an exhausted
+    * round is a no-op on both engines instead of emptying the oracle's
+    * document set through a bare cross join. */
   private def bpeEncodeSql(iters: Int): String = {
     val docRounds = (1 to iters).map { t =>
       s"d$t AS (SELECT doc_id, w, string_split(substr(list_reduce(list_prepend('', syms), " +
-        "(acc, x) -> CASE WHEN ends_with(acc, '/' || m.a) AND x = m.b " +
+        "(acc, x) -> CASE WHEN ends_with(acc, '/' || COALESCE(m.a, chr(1))) " +
+        "AND x = COALESCE(m.b, chr(1)) " +
         "THEN left(acc, len(acc) - len(m.a) - 1) || '/' || m.a || m.b " +
         "ELSE acc || '/' || x END), 2), '/') AS syms " +
-        s"FROM d${t - 1}, m$t m)"
+        s"FROM d${t - 1} LEFT JOIN m$t m ON TRUE)"
     }.mkString(", ")
     s"WITH ${bpeCoreSql(iters)}, " +
       "d0 AS (SELECT doc_id, w, string_split(w, '') AS syms " +

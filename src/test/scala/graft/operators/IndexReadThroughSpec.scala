@@ -32,8 +32,7 @@ class IndexReadThroughSpec extends AnyFunSuite with SparkSpec {
   test("sim_ivf_served survives a forced cache clear without retraining") {
     val first = run("sim_ivf_served")
     // The artifact root is deterministic across processes.
-    val idxDir = new File(System.getProperty("java.io.tmpdir"),
-      "graft_annidx_" + System.getProperty("user.name", "anon").replaceAll("[^A-Za-z0-9._]", "-"))
+    val idxDir = new File(IndexCache.userScopedRoot("graft_annidx"))
     assert(idxDir.isDirectory, "no ANN index root created")
     val before = artifactState(idxDir)
     assert(before.nonEmpty, "no IVF artifact persisted")
@@ -49,8 +48,7 @@ class IndexReadThroughSpec extends AnyFunSuite with SparkSpec {
 
   test("dedup_lsh_served survives a forced cache clear without re-shingling") {
     val first = run("dedup_lsh_served")
-    val idxDir = new File(System.getProperty("java.io.tmpdir"),
-      "graft_lshidx_" + System.getProperty("user.name", "anon").replaceAll("[^A-Za-z0-9._]", "-"))
+    val idxDir = new File(IndexCache.userScopedRoot("graft_lshidx"))
     assert(idxDir.isDirectory, "no LSH index root created")
     val before = artifactState(idxDir)
     assert(before.nonEmpty, "no LSH artifact persisted")
