@@ -450,4 +450,42 @@ object Corpus {
         round(avg(-log(col("c") / col("total").cast("double"))), 6)
           .as("mean_surprisal"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-pool
+    * document by how much more likely its hashed-unigram features are
+    * under the TARGET distribution than under the RAW distribution —
+    * log w(doc) = Σ_tokens ln( p_target(bucket(tok)) / p_raw(bucket(tok)) ),
+    * with `buckets` md5-derived feature buckets and add-1 smoothing on
+    * both sides. Selection then resamples by exp(log w); the weight table
+    * here IS the operator's output (the draw is a one-line hash-sample on
+    * top, [[Sampling.hashSample]]).
+    *
+    * Scale shape: the "model" is the `buckets`-row log-ratio table —
+    * built by ONE token-keyed count shuffle over the corpus, then
+    * BROADCAST back onto per-(doc, bucket) counts, so the 100-TB pool is
+    * never joined wide. Per-bucket log ratios land on the 6-dp grid
+    * before the per-doc Σ cnt·lr (the repo's round-before-reassociate
+    * convention); bucket ids come from the same md5 hex prefix any engine
+    * can replay ([[Sampling]]'s coordinate discipline). */
+  def dsirLogWeights(docs: DataFrame, buckets: Int, isTarget: Column): DataFrame = {
+    val tb = docs
+      .select(col("doc_id"), isTarget.as("is_t"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % buckets).as("bk"))
+    val bc = tb.groupBy(col("bk")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lr = bc.crossJoin(broadcast(tot)).select(col("bk"),
+      round(log(((col("ct") + 1) / (col("tt") + buckets).cast("double")) /
+        ((col("cr") + 1) / (col("tr") + buckets).cast("double"))), 6).as("lw"))
+    tb.where(!col("is_t"))
+      .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lr), "bk")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt") * col("lw")), 6).as("log_weight"))
+  }
 }

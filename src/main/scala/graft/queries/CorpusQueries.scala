@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.operators.Corpus
+import graft.operators.{Corpus, Similarity}
 import graft.sources.Tables
 
 /** Corpus-level pipeline operators over `documents`: benchmark
@@ -16,6 +17,29 @@ object CorpusQueries {
     "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
   private val tokCte =
     "tok1 AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)"
+
+  // Sparse tf-idf ranking chain (shared by sim_sparse_topk and the RRF
+  // fusion): tok1 → ranked candidate list `t(qid, nid, cosine, rank)` for
+  // query docs doc_id < 10, df cut open (1.0), posting cap 64 — the exact
+  // DuckDB replay of Corpus.sparseTopK.
+  private val sparseRankChain =
+    "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok1 GROUP BY 1, 2), " +
+      "dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), " +
+      "nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), " +
+      "w AS (SELECT doc_id, tok, ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS w " +
+      "FROM tf JOIN dfreq USING (tok), nd WHERE df <= n_docs * 1.0), " +
+      "nrm AS (SELECT doc_id, ROUND(sqrt(SUM(w * w)), 6) AS nrm FROM w " +
+      "GROUP BY 1 HAVING ROUND(sqrt(SUM(w * w)), 6) > 0), " +
+      "wn AS (SELECT doc_id, tok, w, nrm FROM w JOIN nrm USING (doc_id)), " +
+      "pr AS (SELECT doc_id, tok, w, nrm FROM (SELECT doc_id, tok, w, nrm, " +
+      "ROW_NUMBER() OVER (PARTITION BY tok ORDER BY w DESC, doc_id) AS ir " +
+      "FROM wn) WHERE ir <= 64), " +
+      "sc AS (SELECT q.doc_id AS qid, c.doc_id AS nid, q.nrm AS nq, c.nrm AS nc, " +
+      "ROUND(SUM(q.w * c.w), 6) AS dot FROM wn q JOIN pr c USING (tok) " +
+      "WHERE q.doc_id < 10 AND c.doc_id != q.doc_id GROUP BY 1, 2, 3, 4), " +
+      "r AS (SELECT qid, nid, ROUND(dot / (nq * nc), 6) AS cosine FROM sc), " +
+      "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM r)"
 
   val all: Seq[Q] = Seq(
 
@@ -145,24 +169,7 @@ object CorpusQueries {
     // work on any corpus; norms stay exact, so the pruned cosine is a
     // documented lower bound. Dense complement: sim_topk_bruteforce.
     Q("sim_sparse_topk",
-      s"WITH $tokCte, " +
-        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok1 GROUP BY 1, 2), " +
-        "dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), " +
-        "nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents), " +
-        "w AS (SELECT doc_id, tok, ROUND(tf * ln(n_docs::DOUBLE / df), 6) AS w " +
-        "FROM tf JOIN dfreq USING (tok), nd WHERE df <= n_docs * 1.0), " +
-        "nrm AS (SELECT doc_id, ROUND(sqrt(SUM(w * w)), 6) AS nrm FROM w " +
-        "GROUP BY 1 HAVING ROUND(sqrt(SUM(w * w)), 6) > 0), " +
-        "wn AS (SELECT doc_id, tok, w, nrm FROM w JOIN nrm USING (doc_id)), " +
-        "pr AS (SELECT doc_id, tok, w, nrm FROM (SELECT doc_id, tok, w, nrm, " +
-        "ROW_NUMBER() OVER (PARTITION BY tok ORDER BY w DESC, doc_id) AS ir " +
-        "FROM wn) WHERE ir <= 64), " +
-        "sc AS (SELECT q.doc_id AS qid, c.doc_id AS nid, q.nrm AS nq, c.nrm AS nc, " +
-        "ROUND(SUM(q.w * c.w), 6) AS dot FROM wn q JOIN pr c USING (tok) " +
-        "WHERE q.doc_id < 10 AND c.doc_id != q.doc_id GROUP BY 1, 2, 3, 4), " +
-        "r AS (SELECT qid, nid, ROUND(dot / (nq * nc), 6) AS cosine FROM sc), " +
-        "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
-        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM r) " +
+      s"WITH $tokCte, $sparseRankChain " +
         "SELECT qid, rank, nid, cosine FROM t WHERE rank <= 5 ORDER BY qid, rank") {
       (s, d) =>
         Corpus.sparseTopK(Tables.documents(s, d), k = 5, nQueries = 10,
@@ -185,6 +192,79 @@ object CorpusQueries {
         "ROUND(SUM(ROUND(((cb + 1) / (tot_b + v)::DOUBLE) * ln(((cb + 1) / (tot_b + v)::DOUBLE) / ((ca + 1) / (tot_a + v)::DOUBLE)), 6)), 6) AS kl_ba " +
         "FROM c, t GROUP BY 1, 2, 3") { (s, d) =>
       Corpus.tokenKlDrift(Tables.documents(s, d))
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion (RRF, k0 = 60) of the
+    // sparse tf-idf inverted-index ranking (Corpus.sparseTopK — served
+    // from the persisted postings artifact) and the dense cosine ranking
+    // (Similarity.bruteForceTopK) for the same query ids — the standard
+    // sparse+dense serving fusion of a retrieval/RAG pipeline. Both
+    // candidate lists are k-bounded (20) per query, so the fusion join
+    // and re-rank move O(queries · k) rows regardless of corpus size;
+    // 1/(60+rank) terms are exact-integer-denominator doubles, identical
+    // in any engine, and the fused score rounds to the 6-dp grid before
+    // the tie-broken re-rank.
+    Q("sim_hybrid_rrf",
+      s"WITH $tokCte, $sparseRankChain, " +
+        "sp AS (SELECT qid, nid, rank AS sr FROM t WHERE rank <= 20), " +
+        "e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n2 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, len(v) + 1), " +
+        "i -> v[i] * v[i]))) AS nrm2 FROM e2), " +
+        "q2 AS (SELECT vec_id AS qid, v AS qv, nrm2 AS qn FROM n2 WHERE vec_id < 10), " +
+        "ds AS (SELECT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm2), 6) AS cosine FROM q2, n2 c WHERE c.vec_id != qid), " +
+        "dr_ AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ds), " +
+        "dn AS (SELECT qid, nid, rank AS dr FROM dr_ WHERE rank <= 20), " +
+        "f AS (SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.nid, d.nid) AS nid, " +
+        "ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + s.sr), 0) " +
+        "+ COALESCE(CAST(1 AS DOUBLE) / (60 + d.dr), 0), 6) AS rrf " +
+        "FROM sp s FULL OUTER JOIN dn d ON s.qid = d.qid AND s.nid = d.nid), " +
+        "rr AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY rrf DESC, nid) AS rank FROM f) " +
+        "SELECT qid, rank, nid, rrf FROM rr WHERE rank <= 10 ORDER BY qid, rank") {
+      (s, d) =>
+        val sp = Corpus.sparseTopK(Tables.documents(s, d), k = 20, nQueries = 10,
+            maxDfFrac = 1.0, postingCap = 64)
+          .select(col("qid"), col("nid"), col("rank").as("sr"))
+        val embT = Tables.load(s, d, "embeddings")
+        val dn = Similarity.bruteForceTopK(embT, embT.filter(col("vec_id") < 10), k = 20)
+          .select(col("qid"), col("nid"), col("rank").as("dr"))
+        val fused = sp.join(dn, Seq("qid", "nid"), "full_outer")
+          .select(col("qid"), col("nid"),
+            round(coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6).as("rrf"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+        fused.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("nid"), col("rrf"))
+          .orderBy(col("qid"), col("rank"))
+    },
+
+    // DSIR importance weights for target-matched data selection
+    // (Corpus.dsirLogWeights): target = doc_id % 7 = 0 (the in-domain
+    // exemplar set), raw pool = everything else, 128 hashed-unigram
+    // feature buckets, add-1 smoothing. Positive log_weight = document
+    // looks more target-like than pool-like; resampling by exp(log w) is
+    // a hash-sample on top of this table.
+    Q("pipeline_dsir_weights",
+      s"WITH $tokCte, " +
+        "tb AS (SELECT doc_id, doc_id % 7 = 0 AS is_t, " +
+        "('0x' || substr(md5(tok), 1, 6))::BIGINT % 128 AS bk FROM tok1), " +
+        "bc AS (SELECT bk, SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct, " +
+        "SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS cr FROM tb GROUP BY 1), " +
+        "tot AS (SELECT SUM(ct)::BIGINT AS tt, SUM(cr)::BIGINT AS tr FROM bc), " +
+        "lr AS (SELECT bk, ROUND(ln(((ct + 1) / (tt + 128)::DOUBLE) " +
+        "/ ((cr + 1) / (tr + 128)::DOUBLE)), 6) AS lw FROM bc, tot), " +
+        "dc AS (SELECT doc_id, bk, COUNT(*)::BIGINT AS cnt FROM tb " +
+        "WHERE NOT is_t GROUP BY 1, 2) " +
+        "SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens, " +
+        "ROUND(SUM(cnt * lw), 6) AS log_weight " +
+        "FROM dc JOIN lr USING (bk) GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Corpus.dsirLogWeights(Tables.documents(s, d), buckets = 128,
+          isTarget = col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -508,6 +508,46 @@ object StreamQueries {
     }
   }
 
+  /** Per-day heavy-hitter counts maintained BY THE STREAM via the custom
+    * mergeable count-min sketch as streaming aggregation state — the
+    * third sketch-state integration next to [[streamDistinctHll]] (HLL)
+    * and [[streamQuantile]] (quantiles): a per-day GROUP BY user would
+    * keep the full key space in state, the CMS keeps a fixed 4×4096
+    * integer grid per window. Serve-side, probe keys 1–10 are estimated
+    * from the maintained sketch and the exact counts join in from the
+    * batch table (all-integer oracle — the estimate compares exactly). */
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val probes = (1L to 10L).toSeq
+    runStream(s, eventsFeed(s, dir),
+        Encoders.product[graft.model.TypedEvent].schema) { src =>
+      src
+        .withColumn("eventTime", timestamp_micros(col("tsUs")))
+        .withWatermark("eventTime", "1 hour")
+        .groupBy(window(col("eventTime"), "1 day").as("w"))
+        .agg(call_function("cms_sketch", col("userId")).as("sk"))
+        .select(unix_timestamp(col("w.start")).as("day_start"), col("sk"))
+    } { out =>
+      val est = out.select(col("day_start"),
+          explode(array(probes.map(p => struct(
+            lit(p).as("user_id"),
+            call_function("cms_estimate", col("sk"), lit(p)).as("cms_count"))): _*))
+            .as("e"))
+        .select(col("day_start"), col("e.user_id").as("user_id"),
+          col("e.cms_count").as("cms_count"))
+      val exact = Tables.events(s, dir)
+        .where(col("user_id").isin(probes: _*))
+        .groupBy((floor(expr("unix_micros(ts) div 1000000") / 86400) * 86400)
+            .cast("long").as("day_start"),
+          col("user_id"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("day_start", "user_id"), "left_outer")
+        .select(col("day_start"), col("user_id"), col("cms_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy(col("day_start"), col("user_id"))
+    }
+  }
+
   private def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
     runStream(s, depositFeed(s, dir),
         Encoders.product[TimedDeposit].schema) { src =>
@@ -873,6 +913,32 @@ object StreamQueries {
         "GROUP BY 1, 2 ORDER BY t.day_start") {
       (s, d) => materialized(s, "stream_quantile", depositFeed(s, d))(
         streamQuantile(s, d))(_.orderBy(col("day_start")))
+    },
+
+    // Streaming per-day heavy-hitter counts via the custom mergeable CMS
+    // as streaming aggregation state (see [[streamHeavyHitters]]); the
+    // all-integer oracle replays per-day bucket membership and the min
+    // over 4 hash rows exactly like q_cms_heavy_hitters, keyed by day.
+    Q("stream_heavy_hitters",
+      "WITH rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) r(i)), " +
+        "probes AS (SELECT CAST(pk AS BIGINT) AS pk FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(pk)), " +
+        "e AS (SELECT (epoch_us(ts) // 1000000) // 86400 * 86400 AS day_start, " +
+        "user_id FROM events), " +
+        "db AS (SELECT day_start, i, substr(md5(CAST(user_id AS VARCHAR)), 1 + 3 * i, 3) AS b, " +
+        "COUNT(*) AS c FROM e CROSS JOIN rows_ GROUP BY 1, 2, 3), " +
+        "days AS (SELECT DISTINCT day_start FROM e), " +
+        "pb AS (SELECT day_start, pk, i, substr(md5(CAST(pk AS VARCHAR)), 1 + 3 * i, 3) AS b " +
+        "FROM days CROSS JOIN probes CROSS JOIN rows_), " +
+        "est AS (SELECT day_start, pk, MIN(COALESCE(c, 0)) AS cms_count " +
+        "FROM pb LEFT JOIN db USING (day_start, i, b) GROUP BY 1, 2), " +
+        "ex AS (SELECT day_start, user_id AS pk, COUNT(*) AS exact_count FROM e " +
+        "WHERE user_id BETWEEN 1 AND 10 GROUP BY 1, 2) " +
+        "SELECT est.day_start AS day_start, est.pk AS user_id, est.cms_count, " +
+        "COALESCE(ex.exact_count, 0) AS exact_count " +
+        "FROM est LEFT JOIN ex ON est.day_start = ex.day_start AND est.pk = ex.pk " +
+        "ORDER BY day_start, user_id") {
+      (s, d) => materialized(s, "stream_heavy_hitters", eventsFeed(s, d))(
+        streamHeavyHitters(s, d))(_.orderBy(col("day_start"), col("user_id")))
     },
 
     // Streaming windowed top-3 event types per day: the day×type totals

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+import graft.operators.Corpus
+
+/** Behavioral pins for the round-11 third-batch additions: DSIR importance
+  * weights must separate target-like from pool-like documents, RRF fusion
+  * must produce well-formed bounded rankings that reward dual-list
+  * membership, and the streaming CMS heavy-hitter estimate must keep the
+  * count-min one-sided error guarantee per (day, probe). */
+class PipelineAdditionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dsirLogWeights: target-vocabulary pool docs score above pool-vocabulary ones") {
+    // Target exemplars (doc_id % 7 == 0) speak {alpha beta}; pool doc 1
+    // speaks the target vocabulary, pool doc 2 a disjoint one. DSIR must
+    // rank doc 1 strictly above doc 2, with the signs matching the add-1
+    // log-ratio direction.
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),
+      (7L, "alpha beta beta alpha alpha beta"),
+      (14L, "beta alpha beta alpha beta alpha"),
+      (1L, "alpha beta alpha beta"),
+      (2L, "zulu yankee zulu yankee")
+    ).toDF("doc_id", "text")
+    val w = Corpus.dsirLogWeights(docs, buckets = 128,
+        isTarget = col("doc_id") % 7 === 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet === Set(1L, 2L), "only pool docs are scored")
+    assert(w(1L) > w(2L), s"target-like must outscore pool-like: $w")
+    assert(w(1L) > 0.0, s"target-vocabulary doc must score positive: ${w(1L)}")
+    assert(w(2L) < 0.0, s"disjoint-vocabulary doc must score negative: ${w(2L)}")
+  }
+
+  test("sim_hybrid_rrf: rankings are dense, bounded, and score-monotone") {
+    val out = SparkEntry.queries("sim_hybrid_rrf")(spark, sf)
+      .select(col("qid").cast("long"), col("rank").cast("long"), col("rrf"))
+      .collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks.size <= 10, s"qid $qid returned ${ranks.size} rows")
+      assert(ranks === (1L to ranks.size).toSeq, s"qid $qid ranks not dense: $ranks")
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"qid $qid rrf not non-increasing: $scores")
+      // Max attainable fused score is rank-1 membership in BOTH lists.
+      assert(scores.head <= 2.0 / 61.0 + 1e-9)
+    }
+  }
+
+  test("stream_heavy_hitters: CMS estimates never undercount (per day x probe)") {
+    val rows = SparkEntry.queries("stream_heavy_hitters")(spark, sf)
+      .select(col("cms_count").cast("long"), col("exact_count").cast("long"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= r.getLong(1),
+        s"count-min undercounted: est ${r.getLong(0)} < exact ${r.getLong(1)}")
+    }
+  }
+}
