@@ -77,6 +77,78 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Maximal-marginal-relevance diversified rerank (Carbonell &
+    * Goldstein 1998): from each query's `shortlist`-deep relevance list,
+    * greedily select `k` results maximizing
+    * `lambda·rel(q,d) − mu·max_{s∈selected} sim(d,s)` — the standard
+    * serving-side diversification pass after any ANN retrieval stage.
+    * `lamTenths`/`muTenths` are the weights in tenths (7/3 = the classic
+    * λ 0.7). The score is computed in EXACT INTEGER space — rel and sim
+    * sit on the 1e-6 grid, so `(lamTenths·R − muTenths·S) / 1e7` with
+    * R = round(rel·1e6) needs no engine-side rounding at all. (A double
+    * `round(0.7·rel, 6)` systematically lands on 7-dp half boundaries —
+    * 0.7 × a grid value — where Spark's shortest-decimal BigDecimal round
+    * and DuckDB's binary round disagree; observed on the first draw.)
+    *
+    * Scale shape: everything downstream of the retrieval stage is
+    * k-bounded per query — the shortlist is Nq·shortlist rows, the
+    * intra-shortlist pairwise-sim table Nq·shortlist² rows, and each of
+    * the `k` greedy rounds is a bounded join + per-query argmax (a
+    * map-side WindowGroupLimit shape). The corpus itself is touched only
+    * by the retrieval stage. Each round's pick is localCheckpointed
+    * (Nq rows) so the lazy plan doesn't re-derive all prior rounds.
+    *
+    * Output: (qid, it, nid, mmr) — `it` is the selection order, which IS
+    * the diversified ranking. */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, shortlist: Int, k: Int,
+                lamTenths: Int, muTenths: Int): DataFrame = {
+    val sl = bruteForceTopK(emb, queries, shortlist)
+      .select(col("qid"), col("nid"),
+        round(col("cosine") * 1e6).cast("long").as("relI"))
+      .localCheckpoint() // feeds the pair table + every greedy round
+    val p = prep(emb)
+    val slv = sl.join(p, sl("nid") === p("vec_id"))
+      .select(col("qid"), col("nid"), col("v"), col("nrm"))
+    val ps = slv.select(col("qid"), col("nid").as("a"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(slv.select(col("qid"), col("nid").as("b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("qid"))
+      .where(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
+          .cast("long").as("simI"))
+      .localCheckpoint() // read once per greedy round
+    val w = Window.partitionBy(col("qid")).orderBy(col("mmrI").desc, col("nid"))
+    var sel: DataFrame = null // (qid, it, nid, mmrI) accumulated picks
+    for (t <- 1 to k) {
+      val cand =
+        if (t == 1) sl
+        else sl.join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_anti")
+      val scored =
+        if (t == 1)
+          cand.select(col("qid"), col("nid"),
+            (lit(lamTenths.toLong) * col("relI")).as("mmrI"))
+        else {
+          val ms = ps
+            .join(sel.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
+            .groupBy(col("qid"), col("a").as("nid"))
+            .agg(max(col("simI")).as("maxsimI"))
+          cand.join(ms, Seq("qid", "nid"))
+            .select(col("qid"), col("nid"),
+              (lit(lamTenths.toLong) * col("relI") -
+                lit(muTenths.toLong) * col("maxsimI")).as("mmrI"))
+        }
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("qid"), lit(t.toLong).as("it"), col("nid"), col("mmrI"))
+        .localCheckpoint() // Nq rows; ends the lazy chain across rounds
+      sel = if (t == 1) pick else sel.unionAll(pick)
+    }
+    sel.select(col("qid"), col("it"), col("nid"),
+      (col("mmrI").cast("double") / 1e7).as("mmr"))
+  }
+
   /** Exact top-k neighbors by L2 distance — the ground truth for the
     * PQ/ADC recall evaluations (ADC approximates L2, so its recall is
     * measured against the same metric, not cosine). */

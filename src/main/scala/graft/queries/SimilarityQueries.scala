@@ -370,6 +370,20 @@ object SimilarityQueries {
         Similarity.prefixRerankTopK(embT, embT.filter(col("vec_id") < 10),
             k = 5, shortlist = 50, prefixDims = 16)
           .orderBy(col("qid"), col("rank"))
+    },
+
+    // MMR diversified rerank (Similarity.mmrRerank): greedy top-4 from an
+    // 8-deep shortlist, λ = 0.7 relevance vs μ = 0.3 redundancy. The
+    // greedy recursion has a FIXED depth, so the oracle unrolls it into
+    // k chained CTE blocks (window functions are barred from recursive
+    // terms; unrolling keeps the per-round argmax + (score DESC, nid)
+    // tie-break bit-identical to the Spark loop).
+    Q("sim_mmr_rerank", mmrSql(shortlist = 8, k = 4, nQueries = 10)) {
+      (s, d) =>
+        val embT = emb(s, d)
+        Similarity.mmrRerank(embT, embT.filter(col("vec_id") < 10),
+            shortlist = 8, k = 4, lamTenths = 7, muTenths = 3)
+          .orderBy(col("qid"), col("it"))
     }
   )
 
@@ -672,4 +686,50 @@ object SimilarityQueries {
       "SELECT bf.qid, CAST(COUNT(pq.hit) AS BIGINT) AS n_hit, " +
       s"ROUND(COUNT(pq.hit) / $k.0, 4) AS recall " +
       "FROM bf LEFT JOIN pq USING (qid, nid) GROUP BY bf.qid ORDER BY qid"
+
+  /** DuckDB replay of [[Similarity.mmrRerank]]: shortlist + pairwise sims,
+    * then the k greedy rounds UNROLLED (p1/s1 … pk) — each round scores
+    * the unpicked shortlist rows with λ·rel − μ·max-sim-to-selected on the
+    * 6-dp grid and takes the per-query (mmr DESC, nid) argmax. */
+  private def mmrSql(shortlist: Int, k: Int, nQueries: Int,
+                     lamTenths: Int = 7, muTenths: Int = 3): String = {
+    val base =
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, len(v) + 1), " +
+        "i -> v[i] * v[i]))) AS nrm FROM e), " +
+        s"q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries), " +
+        "sc AS (SELECT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS rel FROM q, n c WHERE c.vec_id != qid), " +
+        "sl AS (SELECT qid, nid, CAST(ROUND(rel * 1000000) AS BIGINT) AS reli " +
+        "FROM (SELECT qid, nid, rel, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY rel DESC, nid) AS rk FROM sc) " +
+        s"WHERE rk <= $shortlist), " +
+        "sv AS (SELECT s.qid, s.nid, n.v, n.nrm FROM sl s JOIN n ON s.nid = n.vec_id), " +
+        "ps AS (SELECT a.qid, a.nid AS a, b.nid AS b, " +
+        "CAST(ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) " +
+        "/ (a.nrm * b.nrm) * 1000000) AS BIGINT) AS simi FROM sv a JOIN sv b " +
+        "ON a.qid = b.qid AND a.nid != b.nid), " +
+        "p1 AS (SELECT qid, nid, mmri FROM (SELECT qid, nid, mmri, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY mmri DESC, nid) AS rn FROM " +
+        s"(SELECT qid, nid, $lamTenths * reli AS mmri FROM sl)) WHERE rn = 1), " +
+        "s1 AS (SELECT qid, nid FROM p1)"
+    val rounds = (2 to k).map { t =>
+      val prev = t - 1
+      s", m$t AS (SELECT c.qid, c.nid, c.reli, MAX(p.simi) AS maxsimi " +
+        s"FROM sl c JOIN ps p ON p.qid = c.qid AND p.a = c.nid " +
+        s"JOIN s$prev s ON s.qid = p.qid AND s.nid = p.b " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM s$prev x WHERE x.qid = c.qid AND x.nid = c.nid) " +
+        "GROUP BY 1, 2, 3), " +
+        s"p$t AS (SELECT qid, nid, mmri FROM (SELECT qid, nid, mmri, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY mmri DESC, nid) AS rn FROM " +
+        s"(SELECT qid, nid, $lamTenths * reli - $muTenths * maxsimi AS mmri FROM m$t)) " +
+        "WHERE rn = 1), " +
+        s"s$t AS (SELECT qid, nid FROM s$prev UNION ALL SELECT qid, nid FROM p$t)"
+    }.mkString
+    val union = (1 to k).map(t =>
+      s"SELECT qid, CAST($t AS BIGINT) AS it, nid, mmri FROM p$t").mkString(" UNION ALL ")
+    s"$base$rounds SELECT qid, it, nid, " +
+      s"mmri / CAST(10000000 AS DOUBLE) AS mmr FROM ($union) ORDER BY qid, it"
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkEntry, SparkSpec}
-import graft.operators.Corpus
+import graft.operators.{Corpus, Similarity}
 
 /** Behavioral pins for the round-11 third-batch additions: DSIR importance
   * weights must separate target-like from pool-like documents, RRF fusion
@@ -51,6 +51,43 @@ class PipelineAdditionsSpec extends AnyFunSuite with SparkSpec {
         s"qid $qid rrf not non-increasing: $scores")
       // Max attainable fused score is rank-1 membership in BOTH lists.
       assert(scores.head <= 2.0 / 61.0 + 1e-9)
+    }
+  }
+
+  test("mmrRerank: an exact-duplicate top hit is demoted below a diverse result") {
+    // q = e1; a and b are identical (rel 0.9); c is diverse (rel 0.85,
+    // sim-to-a ~0.535). Round 1 picks a (or b — nid tie-break: a=10);
+    // round 2 must pick c (0.7*0.85 - 0.3*0.535 = 0.434) over the exact
+    // duplicate b (0.7*0.9 - 0.3*1.0 = 0.33).
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (10L, Seq(0.9, 0.43589, 0.0)),
+      (11L, Seq(0.9, 0.43589, 0.0)),
+      (12L, Seq(0.85, -0.5268, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0L),
+        shortlist = 3, k = 3, lamTenths = 7, muTenths = 3)
+      .orderBy(col("it")).collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 12L, 11L),
+      s"expected dup demoted: ${out.mkString(", ")}")
+  }
+
+  test("sim_mmr_rerank: picks are distinct shortlist members with non-increasing scores") {
+    val out = SparkEntry.queries("sim_mmr_rerank")(spark, sf)
+      .select(col("qid").cast("long"), col("it").cast("long"),
+        col("nid").cast("long"), col("mmr"))
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val byIt = rows.sortBy(_.getLong(1))
+      assert(byIt.map(_.getLong(1)).toSeq === (1L to byIt.size).toSeq)
+      val nids = byIt.map(_.getLong(2))
+      assert(nids.distinct.length === nids.length, s"qid $qid repeated a pick")
+      // Greedy argmax over a shrinking candidate set with growing
+      // penalties: the selected score can never increase.
+      val scores = byIt.map(_.getDouble(3)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"qid $qid mmr increased: $scores")
     }
   }
 
