@@ -77,6 +77,23 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact radius (range) search: every neighbor with cosine ≥
+    * `minCosine` — the "all sufficiently-similar" API next to top-k
+    * (dedup candidate pulls and recall-safe retrieval want a similarity
+    * floor, not a fixed k). Same scan shape as [[bruteForceTopK]]: the
+    * bounded query set broadcasts, the corpus is scanned map-side with
+    * the predicate applied inside the scan, and NOTHING shuffles — the
+    * output is bounded by the threshold's selectivity, not the corpus. */
+  def rangeSearch(emb: DataFrame, queries: DataFrame,
+                  minCosine: Double): DataFrame = {
+    val q = prep(queries).select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    prep(emb).join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Maximal-marginal-relevance diversified rerank (Carbonell &
     * Goldstein 1998): from each query's `shortlist`-deep relevance list,
     * greedily select `k` results maximizing

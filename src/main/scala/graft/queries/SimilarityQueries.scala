@@ -378,6 +378,25 @@ object SimilarityQueries {
     // k chained CTE blocks (window functions are barred from recursive
     // terms; unrolling keeps the per-round argmax + (score DESC, nid)
     // tie-break bit-identical to the Spark loop).
+    // Exact radius search (Similarity.rangeSearch): all neighbors at
+    // cosine >= 0.25 for the bounded query set — the similarity-floor
+    // API; the corpus is scanned map-side against the broadcast queries
+    // and nothing shuffles. The 0.25 literal parses to the identical
+    // double in both engines; cosine is on the 6-dp grid before the >=.
+    Q("sim_range_search",
+      s"WITH $normsCte, " +
+        "q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "sc AS (SELECT qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS cosine FROM q, n c WHERE c.vec_id != qid) " +
+        "SELECT qid, nid, cosine FROM sc WHERE cosine >= 0.25 ORDER BY qid, nid") {
+      (s, d) =>
+        val embT = emb(s, d)
+        Similarity.rangeSearch(embT, embT.filter(col("vec_id") < 10),
+            minCosine = 0.25)
+          .orderBy(col("qid"), col("nid"))
+    },
+
     Q("sim_mmr_rerank", mmrSql(shortlist = 8, k = 4, nQueries = 10)) {
       (s, d) =>
         val embT = emb(s, d)
