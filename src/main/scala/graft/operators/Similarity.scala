@@ -108,12 +108,13 @@ object Similarity {
     * and DuckDB's binary round disagree; observed on the first draw.)
     *
     * Scale shape: everything downstream of the retrieval stage is
-    * k-bounded per query — the shortlist is Nq·shortlist rows, the
-    * intra-shortlist pairwise-sim table Nq·shortlist² rows, and each of
-    * the `k` greedy rounds is a bounded join + per-query argmax (a
-    * map-side WindowGroupLimit shape). The corpus itself is touched only
-    * by the retrieval stage. Each round's pick is localCheckpointed
-    * (Nq rows) so the lazy plan doesn't re-derive all prior rounds.
+    * k-bounded per query — the shortlist is Nq·shortlist rows and the
+    * intra-shortlist pairwise-sim table Nq·shortlist² rows. The greedy
+    * selection itself runs as ONE per-query in-row fold (a codegen'd
+    * higher-order `aggregate` over the grouped shortlist + sim arrays,
+    * ≤ k·shortlist·shortlist² integer ops per query) — no k
+    * driver-synchronized rounds, one qid-keyed shuffle total. The corpus
+    * is touched only by the retrieval stage.
     *
     * Output: (qid, it, nid, mmr) — `it` is the selection order, which IS
     * the diversified ranking. */
@@ -122,7 +123,7 @@ object Similarity {
     val sl = bruteForceTopK(emb, queries, shortlist)
       .select(col("qid"), col("nid"),
         round(col("cosine") * 1e6).cast("long").as("relI"))
-      .localCheckpoint() // feeds the pair table + every greedy round
+      .localCheckpoint() // feeds both the pair table and the fold input
     val p = prep(emb)
     val slv = sl.join(p, sl("nid") === p("vec_id"))
       .select(col("qid"), col("nid"), col("v"), col("nrm"))
@@ -134,36 +135,44 @@ object Similarity {
       .select(col("qid"), col("a"), col("b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1e6)
           .cast("long").as("simI"))
-      .localCheckpoint() // read once per greedy round
-    val w = Window.partitionBy(col("qid")).orderBy(col("mmrI").desc, col("nid"))
-    var sel: DataFrame = null // (qid, it, nid, mmrI) accumulated picks
-    for (t <- 1 to k) {
-      val cand =
-        if (t == 1) sl
-        else sl.join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"),
-          "left_anti")
-      val scored =
-        if (t == 1)
-          cand.select(col("qid"), col("nid"),
-            (lit(lamTenths.toLong) * col("relI")).as("mmrI"))
-        else {
-          val ms = ps
-            .join(sel.select(col("qid"), col("nid").as("b")), Seq("qid", "b"))
-            .groupBy(col("qid"), col("a").as("nid"))
-            .agg(max(col("simI")).as("maxsimI"))
-          cand.join(ms, Seq("qid", "nid"))
-            .select(col("qid"), col("nid"),
-              (lit(lamTenths.toLong) * col("relI") -
-                lit(muTenths.toLong) * col("maxsimI")).as("mmrI"))
-        }
-      val pick = scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("qid"), lit(t.toLong).as("it"), col("nid"), col("mmrI"))
-        .localCheckpoint() // Nq rows; ends the lazy chain across rounds
-      sel = if (t == 1) pick else sel.unionAll(pick)
-    }
-    sel.select(col("qid"), col("it"), col("nid"),
-      (col("mmrI").cast("double") / 1e7).as("mmr"))
+    val g = sl.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid"), col("relI"))).as("cands"))
+    val psg = ps.groupBy(col("qid"))
+      .agg(collect_list(struct(col("a"), col("b"), col("simI"))).as("sims"))
+    // The greedy fold: acc holds the picks so far; round t scores every
+    // unpicked candidate (λ·relI − μ·max simI to the picked set, exact
+    // integers) and appends the (mmrI DESC, nid ASC) argmax. A shortlist
+    // shorter than k just stops growing (filter drops the null pick).
+    val greedy =
+      s"""aggregate(
+            sequence(1, $k),
+            cast(array() as array<struct<it: bigint, nid: bigint, mmrI: bigint>>),
+            (acc, t) -> acc || filter(array(
+              aggregate(
+                transform(
+                  filter(cands, c -> !exists(acc, s -> s.nid = c.nid)),
+                  c -> named_struct(
+                    'it', cast(t as bigint),
+                    'nid', c.nid,
+                    'mmrI', $lamTenths * c.relI - coalesce(
+                      $muTenths * aggregate(
+                        transform(
+                          filter(sims, pr -> pr.a = c.nid
+                            and exists(acc, s -> s.nid = pr.b)),
+                          pr -> pr.simI),
+                        cast(null as bigint),
+                        (m, x) -> if(m is null or x > m, x, m)),
+                      0L))),
+                cast(null as struct<it: bigint, nid: bigint, mmrI: bigint>),
+                (best, c) -> if(best is null or c.mmrI > best.mmrI
+                  or (c.mmrI = best.mmrI and c.nid < best.nid), c, best))),
+              x -> x is not null))"""
+    g.join(psg, Seq("qid"), "left_outer")
+      .withColumn("sims", coalesce(col("sims"),
+        expr("cast(array() as array<struct<a: bigint, b: bigint, simI: bigint>>)")))
+      .select(col("qid"), explode(expr(greedy)).as("s"))
+      .select(col("qid"), col("s.it").as("it"), col("s.nid").as("nid"),
+        (col("s.mmrI").cast("double") / 1e7).as("mmr"))
   }
 
   /** Exact top-k neighbors by L2 distance — the ground truth for the
