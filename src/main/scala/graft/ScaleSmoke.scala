@@ -339,7 +339,15 @@ object ScaleSmoke {
       // Basket-table queries (need `basket` in SPARK_GRAFT_SCALE_TABLES):
       // one broadcast dim join + one basket-keyed shuffle with in-row
       // Apriori pair expansion — fact grows, dims don't, so ~linear.
-      "q_market_basket")
+      "q_market_basket",
+      // Round-11 third batch: DSIR = one token-keyed count shuffle + a
+      // 128-row broadcast (expected ~linear); range search and the MMR
+      // shortlist stage are broadcast-query corpus scans (linear at
+      // fixed queries; MMR's fold is k-bounded per query); hybrid RRF
+      // composes the measured sparse + dense kernels and fuses two
+      // k-bounded lists.
+      "pipeline_dsir_weights", "sim_range_search", "sim_mmr_rerank",
+      "sim_hybrid_rrf")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
