@@ -41,6 +41,47 @@ object CorpusQueries {
       "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM r)"
 
+  // RRF fusion chain (shared by sim_hybrid_rrf and pipeline_rag_pack):
+  // sparse top-20 (the chain above) FULL OUTER dense top-20, fused score
+  // 1/(60+rank) summed, re-ranked as `rr(qid, nid, rrf, rank)`.
+  private val hybridRrfCtes =
+    s"$tokCte, $sparseRankChain, " +
+      "sp AS (SELECT qid, nid, rank AS sr FROM t WHERE rank <= 20), " +
+      "e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "n2 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, len(v) + 1), " +
+      "i -> v[i] * v[i]))) AS nrm2 FROM e2), " +
+      "q2 AS (SELECT vec_id AS qid, v AS qv, nrm2 AS qn FROM n2 WHERE vec_id < 10), " +
+      "ds AS (SELECT qid, c.vec_id AS nid, " +
+      "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+      "/ (qn * c.nrm2), 6) AS cosine FROM q2, n2 c WHERE c.vec_id != qid), " +
+      "dr_ AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ds), " +
+      "dn AS (SELECT qid, nid, rank AS dr FROM dr_ WHERE rank <= 20), " +
+      "f AS (SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.nid, d.nid) AS nid, " +
+      "ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + s.sr), 0) " +
+      "+ COALESCE(CAST(1 AS DOUBLE) / (60 + d.dr), 0), 6) AS rrf " +
+      "FROM sp s FULL OUTER JOIN dn d ON s.qid = d.qid AND s.nid = d.nid), " +
+      "rr AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY rrf DESC, nid) AS rank FROM f)"
+
+  /** The fused RRF ranking `(qid, nid, rrf, rank)` — the Spark mirror of
+    * [[hybridRrfCtes]]'s `rr`. */
+  private def hybridFused(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val sp = Corpus.sparseTopK(Tables.documents(s, d), k = 20, nQueries = 10,
+        maxDfFrac = 1.0, postingCap = 64)
+      .select(col("qid"), col("nid"), col("rank").as("sr"))
+    val embT = Tables.load(s, d, "embeddings")
+    val dn = Similarity.bruteForceTopK(embT, embT.filter(col("vec_id") < 10), k = 20)
+      .select(col("qid"), col("nid"), col("rank").as("dr"))
+    val fused = sp.join(dn, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"),
+        round(coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6).as("rrf"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Benchmark contamination: training docs sharing a distinct word 4-gram
@@ -205,41 +246,42 @@ object CorpusQueries {
     // in any engine, and the fused score rounds to the 6-dp grid before
     // the tie-broken re-rank.
     Q("sim_hybrid_rrf",
-      s"WITH $tokCte, $sparseRankChain, " +
-        "sp AS (SELECT qid, nid, rank AS sr FROM t WHERE rank <= 20), " +
-        "e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "n2 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, len(v) + 1), " +
-        "i -> v[i] * v[i]))) AS nrm2 FROM e2), " +
-        "q2 AS (SELECT vec_id AS qid, v AS qv, nrm2 AS qn FROM n2 WHERE vec_id < 10), " +
-        "ds AS (SELECT qid, c.vec_id AS nid, " +
-        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
-        "/ (qn * c.nrm2), 6) AS cosine FROM q2, n2 c WHERE c.vec_id != qid), " +
-        "dr_ AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
-        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM ds), " +
-        "dn AS (SELECT qid, nid, rank AS dr FROM dr_ WHERE rank <= 20), " +
-        "f AS (SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.nid, d.nid) AS nid, " +
-        "ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + s.sr), 0) " +
-        "+ COALESCE(CAST(1 AS DOUBLE) / (60 + d.dr), 0), 6) AS rrf " +
-        "FROM sp s FULL OUTER JOIN dn d ON s.qid = d.qid AND s.nid = d.nid), " +
-        "rr AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER " +
-        "(PARTITION BY qid ORDER BY rrf DESC, nid) AS rank FROM f) " +
+      s"WITH $hybridRrfCtes " +
         "SELECT qid, rank, nid, rrf FROM rr WHERE rank <= 10 ORDER BY qid, rank") {
       (s, d) =>
-        val sp = Corpus.sparseTopK(Tables.documents(s, d), k = 20, nQueries = 10,
-            maxDfFrac = 1.0, postingCap = 64)
-          .select(col("qid"), col("nid"), col("rank").as("sr"))
-        val embT = Tables.load(s, d, "embeddings")
-        val dn = Similarity.bruteForceTopK(embT, embT.filter(col("vec_id") < 10), k = 20)
-          .select(col("qid"), col("nid"), col("rank").as("dr"))
-        val fused = sp.join(dn, Seq("qid", "nid"), "full_outer")
-          .select(col("qid"), col("nid"),
-            round(coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6).as("rrf"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
-        fused.withColumn("rank", row_number().over(w).cast("long"))
+        hybridFused(s, d)
           .where(col("rank") <= 10)
           .select(col("qid"), col("rank"), col("nid"), col("rrf"))
           .orderBy(col("qid"), col("rank"))
+    },
+
+    // Retrieval-to-context packing capstone (the RAG serving tail): the
+    // hybrid-RRF top-10 per query joins each hit's token count and keeps
+    // the rank-order prefix that fits a 256-token context budget — a
+    // per-query running sum over a k-bounded list (WindowGroupLimit-class
+    // work; the corpus is touched only by the retrieval stages).
+    Q("pipeline_rag_pack",
+      s"WITH $hybridRrfCtes, " +
+        "top_ AS (SELECT qid, rank, nid FROM rr WHERE rank <= 10), " +
+        "tc AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT " +
+        "AS n_tokens FROM documents), " +
+        "j AS (SELECT t.qid, t.rank, t.nid, tc.n_tokens FROM top_ t " +
+        "JOIN tc ON t.nid = tc.doc_id), " +
+        "c AS (SELECT qid, rank, nid, n_tokens, CAST(SUM(n_tokens) OVER " +
+        "(PARTITION BY qid ORDER BY rank) AS BIGINT) AS cum_tokens FROM j) " +
+        "SELECT qid, rank, nid, n_tokens, cum_tokens FROM c " +
+        "WHERE cum_tokens <= 256 ORDER BY qid, rank") { (s, d) =>
+      val top = hybridFused(s, d).where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("nid"))
+      val tc = Tables.documents(s, d).select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("rank"))
+      top.join(tc, top("nid") === tc("doc_id"))
+        .select(col("qid"), col("rank"), col("nid"), col("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= 256)
+        .orderBy(col("qid"), col("rank"))
     },
 
     // DSIR importance weights for target-matched data selection

@@ -91,6 +91,25 @@ class PipelineAdditionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pipeline_rag_pack: budget respected, rank-order prefix, exact running sum") {
+    val rows = SparkEntry.queries("pipeline_rag_pack")(spark, sf)
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("n_tokens").cast("long"), col("cum_tokens").cast("long"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.last.getLong(3) <= 256L, s"qid $qid over budget")
+      // Kept rows are the contiguous rank prefix (cum is monotone, so no
+      // later hit can re-enter once the budget is crossed).
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.size).toSeq,
+        s"qid $qid not a rank prefix: ${byRank.map(_.getLong(1)).toSeq}")
+      val cums = byRank.scanLeft(0L)(_ + _.getLong(2)).tail
+      assert(byRank.map(_.getLong(3)).toSeq === cums.toSeq,
+        s"qid $qid cum mismatch")
+    }
+  }
+
   test("stream_heavy_hitters: CMS estimates never undercount (per day x probe)") {
     val rows = SparkEntry.queries("stream_heavy_hitters")(spark, sf)
       .select(col("cms_count").cast("long"), col("exact_count").cast("long"))
