@@ -243,6 +243,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Large × large ANN join (entity matching / linkage): top-k corpus
+    * neighbors for EVERY query row when BOTH sides are corpus-scale — no
+    * broadcast-able side exists. Both sides hash into the same sign-LSH
+    * buckets (width derived from the corpus size, [[lshBitsFor]]) and
+    * meet in ONE bucket-keyed equi-join; per-bucket work stays bounded
+    * because the bit width grows with the data. Declared as a plain
+    * shuffle join — AQE is free to broadcast when one side turns out
+    * small, which is exactly the production posture. Top-k ranks
+    * map-side via WindowGroupLimit. */
+  def annJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+              bucketBits: Int = 0): DataFrame = {
+    val bits = resolveBits(corpus, bucketBits)
+    val c = prep(corpus).withColumn("bucket", signBucket(col("v"), bits))
+    val q = prep(queries).withColumn("bucket", signBucket(col("v"), bits))
+      .select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   // ---------------------------------------------------------------------
   // Centroid models (IVF cells, PQ codebooks): driver-resident artifacts.
   // ---------------------------------------------------------------------

@@ -378,6 +378,36 @@ object SimilarityQueries {
     // k chained CTE blocks (window functions are barred from recursive
     // terms; unrolling keeps the per-round argmax + (score DESC, nid)
     // tie-break bit-identical to the Spark loop).
+    // Large×large ANN join (Similarity.annJoin): even vec_ids = corpus,
+    // odd = queries — NEITHER side is broadcast-able by declaration, so
+    // both hash into corpus-size-derived sign buckets and meet in one
+    // bucket-keyed shuffle join (AQE may still broadcast at small SF —
+    // the production posture). The oracle replays the adaptive bit
+    // formula over the corpus half.
+    Q("sim_ann_join",
+      s"WITH $normsCte, " +
+        "csd AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0), " +
+        "qsd AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 1), " +
+        "b AS (SELECT GREATEST(2, LEAST(24, CAST(CEIL(LN(COUNT(*) / 32.0) / LN(2)) AS INT))) AS bits FROM csd), " +
+        "cb AS (SELECT vec_id, v, nrm, array_to_string(list_transform(" +
+        "range(1, (SELECT bits FROM b) + 1), " +
+        "i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM csd), " +
+        "qb AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, array_to_string(list_transform(" +
+        "range(1, (SELECT bits FROM b) + 1), " +
+        "i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket FROM qsd), " +
+        "scored AS (SELECT q.qid, c.vec_id AS nid, " +
+        "ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) " +
+        "/ (qn * c.nrm), 6) AS cosine FROM qb q JOIN cb c USING (bucket)), " +
+        "r AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+        "SELECT qid, rank, nid, cosine FROM r WHERE rank <= 3 ORDER BY qid, rank") {
+      (s, d) =>
+        val embT = emb(s, d)
+        Similarity.annJoin(embT.filter(col("vec_id") % 2 === 0),
+            embT.filter(col("vec_id") % 2 === 1), k = 3)
+          .orderBy(col("qid"), col("rank"))
+    },
+
     // Exact radius search (Similarity.rangeSearch): all neighbors at
     // cosine >= 0.25 for the bounded query set — the similarity-floor
     // API; the corpus is scanned map-side against the broadcast queries
