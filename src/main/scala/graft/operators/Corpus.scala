@@ -468,24 +468,55 @@ object Corpus {
     * before the per-doc Σ cnt·lr (the repo's round-before-reassociate
     * convention); bucket ids come from the same md5 hex prefix any engine
     * can replay ([[Sampling]]'s coordinate discipline). */
-  def dsirLogWeights(docs: DataFrame, buckets: Int, isTarget: Column): DataFrame = {
-    val tb = docs
+  /** (doc_id, is_t, bk): every token mapped to its md5-derived feature
+    * bucket, tagged with the doc's target/pool membership. */
+  private def dsirBuckets(docs: DataFrame, buckets: Int,
+                          isTarget: Column): DataFrame =
+    docs
       .select(col("doc_id"), isTarget.as("is_t"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("is_t"),
         (conv(substring(md5(col("tok").cast("binary")), 1, 6), 16, 10)
           .cast("long") % buckets).as("bk"))
+
+  /** The DSIR model: the `buckets`-row (bk, lw) add-1-smoothed
+    * target/raw log-ratio table — ONE token-keyed count shuffle over the
+    * corpus, then two scalar totals broadcast back. */
+  private def dsirRatioTable(tb: DataFrame, buckets: Int): DataFrame = {
     val bc = tb.groupBy(col("bk")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
     val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val lr = bc.crossJoin(broadcast(tot)).select(col("bk"),
+    bc.crossJoin(broadcast(tot)).select(col("bk"),
       round(log(((col("ct") + 1) / (col("tt") + buckets).cast("double")) /
         ((col("cr") + 1) / (col("tr") + buckets).cast("double"))), 6).as("lw"))
-    tb.where(!col("is_t"))
-      .groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score (doc_id, bk)-bucketed docs against a (bk, lw) ratio table:
+    * per-doc Σ cnt·lw with the bounded table broadcast. */
+  private def dsirScore(tb: DataFrame, lr: DataFrame): DataFrame =
+    tb.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cnt"))
       .join(broadcast(lr), "bk")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         round(sum(col("cnt") * col("lw")), 6).as("log_weight"))
+
+  def dsirLogWeights(docs: DataFrame, buckets: Int, isTarget: Column): DataFrame = {
+    val tb = dsirBuckets(docs, buckets, isTarget)
+    dsirScore(tb.where(!col("is_t")), dsirRatioTable(tb, buckets))
+  }
+
+  /** The SERVED half of the DSIR lifecycle: the log-ratio table persists
+    * as a read-through artifact keyed by (buckets, corpus fingerprint) —
+    * like every trained model in this engine — and an INCOMING batch is
+    * scored against it without touching the training corpus again. At
+    * 100 TB the ratio table is built once per corpus snapshot; per-batch
+    * serving cost is one bucketize + a 128-row broadcast join. */
+  def dsirServed(docs: DataFrame, buckets: Int, isTarget: Column,
+                 inBatch: Column): DataFrame = {
+    val lr = IndexCache.cachedFrame(docs.sparkSession, "dsir_ratios",
+        s"$buckets", Dedup.docFp(docs)) {
+      dsirRatioTable(dsirBuckets(docs, buckets, isTarget), buckets)
+    }
+    dsirScore(dsirBuckets(docs.where(inBatch), buckets, isTarget), lr)
   }
 }

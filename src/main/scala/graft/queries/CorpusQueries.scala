@@ -307,6 +307,31 @@ object CorpusQueries {
       Corpus.dsirLogWeights(Tables.documents(s, d), buckets = 128,
           isTarget = col("doc_id") % 7 === 0)
         .orderBy(col("doc_id"))
+    },
+
+    // The served DSIR half (Corpus.dsirServed): the 128-row log-ratio
+    // table persists as a read-through artifact keyed by (buckets,
+    // corpus fingerprint) — bench forensics show dsir_ratios.disk —
+    // and the incoming batch (doc_id % 10 = 3) is scored against it
+    // without re-reading the training corpus.
+    Q("pipeline_dsir_served",
+      s"WITH $tokCte, " +
+        "tb AS (SELECT doc_id, doc_id % 7 = 0 AS is_t, " +
+        "('0x' || substr(md5(tok), 1, 6))::BIGINT % 128 AS bk FROM tok1), " +
+        "bc AS (SELECT bk, SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct, " +
+        "SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS cr FROM tb GROUP BY 1), " +
+        "tot AS (SELECT SUM(ct)::BIGINT AS tt, SUM(cr)::BIGINT AS tr FROM bc), " +
+        "lr AS (SELECT bk, ROUND(ln(((ct + 1) / (tt + 128)::DOUBLE) " +
+        "/ ((cr + 1) / (tr + 128)::DOUBLE)), 6) AS lw FROM bc, tot), " +
+        "dc AS (SELECT doc_id, bk, COUNT(*)::BIGINT AS cnt FROM tb " +
+        "WHERE doc_id % 10 = 3 GROUP BY 1, 2) " +
+        "SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens, " +
+        "ROUND(SUM(cnt * lw), 6) AS log_weight " +
+        "FROM dc JOIN lr USING (bk) GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Corpus.dsirServed(Tables.documents(s, d), buckets = 128,
+          isTarget = col("doc_id") % 7 === 0,
+          inBatch = col("doc_id") % 10 === 3)
+        .orderBy(col("doc_id"))
     }
   )
 }
