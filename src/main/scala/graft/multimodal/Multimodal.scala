@@ -14,6 +14,9 @@ final case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
 /** A binary media payload with typed metadata. */
 final case class BinaryDoc(doc_id: Long, payload: Array[Byte], format: String)
 
+/** One video frame: a real PNG payload at (doc_id, frame_idx). */
+final case class BinaryFrame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded per-partition.
   *
@@ -208,6 +211,70 @@ object Multimodal {
         (b.doc_id, aHash64(img))
       }
     }.toDF("doc_id", "phash")
+  }
+
+  /** Synthesize a REAL multi-frame "video" per document: 4 + id%5 PNG
+    * frames at the doc's [[pngDims]], pixels seeded by (doc_id·31 +
+    * scene), where the scene flips 0→1 at frame nf/2 — one planted hard
+    * cut per video. Within a scene, consecutive frames carry a tiny
+    * frame-indexed perturbation ((x+y+f)%7 positions lose one LSB per
+    * channel), so intra-scene frame hashes differ by a few bits while the
+    * cross-cut pair re-seeds every pixel. Encoded through the JDK PNG
+    * writer map-side — downstream must really decode. */
+  def videoFrameDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        val nf = 4 + (id % 5).toInt
+        val (w, h) = pngDims(id)
+        (0 until nf).map { f =>
+          val sc = if (f < nf / 2) 0L else 1L
+          val src = id * 31 + sc
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (src * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff
+              val v = if ((x + y + f) % 7 == 0) base & 0xfefefe else base
+              img.setRGB(x, y, v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          BinaryFrame(id, f, bos.toByteArray)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Temporal scene-cut detection over decoded frames: per-frame
+    * [[aHash64]], then the Hamming distance between each frame and its
+    * predecessor (one doc-keyed window pass); a distance above
+    * `threshold` is a cut. The per-video state is one 64-bit hash lag —
+    * at 100 TB of video this is a narrow per-key window over frame rows,
+    * with the decode itself map-side. */
+  def sceneCuts(spark: SparkSession, frames: DataFrame,
+                threshold: Int): DataFrame = {
+    import spark.implicits._
+    val hashed = frames.as[BinaryFrame].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { b =>
+        val img = ImageIO.read(new ByteArrayInputStream(b.payload))
+        (b.doc_id, b.frame_idx, aHash64(img))
+      }
+    }.toDF("doc_id", "frame_idx", "phash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    hashed
+      .withColumn("prev", lag(col("phash"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr("bit_count(phash ^ prev)").cast("long").as("hamming"))
+      .withColumn("is_cut", col("hamming") > threshold)
   }
 
   /** Image near-duplicate pairs from perceptual hashes: 4×16-bit band

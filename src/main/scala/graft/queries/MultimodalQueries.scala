@@ -166,6 +166,20 @@ object MultimodalQueries {
     Q("mm_phash_served", PhashOracle.servedSql) { (s, d) =>
       Multimodal.phashServed(s, Tables.documents(s, d), maxHamming = 10)
         .orderBy(col("new_id"), col("dup_of"))
+    },
+
+    // Temporal scene-cut detection: per doc, a REAL multi-frame PNG
+    // "video" with one planted hard cut at frame nf/2 (scene re-seeds
+    // every pixel) and tiny intra-scene frame jitter; the engine decodes
+    // every frame, aHashes it, and thresholds consecutive-frame Hamming
+    // distance in one doc-keyed window pass. The oracle replays the
+    // whole derivation from the (doc_id, frame, x, y) pixel formula —
+    // matching requires real per-frame decodes.
+    Q("mm_scene_cuts", PhashOracle.sceneCutSql) { (s, d) =>
+      Multimodal.sceneCuts(s,
+          Multimodal.videoFrameDocs(s, Tables.documents(s, d)),
+          threshold = 10)
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }
@@ -227,4 +241,35 @@ private object PhashOracle {
       "JOIN bits bb ON bb.doc_id = dup_of AND bb.k = ba.k GROUP BY 1, 2) " +
     "SELECT new_id, dup_of, hamming FROM ham WHERE hamming <= 10 " +
     "ORDER BY new_id, dup_of"
+
+  /** Scene-cut replay (see [[graft.multimodal.Multimodal.videoFrameDocs]]):
+    * per (doc, frame) the sampled 8×8 grid regenerates from the pixel
+    * formula — scene seed doc_id·31 + (f < nf/2 ? 0 : 1), intra-scene
+    * jitter at (x+y+f)%7 — then per-frame threshold bits and a
+    * consecutive-frame bit-mismatch count, exactly the engine's
+    * decode → aHash → lag-Hamming pass. */
+  val sceneCutSql: String =
+    "WITH fr AS (SELECT doc_id, 4 + doc_id % 5 AS nf, " +
+      "4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents), " +
+    "fx AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM fr), " +
+    "samp AS (SELECT doc_id, f, nf, (j * 8 + i) AS k, " +
+      "(((2 * i + 1) * w) // 16) AS x, (((2 * j + 1) * h) // 16) AS y " +
+      "FROM fx CROSS JOIN range(0, 8) ri(i) CROSS JOIN range(0, 8) rj(j)), " +
+    "px AS (SELECT doc_id, f, k, " +
+      "CASE WHEN (x + y + f) % 7 = 0 " +
+      "THEN (((doc_id * 31 + CASE WHEN f < nf // 2 THEN 0 ELSE 1 END) " +
+      "* 2654435761 + x * 7919 + y * 104729) & 16777215) & 16711422 " +
+      "ELSE ((doc_id * 31 + CASE WHEN f < nf // 2 THEN 0 ELSE 1 END) " +
+      "* 2654435761 + x * 7919 + y * 104729) & 16777215 END AS v " +
+      "FROM samp), " +
+    "gr AS (SELECT doc_id, f, k, (v >> 16) + ((v >> 8) & 255) + (v & 255) AS g " +
+      "FROM px), " +
+    "bits AS (SELECT doc_id, f, k, CASE WHEN 64 * g > " +
+      "SUM(g) OVER (PARTITION BY doc_id, f) THEN 1 ELSE 0 END AS bit FROM gr), " +
+    "ham AS (SELECT a.doc_id, a.f AS frame_idx, " +
+      "CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS hamming FROM bits a JOIN bits b ON b.doc_id = a.doc_id " +
+      "AND b.f = a.f - 1 AND b.k = a.k GROUP BY 1, 2) " +
+    "SELECT doc_id, frame_idx, hamming, hamming > 10 AS is_cut FROM ham " +
+    "ORDER BY doc_id, frame_idx"
 }

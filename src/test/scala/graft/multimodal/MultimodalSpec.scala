@@ -103,6 +103,27 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h1 == h2)
   }
 
+  test("sceneCuts recovers exactly the planted cut in every video") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val cuts = Multimodal.sceneCuts(spark,
+        Multimodal.videoFrameDocs(spark, docs), threshold = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // Every consecutive-frame row exists (nf - 1 per doc) and the cut
+    // set is exactly { nf/2 } per doc — the scene re-seed frame.
+    val byDoc = cuts.groupBy(_._1)
+    assert(byDoc.keySet === (0L until 40L).toSet)
+    (0L until 40L).foreach { id =>
+      val nf = 4 + (id % 5).toInt
+      val rows = byDoc(id)
+      assert(rows.length === nf - 1, s"doc $id: ${rows.length} rows")
+      val cutFrames = rows.filter(_._3).map(_._2).sorted.toSeq
+      assert(cutFrames === Seq((nf / 2).toLong),
+        s"doc $id: cuts at $cutFrames, expected ${nf / 2}")
+    }
+  }
+
   test("pngDocs synthesizes real containers whose decode matches pngDims") {
     import spark.implicits._
     val docs = (0L until 30L).toDF("doc_id")
