@@ -17,6 +17,11 @@ final case class BinaryDoc(doc_id: Long, payload: Array[Byte], format: String)
 /** One video frame: a real PNG payload at (doc_id, frame_idx). */
 final case class BinaryFrame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
+/** One audio clip: an unsigned-8-bit PCM payload (the deterministic-fake
+  * decode stand-in — no audio codec exists in this container; the
+  * Spark-side plumbing over the binary column is the real part). */
+final case class AudioClip(doc_id: Long, payload: Array[Byte])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded per-partition.
   *
@@ -275,6 +280,62 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         expr("bit_count(phash ^ prev)").cast("long").as("hamming"))
       .withColumn("is_cut", col("hamming") > threshold)
+  }
+
+  /** Synthesize a deterministic unsigned-8-bit PCM clip per document:
+    * 512 + (id%7)·128 samples, noise-like amplitude from the id/offset
+    * formula, with every 4th 128-sample window a PLANTED near-silence
+    * (amplitude ≤ 3 around the 128 midpoint). No audio codec exists in
+    * this container, so the "decode" is this deterministic fake — the
+    * binary-column plumbing, batch shape, and windowed DSP accounting
+    * downstream are the real, tested parts (the brief's stub contract). */
+  def audioClipDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 512 + (id % 7).toInt * 128
+        val bytes = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          val b =
+            if ((i / 128) % 4 == 3) 128 + (((id + i) % 7).toInt - 3)
+            else ((id * 2654435761L + i * 104729L) & 255).toInt
+          bytes(i) = b.toByte
+          i += 1
+        }
+        AudioClip(id, bytes)
+      }
+    }.toDF()
+  }
+
+  /** Windowed audio energy + silence detection over PCM payloads: per
+    * 128-sample window, Σ|sample − 128| (all integer); a window under
+    * `silentMax` total deviation is silent. Per-clip output row —
+    * map-side over the binary column, no shuffle; the per-clip work is
+    * O(payload) regardless of corpus size. */
+  def audioEnergy(spark: SparkSession, clips: DataFrame,
+                  window: Int = 128, silentMax: Long = 2048L): DataFrame = {
+    import spark.implicits._
+    clips.as[AudioClip].mapPartitions { it =>
+      it.map { c =>
+        val n = c.payload.length
+        val nw = n / window
+        var wi = 0; var silent = 0L; var total = 0L
+        while (wi < nw) {
+          var s = 0L
+          var i = wi * window
+          val end = i + window
+          while (i < end) {
+            s += math.abs((c.payload(i) & 0xff) - 128)
+            i += 1
+          }
+          if (s < silentMax) silent += 1
+          total += s
+          wi += 1
+        }
+        (c.doc_id, n.toLong, nw.toLong, silent, total)
+      }
+    }.toDF("doc_id", "n_samples", "n_windows", "n_silent", "total_abs")
   }
 
   /** Image near-duplicate pairs from perceptual hashes: 4×16-bit band

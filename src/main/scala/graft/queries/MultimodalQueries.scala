@@ -180,6 +180,29 @@ object MultimodalQueries {
           Multimodal.videoFrameDocs(s, Tables.documents(s, d)),
           threshold = 10)
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Windowed audio energy: deterministic unsigned-8-bit PCM clips
+    // (every 4th 128-sample window a planted near-silence), read back
+    // byte-by-byte and reduced to per-window Σ|s−128| + a silence count —
+    // all integer, map-side over the binary column, no shuffle. The
+    // oracle replays the sample formula; the engine must really traverse
+    // the payload bytes it synthesized.
+    Q("mm_audio_energy",
+      "WITH cl AS (SELECT doc_id, 512 + (doc_id % 7) * 128 AS n FROM documents), " +
+        "sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM cl), " +
+        "v AS (SELECT doc_id, n, i // 128 AS wdw, " +
+        "CASE WHEN (i // 128) % 4 = 3 THEN 128 + ((doc_id + i) % 7 - 3) " +
+        "ELSE (doc_id * 2654435761 + i * 104729) & 255 END AS b FROM sm), " +
+        "wv AS (SELECT doc_id, n, wdw, CAST(SUM(ABS(b - 128)) AS BIGINT) AS wsum " +
+        "FROM v GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, n AS n_samples, COUNT(*)::BIGINT AS n_windows, " +
+        "CAST(SUM(CASE WHEN wsum < 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent, " +
+        "CAST(SUM(wsum) AS BIGINT) AS total_abs " +
+        "FROM wv GROUP BY 1, 2 ORDER BY doc_id") { (s, d) =>
+      Multimodal.audioEnergy(s,
+          Multimodal.audioClipDocs(s, Tables.documents(s, d)))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -124,6 +124,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("audioEnergy flags exactly the planted near-silence windows") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.audioEnergy(spark,
+        Multimodal.audioClipDocs(spark, docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === (0L until 40L).toSet)
+    (0L until 40L).foreach { id =>
+      val nw = 4 + (id % 7)
+      val (gotW, gotSilent) = rows(id)
+      assert(gotW === nw, s"doc $id windows")
+      // Every 4th window (wdw % 4 == 3) is planted near-silent; noise
+      // windows sit far above the threshold by construction.
+      assert(gotSilent === nw / 4, s"doc $id silent count")
+    }
+  }
+
   test("pngDocs synthesizes real containers whose decode matches pngDims") {
     import spark.implicits._
     val docs = (0L until 30L).toDF("doc_id")
