@@ -573,6 +573,52 @@ object Similarity {
     ivfServe(emb, queries, k, nProbe, cents)
   }
 
+  /** Incremental index update — the continuous-ingest half of the IVF
+    * lifecycle (the ANN analog of [[Dedup]]'s `dedup_incremental` and the
+    * phash-served image path): the persisted index was trained on the
+    * HISTORY corpus only; an incoming `batch` of new vectors is assigned
+    * map-side to the EXISTING centroids (append-without-retrain — one
+    * broadcast-model pass over just the batch) and unioned with the
+    * history's persisted inverted file, so serving probes the merged
+    * index. History is never re-scanned (its cell table is a read-through
+    * artifact) and the batch never triggers training — per-ingest cost
+    * tracks the batch, not the corpus. Centroid refresh stays a separate
+    * build step (a nightly re-train + re-assign), exactly as in a
+    * production IVF service; until then recall degrades gracefully as the
+    * batch drifts from the history distribution. */
+  def ivfTopKIncremental(history: DataFrame, batch: DataFrame,
+                         queries: DataFrame, k: Int, nProbe: Int,
+                         indexPath: String): DataFrame = {
+    val spark = history.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
+    val liveFp = contentFp(history)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale vs the history corpus " +
+          s"(recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    val model = centroidDf(spark, cents)
+    def toCells(vecs: DataFrame): DataFrame =
+      assignNearest(vecs, model, Seq("v", "nrm"))
+        .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
+          col("v").as("nv"), col("nrm").as("nn"))
+    val histCells = IndexCache.cachedFrame(spark, "ivf_cells",
+        centsDigest(cents.toSeq), liveFp) { toCells(prep(history)) }
+    val cells = histCells.unionByName(toCells(prep(batch)))
+    val q = prep(queries)
+    val probes = q.crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .select(col("vec_id").as("qid"), explode(col("pcs")).as("pc"),
+        col("qv"), col("qn"))
+      .select(col("qid"), col("pc.cid").as("cid"), col("qv"), col("qn"))
+    val scored = cells.join(broadcast(probes), "cid")
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   // ------------------------------- PQ -----------------------------------
 
   /** One PQ code: subspace + code id + subvector. */

@@ -39,7 +39,20 @@ object SimilarityQueries {
 
   /** Test hook: drop the in-memory path slots (simulates driver cache
     * eviction; the artifacts stay on disk for read-through). */
-  def invalidateIndexPathCache(): Unit = ivfIndexCache.clear()
+  def invalidateIndexPathCache(): Unit = { ivfIndexCache.clear(); ivfHistIndexCache.clear() }
+
+  /** Build step for the INCREMENTAL-ingest scenario: an index trained on
+    * the history subset only (vec_id % 10 < 8) — the state a continuously
+    * ingesting deployment is in between centroid refreshes. */
+  private val ivfHistIndexCache = new ConcurrentHashMap[String, String]()
+  private def ivfHistIndexFor(s: SparkSession, d: String): String =
+    ivfHistIndexCache.computeIfAbsent(d, { _ =>
+      val path = s"$idxRoot/ivfh_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val hist = emb(s, d).filter(col("vec_id") % 10 < 8)
+      if (!Similarity.ivfIndexFresh(s, path, hist))
+        Similarity.writeIvfIndex(hist, nCells = 16, iters = 2, path = path)
+      path
+    })
 
   /** The embeddings table WITHOUT [[Tables.embeddings]]'s parallelism
     * repartition: every ANN kernel here is either followed by its own
@@ -254,6 +267,25 @@ object SimilarityQueries {
       val embT = emb(s, d)
       Similarity.ivfTopKServed(embT, embT.filter(col("vec_id") < 10), k = 3,
           nProbe = 2, indexPath = ivfIndexFor(s, d))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // INCREMENTAL index update — continuous ingest for the vector index:
+    // the persisted index is trained on the HISTORY corpus only (vec_id %
+    // 10 < 8); the incoming batch (% 10 >= 8) is assigned to the EXISTING
+    // centroids in one broadcast-model pass and unioned with the history's
+    // persisted inverted file — append-without-retrain, per-ingest cost
+    // tracks the batch. The oracle trains on the history subset and
+    // assigns the full corpus with those centroids — exactly the merged
+    // index the serve path probes.
+    Q("sim_ivf_incremental", ivfIncrementalSql(nCells = 16, iters = 2, k = 3,
+      nProbe = 2, nQueries = 8)) { (s, d) =>
+      val embT = emb(s, d)
+      Similarity.ivfTopKIncremental(
+          embT.filter(col("vec_id") % 10 < 8),
+          embT.filter(col("vec_id") % 10 >= 8),
+          embT.filter(col("vec_id") < 8), k = 3, nProbe = 2,
+          indexPath = ivfHistIndexFor(s, d))
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -699,6 +731,46 @@ object SimilarityQueries {
       "FROM probe JOIN cell USING (cid) WHERE nid != qid), " +
       "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
       s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored)"
+  }
+
+  /** DuckDB replay of [[Similarity.ivfTopKIncremental]]: k-means training
+    * restricted to the HISTORY subset (vec_id % 10 < 8) — seeds, distance
+    * ranking, and per-(cell, dim) re-averaging all over history rows only
+    * — then the FULL corpus (history + batch) assigned with the final
+    * history-trained centroids, which is exactly the merged inverted file
+    * (persisted history cells ∪ batch delta) the serve path probes. */
+  private def ivfIncrementalSql(nCells: Int, iters: Int, k: Int, nProbe: Int,
+                                nQueries: Int): String = {
+    def distCte(name: String, src: String, cent: String) =
+      s"$name AS (SELECT e.vec_id, c.cid, ROUND(list_sum(list_transform(" +
+        "range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) " +
+        s"AS dist FROM $src e, $cent c)"
+    val train = (1 to iters).map { t =>
+      distCte(s"d$t", "h", s"cent${t - 1}") + ", " +
+        s"a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+        s"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$t) WHERE rn = 1), " +
+        s"s$t AS (SELECT a.cid, u.pos, ROUND(AVG(u.val), 6) AS val " +
+        s"FROM a$t a JOIN u USING (vec_id) GROUP BY a.cid, u.pos), " +
+        s"cent$t AS (SELECT cid, list(val ORDER BY pos) AS cv FROM s$t GROUP BY cid)"
+    }.mkString(", ")
+    s"WITH $normsCte, " +
+      "h AS (SELECT vec_id, v FROM e WHERE vec_id % 10 < 8), " +
+      "u AS (SELECT vec_id, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM h), " +
+      s"cent0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM h WHERE vec_id < $nCells), " +
+      s"$train, " +
+      distCte("df", "e", s"cent$iters") + ", " +
+      "rf AS (SELECT vec_id, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df), " +
+      "cell AS (SELECT r.vec_id AS nid, r.cid, n.v AS nv, n.nrm AS nn " +
+      "FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1), " +
+      "probe AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn " +
+      s"FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn <= $nProbe AND r.vec_id < $nQueries), " +
+      "scored AS (SELECT qid, nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
+      "FROM probe JOIN cell USING (cid) WHERE nid != qid), " +
+      "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+      s"SELECT qid, rank, nid, cosine FROM r2 WHERE rank <= $k ORDER BY qid, rank"
   }
 
   /** Recall@k of the trained-IVF probe against exact brute-force cosine

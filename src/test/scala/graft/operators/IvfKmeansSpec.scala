@@ -46,6 +46,30 @@ class IvfKmeansSpec extends AnyFunSuite with SparkSpec {
     assert(trained.forall { case (cid, cv) => seeds(cid) != cv })
   }
 
+  test("incremental ingest: batch vectors are searchable without retrain; stale index refused") {
+    val emb = Tables.embeddings(spark, dir)
+    val hist = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val queries = emb.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivf_inc_spec")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(hist, nCells = 16, iters = 2, path = path)
+    val merged = Similarity.ivfTopKIncremental(hist, batch, queries,
+      k = 3, nProbe = 2, indexPath = path)
+    val batchHits = merged.filter(col("nid") % 10 >= 8).count()
+    // The delta segment is genuinely probed: newly ingested vectors show up
+    // as neighbors even though the index was never retrained on them.
+    assert(batchHits > 0, "no batch vector ever surfaced as a neighbor")
+    assert(merged.groupBy(col("qid")).count().collect().forall(_.getLong(1) <= 3))
+    // An index trained on a DIFFERENT corpus slice must be refused, not
+    // silently served: the staleness check compares against the history fp.
+    val ex = intercept[IllegalStateException] {
+      Similarity.ivfTopKIncremental(batch, hist, queries, k = 3, nProbe = 2,
+        indexPath = path).count()
+    }
+    assert(ex.getMessage.contains("stale"))
+  }
+
   test("recall@3 at equal probe cost: trained >= untrained, both >> random") {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 40)
