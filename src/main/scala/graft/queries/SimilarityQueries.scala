@@ -224,6 +224,29 @@ object SimilarityQueries {
         .orderBy(col("qid"))
     },
 
+    // MRR of the served IVF ranking: the reciprocal rank at which each
+    // query's TRUE nearest neighbor (exact cosine top-1) appears in the
+    // IVF top-10 — order-sensitive where recall@k is not (an index that
+    // buries the true neighbor at rank 9 scores 0.1111, not 1/1). rr sits
+    // on the 4-dp grid (rank <= 10 keeps 1/rank off half boundaries);
+    // first_hit_rank = 0 means the true neighbor missed the probed cells.
+    Q("sim_eval_mrr", ivfMrrSql(nCells = 16, iters = 3, listK = 10,
+      nProbe = 2, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val qs = embT.filter(col("vec_id") < 10)
+      val bf1 = Similarity.bruteForceTopK(embT, qs, k = 1)
+        .select(col("qid"), col("nid"))
+      val ivf = Similarity.ivfTopKServed(embT, qs, k = 10, nProbe = 2,
+          indexPath = ivfIndexFor(s, d))
+        .select(col("qid"), col("nid"), col("rank"))
+      bf1.join(ivf, Seq("qid", "nid"), "left")
+        .select(col("qid"),
+          coalesce(col("rank"), lit(0L)).as("first_hit_rank"),
+          when(col("rank").isNotNull, round(lit(1.0) / col("rank"), 4))
+            .otherwise(lit(0.0)).as("rr"))
+        .orderBy(col("qid"))
+    },
+
     // Recall@3 of pure-ADC PQ ranking against exact brute-force L2 (the
     // metric ADC approximates) — quantifies what the rerank stage buys:
     // sim_pq_rerank recovers most of what this row shows pure ADC loses.
@@ -789,6 +812,23 @@ object SimilarityQueries {
       "SELECT bf.qid, CAST(COUNT(ivf.hit) AS BIGINT) AS n_hit, " +
       s"ROUND(COUNT(ivf.hit) / $k.0, 4) AS recall " +
       "FROM bf LEFT JOIN ivf USING (qid, nid) GROUP BY bf.qid ORDER BY qid"
+
+  /** MRR replay: the IVF ranking (trained probe, list depth `listK`)
+    * left-joined against each query's exact cosine top-1. */
+  private def ivfMrrSql(nCells: Int, iters: Int, listK: Int, nProbe: Int,
+                        nQueries: Int): String =
+    ivfKmeansCoreSql(nCells, iters, nProbe, nQueries) +
+      s", ivf AS (SELECT qid, nid, rank FROM r2 WHERE rank <= $listK), " +
+      "bfs AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "ROUND(list_sum(list_transform(range(1, len(q.v) + 1), " +
+      "i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine " +
+      s"FROM n q, n c WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id), " +
+      "bf1 AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bfs) " +
+      "WHERE rnk = 1) " +
+      "SELECT bf1.qid, COALESCE(ivf.rank, 0) AS first_hit_rank, " +
+      "CASE WHEN ivf.rank IS NULL THEN 0.0 ELSE ROUND(1.0 / ivf.rank, 4) END AS rr " +
+      "FROM bf1 LEFT JOIN ivf USING (qid, nid) ORDER BY qid"
 
   /** Recall@k of pure-ADC PQ ranking against exact brute-force L2 top-k
     * (ADC approximates L2 — recall is measured in the index's own
