@@ -420,6 +420,46 @@ object PipelineQueries {
         .orderBy(col("rnk"), col("lang"))
     },
 
+    // Deterministic EPOCH SHUFFLE — the dataloader's other ordering need
+    // next to interleave: each training epoch visits the corpus in an
+    // independent pseudorandom order, reproducible across engines and
+    // restarts (md5(doc_id:epoch) is the shuffle key — no RNG state, so a
+    // resumed job at any position re-derives the same permutation). The
+    // global position is computed by the bounded-shard two-pass: shard =
+    // first 2 hex chars of the key (256 uniformly-populated range shards
+    // per epoch), row_number inside (epoch, shard), per-shard count
+    // offsets over 256 one-row records — never a global single-partition
+    // window. Output pins the first 12 positions of each epoch.
+    Q("q_epoch_shuffle",
+      "WITH ep AS (SELECT unnest(range(1, 3)) AS epoch), " +
+        "k AS (SELECT ep.epoch, d.doc_id, md5(CAST(d.doc_id AS VARCHAR) " +
+        "|| ':' || CAST(ep.epoch AS VARCHAR)) AS sk FROM documents d, ep), " +
+        "r AS (SELECT epoch, doc_id, sk, ROW_NUMBER() OVER " +
+        "(PARTITION BY epoch ORDER BY sk, doc_id) AS pos FROM k) " +
+        "SELECT CAST(epoch AS BIGINT) AS epoch, pos, doc_id FROM r " +
+        "WHERE pos <= 12 ORDER BY epoch, pos") { (s, d) =>
+      val k = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("array(1L, 2L)")).as("epoch"))
+        .select(col("epoch"), col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string")).cast("binary")).as("sk"))
+        .withColumn("shard", substring(col("sk"), 1, 2))
+      val wIn = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("sk"), col("doc_id"))
+      val within = k.withColumn("rin", row_number().over(wIn).cast("long"))
+      val wOff = Window.partitionBy(col("epoch")).orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = k.groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("epoch"), col("shard"), col("off"))
+      within.join(broadcast(offs), Seq("epoch", "shard"))
+        .select(col("epoch"), (col("rin") + col("off")).as("pos"),
+          col("doc_id"))
+        .where(col("pos") <= 12)
+        .orderBy(col("epoch"), col("pos"))
+    },
+
     // TRAINED quality model: 3 steps of full-batch logistic-regression GD
     // run as engine aggregations (Corpus.qualityLrTrain) — the model is a
     // 1-row broadcast weight vector, each step one map-side-combined scan
