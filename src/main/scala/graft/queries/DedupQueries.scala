@@ -455,6 +455,72 @@ object DedupQueries {
           (sum(col("n")) - count(lit(1))).as("n_dup_copies"),
           round(count(lit(1)) / sum(col("n")).cast("double"), 6).as("unique_rate"))
         .orderBy(col("source"))
+    },
+
+    // URL-canonicalization dedup — the web-corpus (CommonCrawl-style)
+    // dedup pass that runs BEFORE any content hashing: the same page is
+    // crawled under many raw URLs, and canonicalizing collapses them
+    // without reading a byte of body text. The synthetic corpus carries no
+    // URLs, so the query splices a deterministic fixture (4 raw variants
+    // per logical page: mixed-case host, http + trailing slash, www. +
+    // utm_* tracking params, and a KEPT id= param with params out of
+    // order). Canonicalization = lowercase host, strip www., normalize
+    // scheme to https, strip trailing slash and fragment, drop utm_*
+    // params, SORT surviving params. Variants 0-2 collapse to one
+    // canonical (group of 3); variant 3 keeps its id param and stays
+    // distinct — kept params must prevent false merges. Pure per-row
+    // string work + ONE canonical-keyed aggregation; no pairwise stage.
+    Q("dedup_url", {
+      "WITH urls AS (SELECT doc_id, CASE doc_id % 4 " +
+        "WHEN 0 THEN 'https://Example.COM/articles/page' || (doc_id // 4)::VARCHAR " +
+        "WHEN 1 THEN 'http://example.com/articles/page' || (doc_id // 4)::VARCHAR || '/' " +
+        "WHEN 2 THEN 'https://www.example.com/articles/page' || (doc_id // 4)::VARCHAR || " +
+        "'?utm_source=feed&utm_campaign=x' " +
+        "ELSE 'https://example.com/articles/page' || (doc_id // 4)::VARCHAR || " +
+        "'?z=1&id=' || (doc_id % 7)::VARCHAR || '&utm_medium=rss' END AS url FROM documents), " +
+        "parts AS (SELECT doc_id, " +
+        "regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host, " +
+        "regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path, " +
+        "array_to_string(list_sort(list_filter(string_split(" +
+        "regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
+        "p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM urls), " +
+        "canon AS (SELECT doc_id, 'https://' || host || path || " +
+        "CASE WHEN q != '' THEN '?' || q ELSE '' END AS canonical FROM parts), " +
+        "g AS (SELECT canonical, COUNT(*)::BIGINT AS n_docs, " +
+        "MIN(doc_id) AS keeper FROM canon GROUP BY 1) " +
+        "SELECT canonical, n_docs, keeper FROM g WHERE n_docs > 1 " +
+        "ORDER BY canonical"
+    }) { (s, d) =>
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://Example.COM/articles/page"),
+            expr("doc_id div 4").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://example.com/articles/page"),
+              expr("doc_id div 4").cast("string"), lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://www.example.com/articles/page"),
+              expr("doc_id div 4").cast("string"),
+              lit("?utm_source=feed&utm_campaign=x")))
+          .otherwise(concat(lit("https://example.com/articles/page"),
+            expr("doc_id div 4").cast("string"), lit("?z=1&id="),
+            (col("doc_id") % 7).cast("string"), lit("&utm_medium=rss")))
+          .as("url"))
+      urls.select(col("doc_id"),
+          regexp_replace(lower(regexp_extract(col("url"),
+            "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "").as("host"),
+          regexp_replace(regexp_extract(col("url"),
+            "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "").as("path"),
+          expr("array_join(array_sort(filter(split(" +
+            "regexp_extract(url, '\\\\?([^#]*)', 1), '&'), " +
+            "p -> p != '' AND NOT startswith(p, 'utm_'))), '&')").as("q"))
+        .select(col("doc_id"), concat(lit("https://"), col("host"),
+          col("path"), when(col("q") =!= "",
+            concat(lit("?"), col("q"))).otherwise("")).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .where(col("n_docs") > 1)
+        .orderBy(col("canonical"))
     }
   )
 }
