@@ -519,4 +519,42 @@ object Corpus {
     }
     dsirScore(dsirBuckets(docs.where(inBatch), buckets, isTarget), lr)
   }
+
+  /** Content-defined chunking (the FastCDC/rsync family, digest-gated):
+    * a chunk boundary falls AT token position q whenever the digest of
+    * the `w`-token window ending at q starts with hex '0' (P = 1/16 ⇒
+    * expected chunk ≈ 16 tokens). Because the gate depends only on the
+    * window CONTENT, boundaries re-synchronize a bounded distance after
+    * any insertion/deletion — unlike fixed-size chunking, where one
+    * inserted token shifts every later chunk (pinned by CdcChunkSpec).
+    * This is the chunker storage dedup and delta-sync run under; the
+    * per-chunk md5 feeds the same exact-dedup machinery as
+    * [[repeatedChunks]]'s fixed windows.
+    *
+    * Scale shape: ONE doc_id shuffle serves the lag window, the
+    * boundary-count running sum, AND the per-chunk aggregate (all three
+    * share the partitioning); partitions are bounded by document length,
+    * never corpus size. */
+  def cdcChunks(docs: DataFrame, w: Int = 4): DataFrame = {
+    val tp = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("q"), col("tok"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("q"))
+    val win = concat_ws(" ",
+      ((w - 1) to 1 by -1).map(o => lag(col("tok"), o).over(wd)) :+ col("tok"): _*)
+    val f = tp.withColumn("isb",
+      when(col("q") >= w &&
+        substring(md5(win.cast("binary")), 1, 1) === "0", 1).otherwise(0))
+    val g = f.withColumn("cid",
+      coalesce(sum(col("isb")).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0)).cast("long"))
+    g.groupBy(col("doc_id"), col("cid"))
+      .agg(min(col("q")).as("start_tok"), max(col("q")).as("end_tok"),
+        count(lit(1)).as("n_tokens"),
+        expr("md5(cast(array_join(transform(array_sort(" +
+          "collect_list(struct(q, tok))), x -> x.tok), ' ') as binary))")
+          .as("chunk_md5"))
+      .select(col("doc_id"), col("cid").as("chunk_id"), col("start_tok"),
+        col("end_tok"), col("n_tokens"), col("chunk_md5"))
+  }
 }

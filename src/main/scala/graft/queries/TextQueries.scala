@@ -166,6 +166,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Content-defined chunking (FastCDC/rsync family): boundary at token
+    // position q whenever md5 of the 4-token window ending at q starts
+    // with hex '0' — boundaries depend on CONTENT, not position, so they
+    // re-synchronize after insertions (CdcChunkSpec pins that property
+    // against fixed-size chunking). Output = every chunk's span + content
+    // digest; one doc_id shuffle serves the lag window, the running
+    // boundary count, and the per-chunk aggregate.
+    Q("text_cdc_chunks",
+      "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents), " +
+        "tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS q FROM toks), " +
+        "f AS (SELECT doc_id, q, t[q] AS tok, CASE WHEN q >= 4 AND " +
+        "substr(md5(t[q-3] || ' ' || t[q-2] || ' ' || t[q-1] || ' ' || t[q]), 1, 1) = '0' " +
+        "THEN 1 ELSE 0 END AS isb FROM tp), " +
+        "g AS (SELECT doc_id, q, tok, CAST(COALESCE(SUM(isb) OVER " +
+        "(PARTITION BY doc_id ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND 1 PRECEDING), 0) AS BIGINT) AS cid FROM f) " +
+        "SELECT doc_id, cid AS chunk_id, MIN(q) AS start_tok, MAX(q) AS end_tok, " +
+        "COUNT(*)::BIGINT AS n_tokens, md5(string_agg(tok, ' ' ORDER BY q)) AS chunk_md5 " +
+        "FROM g GROUP BY doc_id, cid ORDER BY doc_id, chunk_id") { (s, d) =>
+      Corpus.cdcChunks(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // PII/secret redaction — the scrub pass every training-data pipeline
     // runs before packing. The synthetic corpus carries no real PII, so
     // the query first splices DETERMINISTIC email/phone/API-key spans into
