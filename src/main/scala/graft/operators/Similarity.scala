@@ -597,13 +597,9 @@ object Similarity {
         s"IVF index at $indexPath is stale vs the history corpus " +
           s"(recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
     val model = centroidDf(spark, cents)
-    def toCells(vecs: DataFrame): DataFrame =
-      assignNearest(vecs, model, Seq("v", "nrm"))
-        .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
-          col("v").as("nv"), col("nrm").as("nn"))
     val histCells = IndexCache.cachedFrame(spark, "ivf_cells",
-        centsDigest(cents.toSeq), liveFp) { toCells(prep(history)) }
-    val cells = histCells.unionByName(toCells(prep(batch)))
+        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(history), model) }
+    val cells = histCells.unionByName(cellsOf(prep(batch), model))
     val q = prep(queries)
     val probes = q.crossJoin(broadcast(model))
       .groupBy(col("vec_id"))
@@ -617,6 +613,45 @@ object Similarity {
       .select(col("qid"), col("nid"),
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** The inverted-file row shape: (nid, cid, vector payload, norm). */
+  private def cellsOf(vecs: DataFrame, model: DataFrame): DataFrame =
+    assignNearest(vecs, model, Seq("v", "nrm"))
+      .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
+        col("v").as("nv"), col("nrm").as("nn"))
+
+  /** Index COMPACTION — the build step that closes the incremental-ingest
+    * loop: fold the accumulated delta into the persisted index by (a)
+    * writing a new centroid artifact whose recorded fingerprint covers
+    * history ∪ batch, and (b) persisting the merged inverted file as the
+    * history artifact's rows UNIONED with one assignment pass over just
+    * the batch — history is never re-assigned or re-scanned (its cells
+    * come from the read-through artifact). After compaction,
+    * [[ivfTopKServed]] over the merged corpus serves with ZERO assignment
+    * work and [[ivfTopKIncremental]]'s per-serve delta cost is gone;
+    * centroid RE-TRAINING remains a separate, rarer build step. */
+  def compactIvfIndex(history: DataFrame, batch: DataFrame,
+                      oldPath: String, newPath: String): Unit = {
+    val spark = history.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, oldPath)
+    val histFp = contentFp(history)
+    if (recordedFp != histFp)
+      throw new IllegalStateException(
+        s"IVF index at $oldPath is stale vs the history corpus " +
+          s"(recorded $recordedFp, live $histFp); rebuild with writeIvfIndex")
+    val model = centroidDf(spark, cents)
+    val mergedFp = contentFp(history.unionByName(batch))
+    val histCells = IndexCache.cachedFrame(spark, "ivf_cells",
+        centsDigest(cents.toSeq), histFp) { cellsOf(prep(history), model) }
+    // Persist the merged inverted file under the merged fingerprint; the
+    // build reads history's artifact + assigns ONLY the batch.
+    IndexCache.cachedFrame(spark, "ivf_cells",
+        centsDigest(cents.toSeq), mergedFp) {
+      histCells.unionByName(cellsOf(prep(batch), model))
+    }
+    model.withColumn("fingerprint", lit(mergedFp))
+      .coalesce(1).write.mode("overwrite").parquet(newPath)
   }
 
   // ------------------------------- PQ -----------------------------------

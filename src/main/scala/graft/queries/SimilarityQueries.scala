@@ -39,7 +39,25 @@ object SimilarityQueries {
 
   /** Test hook: drop the in-memory path slots (simulates driver cache
     * eviction; the artifacts stay on disk for read-through). */
-  def invalidateIndexPathCache(): Unit = { ivfIndexCache.clear(); ivfHistIndexCache.clear() }
+  def invalidateIndexPathCache(): Unit = {
+    ivfIndexCache.clear(); ivfHistIndexCache.clear(); ivfCompactCache.clear()
+  }
+
+  /** Build step closing the ingest loop: COMPACT the history index + the
+    * batch delta into a merged index artifact (history cells reused from
+    * the artifact, only the batch assigned — see
+    * [[Similarity.compactIvfIndex]]); serving then probes the merged
+    * artifact with zero assignment work. */
+  private val ivfCompactCache = new ConcurrentHashMap[String, String]()
+  private def ivfCompactedIndexFor(s: SparkSession, d: String): String =
+    ivfCompactCache.computeIfAbsent(d, { _ =>
+      val path = s"$idxRoot/ivfc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val e = emb(s, d)
+      if (!Similarity.ivfIndexFresh(s, path, e))
+        Similarity.compactIvfIndex(e.filter(col("vec_id") % 10 < 8),
+          e.filter(col("vec_id") % 10 >= 8), ivfHistIndexFor(s, d), path)
+      path
+    })
 
   /** Build step for the INCREMENTAL-ingest scenario: an index trained on
     * the history subset only (vec_id % 10 < 8) — the state a continuously
@@ -309,6 +327,21 @@ object SimilarityQueries {
           embT.filter(col("vec_id") % 10 >= 8),
           embT.filter(col("vec_id") < 8), k = 3, nProbe = 2,
           indexPath = ivfHistIndexFor(s, d))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // COMPACTION closes the ingest loop: the delta is folded into the
+    // persisted index as a build step (history cells reused from the
+    // artifact, only the batch assigned; new centroid artifact records the
+    // merged fingerprint), and this query is the PURE SERVE over the
+    // compacted index — zero assignment work, forensics shows
+    // ivf_cells.disk only. Same oracle as sim_ivf_incremental: compaction
+    // must be invisible in results (same centroids, same merged corpus).
+    Q("sim_ivf_compacted", ivfIncrementalSql(nCells = 16, iters = 2, k = 3,
+      nProbe = 2, nQueries = 8)) { (s, d) =>
+      val embT = emb(s, d)
+      Similarity.ivfTopKServed(embT, embT.filter(col("vec_id") < 8), k = 3,
+          nProbe = 2, indexPath = ivfCompactedIndexFor(s, d))
         .orderBy(col("qid"), col("rank"))
     },
 

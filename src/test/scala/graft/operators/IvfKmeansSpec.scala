@@ -68,6 +68,14 @@ class IvfKmeansSpec extends AnyFunSuite with SparkSpec {
         indexPath = path).count()
     }
     assert(ex.getMessage.contains("stale"))
+    // COMPACTION is invisible in results: folding the delta into the index
+    // and serving the merged artifact returns exactly the incremental
+    // serve's rows (same centroids, same merged corpus).
+    val cPath = path + "_compacted"
+    Similarity.compactIvfIndex(hist, batch, path, cPath)
+    val served = Similarity.ivfTopKServed(emb, queries, k = 3, nProbe = 2,
+      indexPath = cPath)
+    assert(served.collect().toSet == merged.collect().toSet)
   }
 
   test("recall@3 at equal probe cost: trained >= untrained, both >> random") {
