@@ -347,7 +347,16 @@ object ScaleSmoke {
       // composes the measured sparse + dense kernels and fuses two
       // k-bounded lists.
       "pipeline_dsir_weights", "sim_range_search", "sim_mmr_rerank",
-      "sim_hybrid_rrf")
+      "sim_hybrid_rrf",
+      // Round-11 fourth batch: CDC chunking is one doc_id shuffle with
+      // doc-bounded windows (~linear); URL dedup is per-row string work +
+      // one canonical-keyed aggregation (~linear); epoch shuffle is the
+      // bounded-shard two-pass over 2× exploded docs (~linear);
+      // incremental/compacted IVF serve from artifacts — the measured
+      // cost is the batch assignment (20 % of corpus) + probe join, and
+      // the MRR eval is brute-force-dominated like sim_recall_eval.
+      "text_cdc_chunks", "dedup_url", "q_epoch_shuffle",
+      "sim_ivf_incremental", "sim_ivf_compacted", "sim_eval_mrr")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
