@@ -256,6 +256,96 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Per-frame decode → [[aHash64]] catalog over a frame table — the
+    * map-side build step shared by scene-cut detection and video dedup. */
+  def frameHashes(spark: SparkSession, frames: DataFrame): DataFrame = {
+    import spark.implicits._
+    frames.as[BinaryFrame].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { b =>
+        val img = ImageIO.read(new ByteArrayInputStream(b.payload))
+        (b.doc_id, b.frame_idx, aHash64(img))
+      }
+    }.toDF("doc_id", "frame_idx", "phash")
+  }
+
+  /** [[videoFrameDocs]] with planted near-duplicate VIDEOS: doc_id ≡ 1
+    * mod 10 re-renders the previous doc's video (same source seed, frame
+    * count, and dims) with one extra LSB dropped per channel on the
+    * (x+y) % 5 pixel stripe of every frame — the re-encoded/re-compressed
+    * copy a video dedup pipeline must catch. Deterministic in doc_id, so
+    * the oracle replays both renditions. */
+  def videoDupFrameDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        val src = if (id % 10 == 1) id - 1 else id
+        val pert = id % 10 == 1
+        val nf = 4 + (src % 5).toInt
+        val (w, h) = pngDims(src)
+        (0 until nf).map { f =>
+          val sc = if (f < nf / 2) 0L else 1L
+          val seed = src * 31 + sc
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (seed * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff
+              val v0 = if ((x + y + f) % 7 == 0) base & 0xfefefe else base
+              val v = if (pert && (x + y) % 5 == 0) v0 & 0xfefefe else v0
+              img.setRGB(x, y, v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          BinaryFrame(id, f, bos.toByteArray)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Video near-duplicate pairs over a per-frame hash catalog: candidates
+    * from any shared (frame_idx, 16-bit band) bucket — the [[phashPairs]]
+    * banding with the frame index in the key, so a pair is proposed by
+    * ANY aligned frame agreeing on any band — then an exact verify that
+    * compares EVERY aligned frame and keeps pairs whose frame counts
+    * match, all frames were compared, and the worst frame distance is ≤
+    * `maxHamming` (max is an AND over frames: one mismatched scene kills
+    * the pair). The only shuffles move (id, frame, 16-bit key) rows and
+    * the candidate pairs; no all-pairs stage, and the decode stays
+    * map-side in [[frameHashes]]. */
+  def videoDedupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val nf = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val banded = hashes.select(col("doc_id"), col("frame_idx"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftrightunsigned(phash, ${16 * b}) & 65535")): _*))
+        .as(Seq("band_idx", "band")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("dup_a"), col("b.doc_id").as("dup_b"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("dup_a"), col("frame_idx"),
+      col("phash").as("pa"))
+    val hb = hashes.select(col("doc_id").as("dup_b"), col("frame_idx"),
+      col("phash").as("pb"))
+    cand.join(ha, "dup_a").join(hb, Seq("dup_b", "frame_idx"))
+      .groupBy(col("dup_a"), col("dup_b"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(expr("bit_count(pa ^ pb)")).cast("long").as("max_hamming"))
+      .join(nf.select(col("doc_id").as("dup_a"), col("nf").as("nf_a")), "dup_a")
+      .join(nf.select(col("doc_id").as("dup_b"), col("nf").as("nf_b")), "dup_b")
+      .where(col("nf_a") === col("nf_b") && col("n_frames") === col("nf_a") &&
+        col("max_hamming") <= maxHamming)
+      .select(col("dup_a"), col("dup_b"), col("n_frames"), col("max_hamming"))
+  }
+
   /** Temporal scene-cut detection over decoded frames: per-frame
     * [[aHash64]], then the Hamming distance between each frame and its
     * predecessor (one doc-keyed window pass); a distance above
@@ -264,14 +354,7 @@ object Multimodal {
     * with the decode itself map-side. */
   def sceneCuts(spark: SparkSession, frames: DataFrame,
                 threshold: Int): DataFrame = {
-    import spark.implicits._
-    val hashed = frames.as[BinaryFrame].mapPartitions { it =>
-      ImageIO.setUseCache(false)
-      it.map { b =>
-        val img = ImageIO.read(new ByteArrayInputStream(b.payload))
-        (b.doc_id, b.frame_idx, aHash64(img))
-      }
-    }.toDF("doc_id", "frame_idx", "phash")
+    val hashed = frameHashes(spark, frames)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     hashed

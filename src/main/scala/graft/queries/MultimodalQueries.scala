@@ -182,6 +182,23 @@ object MultimodalQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // VIDEO near-duplicate dedup: planted copy videos (doc_id ≡ 1 mod 10
+    // re-renders the previous doc's frames with one extra LSB dropped on
+    // a pixel stripe), every frame REALLY decoded and aHashed, candidates
+    // from any shared (frame_idx, 16-bit band) bucket, then an exact
+    // verify over ALL aligned frames — frame counts must match and the
+    // WORST frame distance must clear the threshold (max is an AND over
+    // frames: one mismatched scene kills the pair, which is what
+    // separates video dedup from per-image dedup). Oracle replays the
+    // full derivation from the (doc, frame, x, y) pixel formula.
+    Q("mm_video_dedup", PhashOracle.videoDupSql) { (s, d) =>
+      Multimodal.videoDedupPairs(
+          Multimodal.frameHashes(s,
+            Multimodal.videoDupFrameDocs(s, Tables.documents(s, d))),
+          maxHamming = 6)
+        .orderBy(col("dup_a"), col("dup_b"))
+    },
+
     // Windowed audio energy: deterministic unsigned-8-bit PCM clips
     // (every 4th 128-sample window a planted near-silence), read back
     // byte-by-byte and reduced to per-window Σ|s−128| + a silence count —
@@ -264,6 +281,53 @@ private object PhashOracle {
       "JOIN bits bb ON bb.doc_id = dup_of AND bb.k = ba.k GROUP BY 1, 2) " +
     "SELECT new_id, dup_of, hamming FROM ham WHERE hamming <= 10 " +
     "ORDER BY new_id, dup_of"
+
+  /** Video near-dup replay (see
+    * [[graft.multimodal.Multimodal.videoDupFrameDocs]]): per (doc, frame)
+    * sampled pixels regenerate from the SOURCE id's formula (scene seed
+    * src·31 + scene, intra-scene jitter at (x+y+f)%7) with the copy's
+    * extra (x+y)%5 stripe mask; per-frame threshold bits → 16-bit bands
+    * keyed by frame → candidate pairs from any aligned band match →
+    * per-frame bit-mismatch counts → per-pair frame count + max. */
+  val videoDupSql: String =
+    "WITH fr AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS src, " +
+      "doc_id % 10 = 1 AS pert FROM documents), " +
+    "dm AS (SELECT doc_id, src, pert, 4 + src % 5 AS nf, " +
+      "4 + src % 13 AS w, 3 + src % 11 AS h FROM fr), " +
+    "fx AS (SELECT doc_id, src, pert, nf, w, h, unnest(range(0, nf)) AS f FROM dm), " +
+    "samp AS (SELECT doc_id, src, pert, nf, f, (j * 8 + i) AS k, " +
+      "(((2 * i + 1) * w) // 16) AS x, (((2 * j + 1) * h) // 16) AS y " +
+      "FROM fx CROSS JOIN range(0, 8) ri(i) CROSS JOIN range(0, 8) rj(j)), " +
+    "px0 AS (SELECT doc_id, pert, nf, f, k, x, y, " +
+      "((src * 31 + CASE WHEN f < nf // 2 THEN 0 ELSE 1 END) " +
+      "* 2654435761 + x * 7919 + y * 104729) & 16777215 AS b0 FROM samp), " +
+    "px1 AS (SELECT doc_id, pert, nf, f, k, x, y, " +
+      "CASE WHEN (x + y + f) % 7 = 0 THEN b0 & 16711422 ELSE b0 END AS v0 FROM px0), " +
+    "px AS (SELECT doc_id, nf, f, k, " +
+      "CASE WHEN pert AND (x + y) % 5 = 0 THEN v0 & 16711422 ELSE v0 END AS v FROM px1), " +
+    "gr AS (SELECT doc_id, nf, f, k, (v >> 16) + ((v >> 8) & 255) + (v & 255) AS g " +
+      "FROM px), " +
+    "bits AS (SELECT doc_id, nf, f, k, CASE WHEN 64 * g > " +
+      "SUM(g) OVER (PARTITION BY doc_id, f) THEN 1 ELSE 0 END AS bit FROM gr), " +
+    "bands AS (SELECT doc_id, f, k // 16 AS band_idx, " +
+      "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits GROUP BY 1, 2, 3), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS dup_a, b.doc_id AS dup_b " +
+      "FROM bands a JOIN bands b ON a.f = b.f AND a.band_idx = b.band_idx " +
+      "AND a.band = b.band AND a.doc_id < b.doc_id), " +
+    "fham AS (SELECT c.dup_a, c.dup_b, ba.f, " +
+      "CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming " +
+      "FROM cand c " +
+      "JOIN bits ba ON ba.doc_id = c.dup_a " +
+      "JOIN bits bb ON bb.doc_id = c.dup_b AND bb.f = ba.f AND bb.k = ba.k " +
+      "GROUP BY 1, 2, 3), " +
+    "pv AS (SELECT dup_a, dup_b, COUNT(*)::BIGINT AS n_frames, " +
+      "MAX(hamming) AS max_hamming FROM fham GROUP BY 1, 2), " +
+    "nfs AS (SELECT doc_id, nf FROM dm) " +
+    "SELECT p.dup_a, p.dup_b, p.n_frames, p.max_hamming FROM pv p " +
+      "JOIN nfs na ON na.doc_id = p.dup_a JOIN nfs nb ON nb.doc_id = p.dup_b " +
+      "WHERE na.nf = nb.nf AND p.n_frames = na.nf AND p.max_hamming <= 6 " +
+      "ORDER BY dup_a, dup_b"
 
   /** Scene-cut replay (see [[graft.multimodal.Multimodal.videoFrameDocs]]):
     * per (doc, frame) the sampled 8×8 grid regenerates from the pixel

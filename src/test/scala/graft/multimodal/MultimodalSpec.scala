@@ -141,6 +141,21 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("videoDedupPairs recovers every planted copy video and only those") {
+    import spark.implicits._
+    val docs = (0L until 50L).toDF("doc_id")
+    val pairs = Multimodal.videoDedupPairs(
+        Multimodal.frameHashes(spark,
+          Multimodal.videoDupFrameDocs(spark, docs)), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val planted = (0L until 50L).filter(_ % 10 == 1).map(id => (id - 1, id)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == planted,
+      s"got ${pairs.toSeq.sorted}")
+    // Every surviving pair's WORST frame is still close — the max is the
+    // verify, not an average that could hide one replaced scene.
+    assert(pairs.forall(_._3 <= 6))
+  }
+
   test("pngDocs synthesizes real containers whose decode matches pngDims") {
     import spark.implicits._
     val docs = (0L until 30L).toDF("doc_id")
