@@ -93,6 +93,48 @@ object SamplingQueries {
           md5(array_join(array_sort(collect_list(col("doc_id"))), ",")
             .cast("binary")).as("member_digest"))
         .orderBy(col("split"))
+    },
+
+    // APPROXIMATE QUERY PROCESSING over the deterministic sample: per-type
+    // count and value-sum estimated from the 10 % md5(event_id) sample,
+    // scaled by 1/p, with a 95 % CI (1.96·√n̂ ≈ Poisson) and a coverage
+    // check against the exact full-scan answer computed in the same
+    // statement. At 100 TB the sample is the only side that's scanned for
+    // an interactive estimate — the exact side here exists to PIN the
+    // estimator's accuracy as data, the same way sim_recall_* pins ANN
+    // quality. The sample is hash-deterministic, so estimate, CI, and
+    // coverage are engine-portable (sums rounded before scaling).
+    Q("q_sample_estimate", {
+      val t = Sampling.thresholdHex(0.1)
+      "WITH sm AS (SELECT event_type, COUNT(*)::BIGINT AS n_sample, " +
+        "ROUND(SUM(value), 2) AS ssum FROM events " +
+        s"WHERE ${duckBucket("event_id")} < '$t' GROUP BY 1), " +
+        "fl AS (SELECT event_type, COUNT(*)::BIGINT AS exact_count, " +
+        "ROUND(SUM(value), 2) AS fsum FROM events GROUP BY 1) " +
+        "SELECT f.event_type, COALESCE(s.n_sample, 0) AS n_sample, " +
+        "COALESCE(s.n_sample, 0) * 10 AS est_count, f.exact_count, " +
+        "ROUND(19.6 * sqrt(COALESCE(s.n_sample, 0)), 2) AS ci_95, " +
+        "ABS(COALESCE(s.n_sample, 0) * 10 - f.exact_count) <= " +
+        "ROUND(19.6 * sqrt(COALESCE(s.n_sample, 0)), 2) AS count_covered, " +
+        "ROUND(COALESCE(s.ssum, 0) * 10, 2) AS est_sum, f.fsum AS exact_sum " +
+        "FROM fl f LEFT JOIN sm s USING (event_type) ORDER BY event_type"
+    }) { (s, d) =>
+      val events = Tables.events(s, d)
+      val sm = Sampling.hashSample(events, col("event_id"), 0.1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sample"), round(sum(col("value")), 2).as("ssum"))
+      val fl = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_count"), round(sum(col("value")), 2).as("fsum"))
+      val ns = coalesce(col("n_sample"), lit(0L))
+      val ci = round(lit(19.6) * sqrt(ns), 2)
+      fl.join(sm, Seq("event_type"), "left")
+        .select(col("event_type"), ns.as("n_sample"),
+          (ns * 10).as("est_count"), col("exact_count"),
+          ci.as("ci_95"),
+          (abs(ns * 10 - col("exact_count")) <= ci).as("count_covered"),
+          round(coalesce(col("ssum"), lit(0.0)) * 10, 2).as("est_sum"),
+          col("fsum").as("exact_sum"))
+        .orderBy(col("event_type"))
     }
   )
 }
