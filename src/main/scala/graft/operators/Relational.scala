@@ -96,4 +96,32 @@ object Relational {
       .head().getAs[Array[Byte]](0)
     fact.where(call_function("bloom_might_contain", lit(bytes), factKey))
   }
+
+  /** Content fingerprint of a dim-side key set (order-insensitive
+    * xxhash64 fold + count) — keys the persisted filter artifact. */
+  private def keyFp(df: DataFrame, key: Column): String = {
+    val r = df.select(xxhash64(key).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
+    s"${r.getLong(0)}|${r.getLong(1)}"
+  }
+
+  /** [[bloomSemiJoinReduce]] with the filter as a PERSISTED read-through
+    * artifact ([[IndexCache]], keyed by (bits, k, dim-key fingerprint)) —
+    * the relational side of the engine's artifact lifecycle: a runtime
+    * filter over a slowly-changing dim is built once by a build job and
+    * SERVED to every query that pre-filters the fact side with it, the
+    * same way the ANN/dedup/postings indexes serve. The m/8-byte filter
+    * row is the whole artifact; staleness falls out of the fingerprint
+    * key (a changed dim resolves to a different path and rebuilds). */
+  def bloomSemiJoinServed(fact: DataFrame, factKey: Column,
+                          dim: DataFrame, dimKey: Column,
+                          expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val (numBits, k) = graft.functions.Bloom.sizeFor(expectedKeys, fpp)
+    val bf = IndexCache.cachedFrame(fact.sparkSession, "bloom_filter",
+        s"$numBits|$k", keyFp(dim, dimKey)) {
+      dim.select(call_function("bloom_agg", dimKey, lit(numBits), lit(k)).as("bf"))
+    }
+    val bytes = bf.head().getAs[Array[Byte]](0)
+    fact.where(call_function("bloom_might_contain", lit(bytes), factKey))
+  }
 }
