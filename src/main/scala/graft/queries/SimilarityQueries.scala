@@ -242,6 +242,30 @@ object SimilarityQueries {
         .orderBy(col("qid"))
     },
 
+    // The nProbe TUNING CURVE as data: recall@3 of the served index at
+    // probe widths 1, 2, 4 in one statement — the recall-vs-probe-cost
+    // artifact an ANN deployment publishes to pick its operating point.
+    // Training and the exact ground truth are computed once; each width
+    // reuses the same persisted index (forensics: ivf_cells.disk only).
+    Q("sim_probe_sweep", ivfProbeSweepSql(nCells = 16, iters = 3, k = 3,
+      probes = Seq(1, 2, 4), nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val qs = embT.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(embT, qs, k = 3)
+        .select(col("qid"), col("nid"))
+      Seq(1, 2, 4).map { p =>
+        val ivf = Similarity.ivfTopKServed(embT, qs, k = 3, nProbe = p,
+            indexPath = ivfIndexFor(s, d))
+          .select(col("qid"), col("nid"), lit(1).as("hit"))
+        bf.join(ivf, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"),
+            round(count(col("hit")) / 3.0, 4).as("recall"))
+          .select(lit(p.toLong).as("n_probe"), col("qid"), col("n_hit"),
+            col("recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("n_probe"), col("qid"))
+    },
+
     // MRR of the served IVF ranking: the reciprocal rank at which each
     // query's TRUE nearest neighbor (exact cosine top-1) appears in the
     // IVF top-10 — order-sensitive where recall@k is not (an index that
@@ -758,7 +782,20 @@ object SimilarityQueries {
     * evaluation, which joins the IVF ranking against an exact
     * brute-force top-k computed in the same statement. */
   private def ivfKmeansCoreSql(nCells: Int, iters: Int, nProbe: Int,
-                               nQueries: Int): String = {
+                               nQueries: Int): String =
+    ivfTrainedCellSql(nCells, iters) + ", " +
+      "probe AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn " +
+      s"FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn <= $nProbe AND r.vec_id < $nQueries), " +
+      "scored AS (SELECT qid, nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
+      "FROM probe JOIN cell USING (cid) WHERE nid != qid), " +
+      "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+      s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored)"
+
+  /** The k-means training replay through `rf` (full-corpus assignment
+    * ranks) and `cell` (the final inverted file) — the probe-independent
+    * prefix shared by every trained-IVF oracle. */
+  private def ivfTrainedCellSql(nCells: Int, iters: Int): String = {
     def distCte(name: String, cent: String) =
       s"$name AS (SELECT e.vec_id, c.cid, ROUND(list_sum(list_transform(" +
         "range(1, len(e.v) + 1), i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6) " +
@@ -779,14 +816,39 @@ object SimilarityQueries {
       "rf AS (SELECT vec_id, cid, ROW_NUMBER() OVER " +
       "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df), " +
       "cell AS (SELECT r.vec_id AS nid, r.cid, n.v AS nv, n.nrm AS nn " +
-      "FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1), " +
-      "probe AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn " +
-      s"FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn <= $nProbe AND r.vec_id < $nQueries), " +
-      "scored AS (SELECT qid, nid, ROUND(list_sum(list_transform(" +
-      "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
-      "FROM probe JOIN cell USING (cid) WHERE nid != qid), " +
-      "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
-      s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored)"
+      "FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1)"
+  }
+
+  /** Recall@k at SEVERAL probe widths in one statement — the tuning
+    * curve an ANN deployment publishes (recall vs probe cost). Training
+    * and the exact ground truth are computed once; each width gets its
+    * own probe/rank/recall chain. */
+  private def ivfProbeSweepSql(nCells: Int, iters: Int, k: Int,
+                               probes: Seq[Int], nQueries: Int): String = {
+    val perProbe = probes.map { p =>
+      s"probe$p AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn " +
+        s"FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn <= $p AND r.vec_id < $nQueries), " +
+        s"scored$p AS (SELECT qid, nid, ROUND(list_sum(list_transform(" +
+        "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
+        s"FROM probe$p JOIN cell USING (cid) WHERE nid != qid), " +
+        s"ivf$p AS (SELECT qid, nid, 1 AS hit FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+        s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored$p) WHERE rank <= $k)"
+    }.mkString(", ")
+    val recalls = probes.map { p =>
+      s"SELECT CAST($p AS BIGINT) AS n_probe, bf.qid, " +
+        s"CAST(COUNT(ivf$p.hit) AS BIGINT) AS n_hit, " +
+        s"ROUND(COUNT(ivf$p.hit) / $k.0, 4) AS recall " +
+        s"FROM bf LEFT JOIN ivf$p USING (qid, nid) GROUP BY bf.qid"
+    }.mkString(" UNION ALL ")
+    ivfTrainedCellSql(nCells, iters) + s", $perProbe, " +
+      "bfs AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "ROUND(list_sum(list_transform(range(1, len(q.v) + 1), " +
+      "i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine " +
+      s"FROM n q, n c WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id), " +
+      "bf AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bfs) " +
+      s"WHERE rnk <= $k) " +
+      s"SELECT * FROM ($recalls) ORDER BY n_probe, qid"
   }
 
   /** DuckDB replay of [[Similarity.ivfTopKIncremental]]: k-means training
