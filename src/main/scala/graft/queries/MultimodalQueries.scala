@@ -185,7 +185,7 @@ object MultimodalQueries {
     // VIDEO near-duplicate dedup: planted copy videos (doc_id ≡ 1 mod 10
     // re-renders the previous doc's frames with one extra LSB dropped on
     // a pixel stripe), every frame REALLY decoded and aHashed, candidates
-    // from any shared (frame_idx, 16-bit band) bucket, then an exact
+    // from the ANCHOR frame's 16-bit band buckets, then an exact
     // verify over ALL aligned frames — frame counts must match and the
     // WORST frame distance must clear the threshold (max is an AND over
     // frames: one mismatched scene kills the pair, which is what
@@ -195,6 +195,24 @@ object MultimodalQueries {
       Multimodal.videoDedupPairs(
           Multimodal.frameHashes(s,
             Multimodal.videoDupFrameDocs(s, Tables.documents(s, d))),
+          maxHamming = 6)
+        .orderBy(col("dup_a"), col("dup_b"))
+    },
+
+    // AUDIO near-duplicate dedup — the third modality's dedup next to
+    // text and image/video: planted copy clips (doc_id ≡ 1 mod 10
+    // re-renders the previous doc's PCM with every 11th sample's LSB
+    // flipped), each payload byte-traversed into a 64-bit fingerprint of
+    // REQUANTIZATION-INVARIANT window digests (64 sub-windows, samples
+    // >> 2, one md5 parity bit each — Hamming counts genuinely differing
+    // windows; copies land at 0, unrelated clips near 32), then the same
+    // 4×16-bit band blocking + exact Hamming verify as image dedup.
+    // Oracle replays the fingerprint from the sample formula; matching
+    // requires really reading the bytes.
+    Q("mm_audio_dedup", PhashOracle.audioDupSql) { (s, d) =>
+      Multimodal.phashPairs(
+          Multimodal.audioFingerprints(s,
+            Multimodal.audioDupClipDocs(s, Tables.documents(s, d))),
           maxHamming = 6)
         .orderBy(col("dup_a"), col("dup_b"))
     },
@@ -310,10 +328,11 @@ private object PhashOracle {
       "FROM px), " +
     "bits AS (SELECT doc_id, nf, f, k, CASE WHEN 64 * g > " +
       "SUM(g) OVER (PARTITION BY doc_id, f) THEN 1 ELSE 0 END AS bit FROM gr), " +
-    "bands AS (SELECT doc_id, f, k // 16 AS band_idx, " +
-      "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits GROUP BY 1, 2, 3), " +
+    "bands AS (SELECT doc_id, k // 16 AS band_idx, " +
+      "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits " +
+      "WHERE f = 0 GROUP BY 1, 2), " +
     "cand AS (SELECT DISTINCT a.doc_id AS dup_a, b.doc_id AS dup_b " +
-      "FROM bands a JOIN bands b ON a.f = b.f AND a.band_idx = b.band_idx " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
       "AND a.band = b.band AND a.doc_id < b.doc_id), " +
     "fham AS (SELECT c.dup_a, c.dup_b, ba.f, " +
       "CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming " +
@@ -327,6 +346,40 @@ private object PhashOracle {
     "SELECT p.dup_a, p.dup_b, p.n_frames, p.max_hamming FROM pv p " +
       "JOIN nfs na ON na.doc_id = p.dup_a JOIN nfs nb ON nb.doc_id = p.dup_b " +
       "WHERE na.nf = nb.nf AND p.n_frames = na.nf AND p.max_hamming <= 6 " +
+      "ORDER BY dup_a, dup_b"
+
+  /** Audio near-dup replay (see
+    * [[graft.multimodal.Multimodal.audioFingerprints]]): samples
+    * regenerate from the SOURCE id's PCM formula with the copy's
+    * every-11th-sample LSB flip, sub-windows requantized to 6 bits and
+    * digest-reduced to one md5 parity bit each → 16-bit bands →
+    * candidates → exact bit-mismatch Hamming. */
+  val audioDupSql: String =
+    "WITH cl AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS src, " +
+      "doc_id % 10 = 1 AS pert FROM documents), " +
+    "dn AS (SELECT doc_id, src, pert, 512 + (src % 7) * 128 AS n FROM cl), " +
+    "sm AS (SELECT doc_id, src, pert, n, unnest(range(0, n)) AS i FROM dn), " +
+    "v0 AS (SELECT doc_id, pert, n, i, " +
+      "CASE WHEN (i // 128) % 4 = 3 THEN 128 + ((src + i) % 7 - 3) " +
+      "ELSE (src * 2654435761 + i * 104729) & 255 END AS b FROM sm), " +
+    "v AS (SELECT doc_id, n, i, " +
+      "CASE WHEN pert AND i % 11 = 0 THEN xor(b, 1) ELSE b END AS b FROM v0), " +
+    "sw AS (SELECT doc_id, i // (n // 64) AS k, " +
+      "string_agg((b // 4)::VARCHAR, ',' ORDER BY i) AS ws FROM v GROUP BY 1, 2), " +
+    "bits AS (SELECT doc_id, k, " +
+      "('0x' || substr(md5(ws), 1, 1))::BIGINT % 2 AS bit FROM sw), " +
+    "bands AS (SELECT doc_id, k // 16 AS band_idx, " +
+      "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits GROUP BY 1, 2), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS dup_a, b.doc_id AS dup_b " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
+      "AND a.band = b.band AND a.doc_id < b.doc_id), " +
+    "ham AS (SELECT dup_a, dup_b, " +
+      "CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS hamming FROM cand " +
+      "JOIN bits ba ON ba.doc_id = dup_a " +
+      "JOIN bits bb ON bb.doc_id = dup_b AND bb.k = ba.k GROUP BY 1, 2) " +
+    "SELECT dup_a, dup_b, hamming FROM ham WHERE hamming <= 6 " +
       "ORDER BY dup_a, dup_b"
 
   /** Scene-cut replay (see [[graft.multimodal.Multimodal.videoFrameDocs]]):

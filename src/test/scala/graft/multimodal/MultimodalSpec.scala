@@ -156,6 +156,20 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_._3 <= 6))
   }
 
+  test("audio dedup recovers every planted copy clip and only those") {
+    import spark.implicits._
+    val docs = (0L until 60L).toDF("doc_id")
+    val pairs = Multimodal.phashPairs(
+        Multimodal.audioFingerprints(spark,
+          Multimodal.audioDupClipDocs(spark, docs)), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 60L).filter(_ % 10 == 1).map(id => (id - 1, id)).toSet
+    assert(planted.subsetOf(pairs), s"missed: ${planted -- pairs}")
+    // Unrelated noise clips sit near Hamming ~32; nothing but the planted
+    // copies should clear 6 on this corpus.
+    assert(pairs == planted, s"extra: ${pairs -- planted}")
+  }
+
   test("pngDocs synthesizes real containers whose decode matches pngDims") {
     import spark.implicits._
     val docs = (0L until 30L).toDF("doc_id")
