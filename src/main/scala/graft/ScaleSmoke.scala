@@ -356,7 +356,15 @@ object ScaleSmoke {
       // cost is the batch assignment (20 % of corpus) + probe join, and
       // the MRR eval is brute-force-dominated like sim_recall_eval.
       "text_cdc_chunks", "dedup_url", "q_epoch_shuffle",
-      "sim_ivf_incremental", "sim_ivf_compacted", "sim_eval_mrr")
+      "sim_ivf_incremental", "sim_ivf_compacted", "sim_eval_mrr",
+      // Round-11 fifth batch: video dedup decodes 10× frames map-side and
+      // bands only the anchor frame (expected ~linear in frames); audio
+      // dedup byte-traverses 10× payloads into 64-bit fingerprints with
+      // the same anchor-band pair shape; the AQP estimate is two
+      // event-type aggregates over 10× events; the probe sweep serves a
+      // fixed-query tuning curve from the persisted index (~flat).
+      "mm_video_dedup", "mm_audio_dedup", "q_sample_estimate",
+      "sim_probe_sweep")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
