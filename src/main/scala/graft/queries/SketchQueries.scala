@@ -80,6 +80,49 @@ object SketchQueries {
             col("exact_union"), 0.05).as("tol_union"))
     },
 
+    // Completes the theta set algebra: set DIFFERENCE |A\B| (estimate_A −
+    // intersect estimate) and sketch-estimated JACCARD |A∩B| / |A∪B| —
+    // the similarity score two partners' audiences / two corpora's key
+    // sets are compared by when neither side will ship raw keys, only
+    // 32 KiB sketches. Same tolerance-boolean oracle discipline; the
+    // difference gets a wider band (two estimates' errors compound) and
+    // Jaccard an absolute one (it is already a ratio).
+    Q("q_sketch_difference",
+      "WITH ea AS (SELECT COUNT(DISTINCT o_custkey) AS a FROM orders), " +
+        "ei AS (SELECT COUNT(DISTINCT o.o_custkey) AS i FROM orders o " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE c.c_mktsegment = 'BUILDING'), " +
+        "eu AS (SELECT COUNT(DISTINCT k) AS u FROM (" +
+        "SELECT o_custkey AS k FROM orders UNION ALL " +
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) " +
+        "SELECT a - i AS exact_diff, ROUND(i / (u * 1.0), 6) AS exact_jaccard, " +
+        "TRUE AS tol_diff, TRUE AS tol_jaccard FROM ea, ei, eu") { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val orders = Tables.orders(s, d)
+      val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val skA = orders.agg(call_function("theta_sketch", col("o_custkey")).as("sk_a"))
+      val skB = building.agg(call_function("theta_sketch", col("c_custkey")).as("sk_b"))
+      val exactA = orders.agg(countDistinct(col("o_custkey")).as("a"))
+      val exactI = orders
+        .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(countDistinct(col("o_custkey")).as("i"))
+      val exactU = orders.select(col("o_custkey").as("k"))
+        .union(building.select(col("c_custkey")))
+        .agg(countDistinct(col("k")).as("u"))
+      val estInter = call_function("theta_intersect_estimate", col("sk_a"), col("sk_b"))
+      val estDiff = call_function("theta_estimate", col("sk_a")) - estInter
+      val estJacc = estInter / call_function("theta_estimate",
+        call_function("theta_union", col("sk_a"), col("sk_b")))
+      skA.crossJoin(skB).crossJoin(exactA).crossJoin(exactI).crossJoin(exactU)
+        .select((col("a") - col("i")).as("exact_diff"),
+          round(col("i") / (col("u") * lit(1.0)), 6).as("exact_jaccard"),
+          (abs(estDiff - (col("a") - col("i")).cast("double"))
+            / greatest((col("a") - col("i")).cast("double"), lit(1.0)) <= 0.15)
+            .as("tol_diff"),
+          (abs(estJacc - col("i") / (col("u") * lit(1.0))) <= 0.05)
+            .as("tol_jaccard"))
+    },
+
     // The BUILT-IN DataSketches HLL family (hll_sketch_agg / hll_union /
     // hll_sketch_estimate) alongside the custom theta aggregate: same
     // two-table merge discipline, same tolerance-boolean oracle. These
