@@ -14,6 +14,23 @@ import graft.sources.Tables
   */
 object TextQueries {
 
+  /** Shared CDC oracle chain through the per-chunk table `ch` (see
+    * [[graft.operators.Corpus.cdcChunks]]): tokens → digest-gated
+    * boundaries → running chunk ids → per-chunk span + content digest. */
+  private val cdcChunkCte: String =
+    "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
+      "FROM documents), " +
+      "tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS q FROM toks), " +
+      "f AS (SELECT doc_id, q, t[q] AS tok, CASE WHEN q >= 4 AND " +
+      "substr(md5(t[q-3] || ' ' || t[q-2] || ' ' || t[q-1] || ' ' || t[q]), 1, 1) = '0' " +
+      "THEN 1 ELSE 0 END AS isb FROM tp), " +
+      "g AS (SELECT doc_id, q, tok, CAST(COALESCE(SUM(isb) OVER " +
+      "(PARTITION BY doc_id ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND 1 PRECEDING), 0) AS BIGINT) AS cid FROM f), " +
+      "ch AS (SELECT doc_id, cid, MIN(q) AS start_tok, MAX(q) AS end_tok, " +
+      "COUNT(*)::BIGINT AS n_tokens, md5(string_agg(tok, ' ' ORDER BY q)) AS chunk_md5 " +
+      "FROM g GROUP BY doc_id, cid)"
+
   private val enPat = langMarkers.toMap.apply("en")
 
   val all: Seq[Q] = Seq(
@@ -174,20 +191,40 @@ object TextQueries {
     // digest; one doc_id shuffle serves the lag window, the running
     // boundary count, and the per-chunk aggregate.
     Q("text_cdc_chunks",
-      "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t " +
-        "FROM documents), " +
-        "tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS q FROM toks), " +
-        "f AS (SELECT doc_id, q, t[q] AS tok, CASE WHEN q >= 4 AND " +
-        "substr(md5(t[q-3] || ' ' || t[q-2] || ' ' || t[q-1] || ' ' || t[q]), 1, 1) = '0' " +
-        "THEN 1 ELSE 0 END AS isb FROM tp), " +
-        "g AS (SELECT doc_id, q, tok, CAST(COALESCE(SUM(isb) OVER " +
-        "(PARTITION BY doc_id ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING " +
-        "AND 1 PRECEDING), 0) AS BIGINT) AS cid FROM f) " +
-        "SELECT doc_id, cid AS chunk_id, MIN(q) AS start_tok, MAX(q) AS end_tok, " +
-        "COUNT(*)::BIGINT AS n_tokens, md5(string_agg(tok, ' ' ORDER BY q)) AS chunk_md5 " +
-        "FROM g GROUP BY doc_id, cid ORDER BY doc_id, chunk_id") { (s, d) =>
+      s"WITH $cdcChunkCte " +
+        "SELECT doc_id, cid AS chunk_id, start_tok, end_tok, n_tokens, chunk_md5 " +
+        "FROM ch ORDER BY doc_id, chunk_id") { (s, d) =>
       Corpus.cdcChunks(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // The census CDC chunking exists to enable: chunk-level storage
+    // dedup. Identical chunks (by content digest) across the whole
+    // corpus are stored once; this is the per-source accounting of that
+    // saving — chunk instances, distinct chunk contents, duplicate-copy
+    // mass, and the unique rate — the CDC analog of
+    // dedup_rate_by_source's document-level report. One (source,
+    // chunk_md5) aggregation over the chunk table + a tiny rollup.
+    Q("text_cdc_dedup",
+      s"WITH $cdcChunkCte, " +
+        "src AS (SELECT doc_id, source FROM documents), " +
+        "pc AS (SELECT s.source, c.chunk_md5, COUNT(*) AS n " +
+        "FROM ch c JOIN src s USING (doc_id) GROUP BY 1, 2) " +
+        "SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks, " +
+        "COUNT(*)::BIGINT AS n_unique, " +
+        "CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_copies, " +
+        "ROUND(COUNT(*) / SUM(n)::DOUBLE, 6) AS unique_rate " +
+        "FROM pc GROUP BY 1 ORDER BY source") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Corpus.cdcChunks(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("chunk_md5"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_chunks"), count(lit(1)).as("n_unique"),
+          (sum(col("n")) - count(lit(1))).as("dup_copies"),
+          round(count(lit(1)) / sum(col("n")).cast("double"), 6).as("unique_rate"))
+        .orderBy(col("source"))
     },
 
     // PII/secret redaction — the scrub pass every training-data pipeline
