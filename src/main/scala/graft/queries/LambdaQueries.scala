@@ -235,6 +235,50 @@ object LambdaQueries {
             Window.currentRow)), 2).as("balance"),
           lead(col("valid_from_us"), 1).over(w).isNull.as("is_current"))
         .orderBy(col("wallet_id"), col("seq"))
+    },
+
+    // TEMPORAL (point-in-time) lookup against the SCD2 history — the
+    // warehouse query the intervals exist FOR: each lookup event reads
+    // the dimension version valid AT its timestamp ("what was the
+    // balance when this happened?"). Versions = events with event_id %
+    // 5 != 0 (the history), lookups = the ≡ 0 residue (~20 % probes;
+    // a value-sign split would be vacuous — this corpus has no
+    // non-positive values). The engine runs it as the union-sort AS-OF
+    // join (Relational.asOfJoin: one wallet_id shuffle, last-version-
+    // ignoreNulls window — never a per-pair interval nested loop); the
+    // oracle states the equivalent interval-containment join
+    // (vf <= t < vt) over the LEAD-built intervals. Balance is
+    // cumulative over positive version values, so ties resolve
+    // identically in both formulations.
+    Q("q_temporal_join",
+      "WITH dv AS (SELECT user_id AS wallet_id, epoch_us(ts) AS vf, event_id AS seq, " +
+        "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS UNBOUNDED PRECEDING), 2) AS balance FROM events " +
+        "WHERE value > 0 AND event_id % 5 <> 0), " +
+        "d2 AS (SELECT wallet_id, vf, LEAD(vf) OVER " +
+        "(PARTITION BY wallet_id ORDER BY vf, seq) AS vt, balance FROM dv), " +
+        "lk AS (SELECT user_id AS wallet_id, event_id AS lookup_id, epoch_us(ts) AS t " +
+        "FROM events WHERE event_id % 5 = 0) " +
+        "SELECT l.wallet_id, l.lookup_id, l.t AS ts_us, " +
+        "COALESCE(d.balance, 0.0) AS balance_asof " +
+        "FROM lk l LEFT JOIN d2 d ON d.wallet_id = l.wallet_id " +
+        "AND d.vf <= l.t AND (d.vt IS NULL OR l.t < d.vt) " +
+        "ORDER BY l.wallet_id, l.lookup_id") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val wv = Window.partitionBy(col("wallet_id")).orderBy(col("t"), col("seq"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dim = ev.filter(col("value") > 0 && col("event_id") % 5 =!= 0)
+        .select(col("user_id").as("wallet_id"), unix_micros(col("ts")).as("t"),
+          col("event_id").as("seq"), col("value"))
+        .withColumn("balance", round(sum(col("value")).over(wv), 2))
+        .select(col("wallet_id"), col("t"), col("balance"))
+      val lk = ev.filter(col("event_id") % 5 === 0)
+        .select(col("user_id").as("wallet_id"), col("event_id").as("lookup_id"),
+          unix_micros(col("ts")).as("t"))
+      graft.operators.Relational.asOfJoin(lk, dim, "wallet_id", "t", "balance")
+        .select(col("wallet_id"), col("lookup_id"), col("t").as("ts_us"),
+          coalesce(col("balance"), lit(0.0)).as("balance_asof"))
+        .orderBy(col("wallet_id"), col("lookup_id"))
     }
   )
 }
