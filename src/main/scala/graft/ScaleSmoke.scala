@@ -364,7 +364,11 @@ object ScaleSmoke {
       // event-type aggregates over 10× events; the probe sweep serves a
       // fixed-query tuning curve from the persisted index (~flat).
       "mm_video_dedup", "mm_audio_dedup", "q_sample_estimate",
-      "sim_probe_sweep")
+      "sim_probe_sweep",
+      // CDC chunk census = the chunk pipeline + one (source, digest)
+      // aggregation; temporal join = one wallet_id-shuffled union-sort
+      // as-of pass over 10× events with 10× wallets — both ~linear.
+      "text_cdc_dedup", "q_temporal_join")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
