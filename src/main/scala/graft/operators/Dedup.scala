@@ -648,6 +648,34 @@ object Dedup {
       k, bands, rows, threshold)
   }
 
+  /** Index COMPACTION for the text-dedup family — the build step that
+    * closes the continuous-ingest loop (the LSH analog of
+    * [[Similarity.compactIvfIndex]]): fold an accumulated batch into the
+    * persisted index by unioning the history artifact's rows with one
+    * shingle+sign pass over JUST the batch, recording the merged corpus
+    * fingerprint. History is never re-shingled — signatures are pure
+    * per-document functions, so artifact rows stay valid verbatim. After
+    * compaction [[lshServedPairs]] with the merged history serves the new
+    * artifact directly, and the next arriving batch probes
+    * history ∪ folded-batch asymmetrically as before. */
+  def compactLshIndex(hist: DataFrame, batch: DataFrame, oldPath: String,
+                      newPath: String, k: Int = 12, bands: Int = 4,
+                      rows: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val index = spark.read.parquet(oldPath)
+    val recordedFp = index.select(col("fingerprint")).limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("")
+    val liveFp = docFp(hist)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"LSH index at $oldPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeLshIndex")
+    index.select(col("doc_id"), col("sh"), col("bands"))
+      .unionByName(minhashed(batch, k, bands, rows)
+        .select(col("doc_id"), col("sh"), col("bands")))
+      .withColumn("fingerprint", lit(docFp(hist.unionByName(batch))))
+      .write.mode("overwrite").parquet(newPath)
+  }
+
   /** 64-bit SimHash signatures as a single narrow projection: per document,
     * for each bit position p, sum the ±1 contributions of every shingle's
     * md5 bit and majority-vote. Features are 3-gram shingles (not raw

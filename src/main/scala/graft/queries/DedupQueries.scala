@@ -69,7 +69,32 @@ object DedupQueries {
 
   /** Test hook: drop the in-memory path slots (simulates driver cache
     * eviction; the artifacts stay on disk for read-through). */
-  def invalidateIndexPathCache(): Unit = lshIndexCache.clear()
+  def invalidateIndexPathCache(): Unit = {
+    lshIndexCache.clear(); lshCompactCache.clear()
+  }
+
+  /** COMPACTION step closing the text-dedup ingest loop: a seed index
+    * over the older history (doc_id % 5 ∈ {1,2,3}) has the % 5 = 4 batch
+    * FOLDED in ([[Dedup.compactLshIndex]]: artifact rows reused verbatim,
+    * only the batch shingled+signed), producing an artifact whose
+    * recorded fingerprint covers the full % 5 ≠ 0 history — which the
+    * next batch (% 5 = 0) then probes. */
+  private val lshCompactCache = new ConcurrentHashMap[String, String]()
+  private def lshCompactedIndexFor(s: SparkSession, d: String): String =
+    lshCompactCache.computeIfAbsent(d, { _ =>
+      val path = s"$idxRoot/lshc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      val histFull = docs.filter(col("doc_id") % 5 =!= 0)
+      if (!Dedup.lshIndexFresh(s, path, histFull)) {
+        val hist0 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4)
+        val seed = path + "_seed"
+        if (!Dedup.lshIndexFresh(s, seed, hist0))
+          Dedup.writeLshIndex(hist0, seed)
+        Dedup.compactLshIndex(hist0, docs.filter(col("doc_id") % 5 === 4),
+          seed, path)
+      }
+      path
+    })
 
   val all: Seq[Q] = Seq(
 
@@ -406,6 +431,22 @@ object DedupQueries {
           docs.filter(col("doc_id") % 5 =!= 0),
           docs.filter(col("doc_id") % 5 === 0),
           indexPath = lshIndexFor(s, d))
+        .orderBy(col("new_id"), col("dup_of"))
+    },
+
+    // COMPACTION closes the text-dedup ingest loop: the % 5 = 4 batch is
+    // folded into the seed index as a build step (artifact rows reused
+    // verbatim — signatures are per-document, so history is never
+    // re-shingled), and this query is the next batch (% 5 = 0) probing
+    // the COMPACTED artifact. Identical results to dedup_lsh_served /
+    // dedup_incremental, so the same oracle certifies the whole
+    // build → serve → ingest → compact cycle.
+    Q("dedup_lsh_compacted", incrementalSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.lshServedPairs(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          indexPath = lshCompactedIndexFor(s, d))
         .orderBy(col("new_id"), col("dup_of"))
     },
 

@@ -38,6 +38,29 @@ class LshIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compaction folds a batch without re-shingling and serves identically") {
+    val docs = Tables.documents(spark, dir)
+    val hist0 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4)
+    val fold = docs.filter(col("doc_id") % 5 === 4)
+    val (histFull, batch) = split(docs)
+    val root = Files.createTempDirectory("graft_lshc_spec").toString
+    Dedup.writeLshIndex(hist0, s"$root/seed")
+    Dedup.compactLshIndex(hist0, fold, s"$root/seed", s"$root/merged")
+    // The compacted artifact serves the FULL history fingerprint...
+    val served = Dedup.lshServedPairs(histFull, batch, s"$root/merged")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ...and returns exactly what a from-scratch full-history index does.
+    Dedup.writeLshIndex(histFull, s"$root/full")
+    val fromScratch = Dedup.lshServedPairs(histFull, batch, s"$root/full")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == fromScratch)
+    // Compacting against a mismatched history is refused.
+    val ex = intercept[IllegalStateException] {
+      Dedup.compactLshIndex(histFull, fold, s"$root/seed", s"$root/bad")
+    }
+    assert(ex.getMessage.contains("stale"))
+  }
+
   test("a stale index (historical corpus changed) is refused at serve time") {
     val docs = Tables.documents(spark, dir)
     val (hist, batch) = split(docs)
