@@ -29,7 +29,7 @@ object DedupQueries {
     * the dedup_minhash_lsh signature/band machinery with an ASYMMETRIC
     * candidate join — new batch (doc_id % 5 = 0) bands against historical
     * (rest) bands only. */
-  private val incrementalSql =
+  private[queries] val incrementalSql =
     s"WITH $shinglesCte, " +
       "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
       "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
@@ -58,7 +58,7 @@ object DedupQueries {
     * is absent or stale — a cold cache costs a metadata read, not a
     * corpus rebuild. */
   private val lshIndexCache = new ConcurrentHashMap[String, String]()
-  private def lshIndexFor(s: SparkSession, d: String): String =
+  private[queries] def lshIndexFor(s: SparkSession, d: String): String =
     lshIndexCache.computeIfAbsent(d, { _ =>
       val path = s"$idxRoot/lsh_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val hist = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)

@@ -177,6 +177,62 @@ object StreamQueries {
       path
     })
 
+  /** Incoming-document feed (doc_id ≡ 0 mod 5 — the same batch
+    * convention as dedup_incremental) written as 3 parquet files so the
+    * replay spans multiple micro-batches; written once per (JVM, sf dir). */
+  private val docsFeedCache = new ConcurrentHashMap[String, String]()
+
+  private def docsBatchFeed(s: SparkSession, dir: String): String =
+    docsFeedCache.computeIfAbsent(dir, { _ =>
+      val path = s"$wsRoot/docfeed_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Streaming ingest dedup against the PERSISTED LSH index — dedup AT
+    * INGEST, the production placement of the near-dup gate: each
+    * micro-batch of arriving documents shingles, signs, and probes the
+    * historical index artifact asymmetrically (batch×history only) via
+    * `foreachBatch`, appending verified pairs to the output log. The
+    * stream itself is STATELESS — all corpus knowledge lives in the
+    * artifact, per-batch cost tracks the batch, and because every doc
+    * arrives exactly once, per-batch DISTINCT composes into the global
+    * result: the output is row-identical to the batch `dedup_lsh_served`,
+    * which is the oracle. */
+  private def streamLshDedup(s: SparkSession, dir: String): DataFrame = {
+    val feed = docsBatchFeed(s, dir)
+    val hist = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+    val indexPath = DedupQueries.lshIndexFor(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val out = s"$work/pairs"
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val probe: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (batch, _) =>
+          graft.operators.Dedup.lshServedPairs(hist, batch, indexPath)
+            .write.mode("append").parquet(out)
+      q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+        .option("maxFilesPerTrigger", "1") // one batch file per micro-batch
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .foreachBatch(probe)
+        .start()
+      drain(q)
+      s.read.parquet(out).orderBy(col("new_id"), col("dup_of"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** With SPARK_GRAFT_STREAM_FORENSICS=1, each invocation prints one JSON
     * line to stderr splitting wall time into: feed availability (cached
     * after the first query), hop1+collector (concurrent), hop2, and the
@@ -1014,6 +1070,18 @@ object StreamQueries {
         "GROUP BY 1 ORDER BY 1") {
       (s, d) => materialized(s, "stream_enrich", eventsFeed(s, d))(
         streamEnrich(s, d))(_.orderBy(col("segment")))
+    },
+
+    // Streaming ingest dedup against the persisted LSH index: arriving
+    // documents replay one batch file per micro-batch, each probing the
+    // historical artifact asymmetrically inside foreachBatch — dedup AT
+    // INGEST, stateless in the stream (corpus knowledge lives in the
+    // artifact; per-batch cost tracks the batch). Oracle = the batch
+    // served/incremental probe: the micro-batch split must be invisible
+    // in the pair set.
+    Q("stream_lsh_dedup", DedupQueries.incrementalSql) {
+      (s, d) => materialized(s, "stream_lsh_dedup", docsBatchFeed(s, d))(
+        streamLshDedup(s, d))(_.orderBy(col("new_id"), col("dup_of")))
     }
   )
 }
