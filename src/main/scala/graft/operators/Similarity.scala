@@ -615,6 +615,48 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** FILTERED ANN — metadata-constrained vector search, the production
+    * requirement plain top-k misses ("nearest neighbors WITH label =
+    * X"): the predicate applies INSIDE the candidate scan, before
+    * ranking, so all k survivors are guaranteed to satisfy it —
+    * post-filtering a finished top-k can return fewer than k (or none).
+    * Here the constraint is same-label-as-query; the label travels as a
+    * PAYLOAD COLUMN of the persisted inverted file (its own `ivf_cells_lab`
+    * artifact), which is how a production index serves filters without a
+    * corpus join at query time. Everything else is the [[ivfTopKServed]]
+    * cell-probe shape. */
+  def ivfTopKServedSameLabel(emb: DataFrame, queries: DataFrame, k: Int,
+                             nProbe: Int, indexPath: String): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
+    val liveFp = contentFp(emb)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    val model = centroidDf(spark, cents)
+    val cells = IndexCache.cachedFrame(spark, "ivf_cells_lab",
+        centsDigest(cents.toSeq), liveFp) {
+      cellsOf(prep(emb), model)
+        .join(emb.select(col("vec_id").as("nid"), col("label").as("nlab")), "nid")
+    }
+    val q = prep(queries)
+      .join(queries.select(col("vec_id"), col("label").as("qlab")), "vec_id")
+    val probes = q.crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"),
+        first(col("qlab")).as("qlab"))
+      .select(col("vec_id").as("qid"), explode(col("pcs")).as("pc"),
+        col("qv"), col("qn"), col("qlab"))
+      .select(col("qid"), col("pc.cid").as("cid"), col("qv"), col("qn"),
+        col("qlab"))
+    val scored = cells.join(broadcast(probes), "cid")
+      .where(col("nid") =!= col("qid") && col("nlab") === col("qlab"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** The inverted-file row shape: (nid, cid, vector payload, norm). */
   private def cellsOf(vecs: DataFrame, model: DataFrame): DataFrame =
     assignNearest(vecs, model, Seq("v", "nrm"))

@@ -354,6 +354,20 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // FILTERED ANN — same-label top-3 from the served index: the label
+    // predicate applies INSIDE the candidate scan (post-filtering a
+    // finished top-k can return < k results), and the label travels as a
+    // payload column of the persisted inverted file, so serving needs no
+    // corpus join. The oracle replays training + the label-constrained
+    // probe.
+    Q("sim_filtered_ann", ivfFilteredSql(nCells = 16, iters = 3, k = 3,
+      nProbe = 2, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      Similarity.ivfTopKServedSameLabel(embT, embT.filter(col("vec_id") < 10),
+          k = 3, nProbe = 2, indexPath = ivfIndexFor(s, d))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // COMPACTION closes the ingest loop: the delta is folded into the
     // persisted index as a build step (history cells reused from the
     // artifact, only the batch assigned; new centroid artifact records the
@@ -818,6 +832,24 @@ object SimilarityQueries {
       "cell AS (SELECT r.vec_id AS nid, r.cid, n.v AS nv, n.nrm AS nn " +
       "FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1)"
   }
+
+  /** Filtered-ANN replay: the trained probe with a same-label constraint
+    * applied inside the candidate scan (labels joined from the source
+    * table — the engine carries them as index payload). */
+  private def ivfFilteredSql(nCells: Int, iters: Int, k: Int, nProbe: Int,
+                             nQueries: Int): String =
+    ivfTrainedCellSql(nCells, iters) + ", " +
+      "lab AS (SELECT vec_id, label FROM embeddings), " +
+      "probe AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn, lq.label AS qlab " +
+      s"FROM rf r JOIN n ON n.vec_id = r.vec_id JOIN lab lq ON lq.vec_id = r.vec_id " +
+      s"WHERE r.rn <= $nProbe AND r.vec_id < $nQueries), " +
+      "scored AS (SELECT qid, nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
+      "FROM probe JOIN cell USING (cid) JOIN lab la ON la.vec_id = nid " +
+      "WHERE nid != qid AND la.label = qlab), " +
+      "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored) " +
+      s"SELECT qid, rank, nid, cosine FROM r2 WHERE rank <= $k ORDER BY qid, rank"
 
   /** Recall@k at SEVERAL probe widths in one statement — the tuning
     * curve an ANN deployment publishes (recall vs probe cost). Training
