@@ -354,6 +354,33 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // HARD-NEGATIVE mining — the contrastive-training data op (DPR/E5
+    // recipe): for each query, positive = the exact nearest neighbor,
+    // hard negatives = the top served-ANN hits that are NOT the positive
+    // — similar enough to be informative, wrong enough to teach. Output
+    // is the (query, positive, negative) triple table a dataloader
+    // consumes. Built entirely from the served index + one exact top-1
+    // pass over the bounded query set.
+    Q("pipeline_hard_negatives", hardNegativesSql(nCells = 16, iters = 3,
+      listK = 5, nNeg = 3, nProbe = 2, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val qs = embT.filter(col("vec_id") < 10)
+      val bf1 = Similarity.bruteForceTopK(embT, qs, k = 1)
+        .select(col("qid"), col("nid").as("pos_id"))
+      val ivf = Similarity.ivfTopKServed(embT, qs, k = 5, nProbe = 2,
+          indexPath = ivfIndexFor(s, d))
+        .select(col("qid"), col("nid"), col("rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("rank"))
+      ivf.join(bf1, "qid")
+        .where(col("nid") =!= col("pos_id"))
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .where(col("neg_rank") <= 3)
+        .select(col("qid"), col("pos_id"), col("neg_rank"),
+          col("nid").as("neg_id"))
+        .orderBy(col("qid"), col("neg_rank"))
+    },
+
     // FILTERED ANN — same-label top-3 from the served index: the label
     // predicate applies INSIDE the candidate scan (post-filtering a
     // finished top-k can return < k results), and the label travels as a
@@ -832,6 +859,25 @@ object SimilarityQueries {
       "cell AS (SELECT r.vec_id AS nid, r.cid, n.v AS nv, n.nrm AS nn " +
       "FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn = 1)"
   }
+
+  /** Hard-negative replay: the IVF ranking (depth `listK`) joined to the
+    * exact top-1, positives removed, first `nNeg` survivors kept. */
+  private def hardNegativesSql(nCells: Int, iters: Int, listK: Int,
+                               nNeg: Int, nProbe: Int, nQueries: Int): String =
+    ivfKmeansCoreSql(nCells, iters, nProbe, nQueries) +
+      s", ivf AS (SELECT qid, nid, rank FROM r2 WHERE rank <= $listK), " +
+      "bfs AS (SELECT q.vec_id AS qid, c.vec_id AS nid, " +
+      "ROUND(list_sum(list_transform(range(1, len(q.v) + 1), " +
+      "i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine " +
+      s"FROM n q, n c WHERE q.vec_id < $nQueries AND c.vec_id != q.vec_id), " +
+      "bf1 AS (SELECT qid, nid AS pos_id FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bfs) " +
+      "WHERE rnk = 1), " +
+      "negs AS (SELECT i.qid, b.pos_id, i.nid AS neg_id, ROW_NUMBER() OVER " +
+      "(PARTITION BY i.qid ORDER BY i.rank) AS neg_rank " +
+      "FROM ivf i JOIN bf1 b ON b.qid = i.qid WHERE i.nid != b.pos_id) " +
+      s"SELECT qid, pos_id, neg_rank, neg_id FROM negs WHERE neg_rank <= $nNeg " +
+      "ORDER BY qid, neg_rank"
 
   /** Filtered-ANN replay: the trained probe with a same-label constraint
     * applied inside the candidate scan (labels joined from the source
