@@ -368,7 +368,11 @@ object ScaleSmoke {
       // CDC chunk census = the chunk pipeline + one (source, digest)
       // aggregation; temporal join = one wallet_id-shuffled union-sort
       // as-of pass over 10× events with 10× wallets — both ~linear.
-      "text_cdc_dedup", "q_temporal_join")
+      "text_cdc_dedup", "q_temporal_join",
+      // Filtered ANN and hard-negative mining serve the persisted index
+      // over a fixed query set (~flat); compacted-LSH is the served
+      // probe plus a one-off fold build.
+      "sim_filtered_ann", "pipeline_hard_negatives", "dedup_lsh_compacted")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
