@@ -330,12 +330,18 @@ object Multimodal {
     // frame, the decode is the expensive part (measured 4× at sf0.1).
     val hashes = rawHashes.localCheckpoint()
     val nf = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    val banded = hashes.where(col("frame_idx") === 0)
-      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+    // The frame count joins the blocking key: equal counts are already
+    // REQUIRED by the verify predicate, so keying the buckets by nf is
+    // lossless and splits every band bucket by video length — standard
+    // blocking hygiene (push every equality conjunct of the match
+    // predicate into the candidate key).
+    val banded = hashes.where(col("frame_idx") === 0).join(nf, "doc_id")
+      .select(col("doc_id"), col("nf"), posexplode(array((0 until 4).map(b =>
         expr(s"shiftrightunsigned(phash, ${16 * b}) & 65535")): _*))
         .as(Seq("band_idx", "band")))
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
+        col("a.nf") === col("b.nf") &&
+          col("a.band_idx") === col("b.band_idx") &&
           col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("dup_a"), col("b.doc_id").as("dup_b"))

@@ -96,6 +96,56 @@ object DedupQueries {
       path
     })
 
+  /** Shared URL fixture + canonicalization oracle CTEs through `canon`
+    * (doc_id, canonical) — see the dedup_url registration for the
+    * fixture/policy description. */
+  private val urlCanonCte: String =
+    "urls AS (SELECT doc_id, CASE doc_id % 4 " +
+      "WHEN 0 THEN 'https://Example.COM/articles/page' || (doc_id // 4)::VARCHAR " +
+      "WHEN 1 THEN 'http://example.com/articles/page' || (doc_id // 4)::VARCHAR || '/' " +
+      "WHEN 2 THEN 'https://www.example.com/articles/page' || (doc_id // 4)::VARCHAR || " +
+      "'?utm_source=feed&utm_campaign=x' " +
+      "ELSE 'https://example.com/articles/page' || (doc_id // 4)::VARCHAR || " +
+      "'?z=1&id=' || (doc_id % 7)::VARCHAR || '&utm_medium=rss' END AS url FROM documents), " +
+      "parts AS (SELECT doc_id, " +
+      "regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host, " +
+      "regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path, " +
+      "array_to_string(list_sort(list_filter(string_split(" +
+      "regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
+      "p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM urls), " +
+      "canon AS (SELECT doc_id, 'https://' || host || path || " +
+      "CASE WHEN q != '' THEN '?' || q ELSE '' END AS canonical FROM parts)"
+
+  /** Spark side of [[urlCanonCte]]: (doc_id, canonical). */
+  private def canonicalUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val urls = docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://Example.COM/articles/page"),
+          expr("doc_id div 4").cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://example.com/articles/page"),
+            expr("doc_id div 4").cast("string"), lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://www.example.com/articles/page"),
+            expr("doc_id div 4").cast("string"),
+            lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://example.com/articles/page"),
+          expr("doc_id div 4").cast("string"), lit("?z=1&id="),
+          (col("doc_id") % 7).cast("string"), lit("&utm_medium=rss")))
+        .as("url"))
+    urls.select(col("doc_id"),
+        regexp_replace(lower(regexp_extract(col("url"),
+          "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "").as("host"),
+        regexp_replace(regexp_extract(col("url"),
+          "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "").as("path"),
+        expr("array_join(array_sort(filter(split(" +
+          "regexp_extract(url, '\\\\?([^#]*)', 1), '&'), " +
+          "p -> p != '' AND NOT startswith(p, 'utm_'))), '&')").as("q"))
+      .select(col("doc_id"), concat(lit("https://"), col("host"),
+        col("path"), when(col("q") =!= "",
+          concat(lit("?"), col("q"))).otherwise("")).as("canonical"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup by content hash.
@@ -498,6 +548,50 @@ object DedupQueries {
         .orderBy(col("source"))
     },
 
+    // SURVIVORSHIP (golden-record merge) — the MDM step AFTER dedup
+    // finds clusters: per duplicate cluster (here the canonical-URL
+    // clusters dedup_url produces — the corpus has no exact-text dups,
+    // so URL re-crawls are the genuinely multi-member clusters), each
+    // FIELD is resolved by its own policy instead of keeping one whole
+    // row (contrast dedup_canonical): keeper id = min, language =
+    // majority vote with a deterministic lexicographic tie-break, source
+    // = latest-writer-wins (max_by over doc_id), plus the
+    // source-disagreement count. One (cluster, lang) vote aggregate +
+    // one per-cluster aggregate — no pairwise stage.
+    Q("q_dedup_survivorship",
+      s"WITH $urlCanonCte, " +
+        "g AS (SELECT c.canonical AS h, d.doc_id, d.lang, d.source " +
+        "FROM canon c JOIN documents d USING (doc_id)), " +
+        "lc AS (SELECT h, lang, COUNT(*) AS c FROM g GROUP BY 1, 2), " +
+        "lm AS (SELECT h, lang AS lang_consensus FROM (SELECT h, lang, " +
+        "ROW_NUMBER() OVER (PARTITION BY h ORDER BY c DESC, lang) AS rn FROM lc) " +
+        "WHERE rn = 1), " +
+        "agg AS (SELECT h, COUNT(*)::BIGINT AS n_copies, MIN(doc_id) AS keeper_id, " +
+        "arg_max(source, doc_id) AS source_latest, " +
+        "COUNT(DISTINCT source)::BIGINT AS n_sources FROM g GROUP BY 1) " +
+        "SELECT a.h AS canonical, n_copies, keeper_id, lang_consensus, " +
+        "source_latest, n_sources FROM agg a JOIN lm USING (h) " +
+        "WHERE n_copies > 1 ORDER BY canonical") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val g = canonicalUrls(docs).join(
+        docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .select(col("canonical").as("h"), col("doc_id"), col("lang"),
+          col("source"))
+      val wl = Window.partitionBy(col("h")).orderBy(col("c").desc, col("lang"))
+      val lm = g.groupBy(col("h"), col("lang")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wl)).where(col("rn") === 1)
+        .select(col("h"), col("lang").as("lang_consensus"))
+      g.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"),
+          max_by(col("source"), col("doc_id")).as("source_latest"),
+          countDistinct(col("source")).as("n_sources"))
+        .join(lm, "h")
+        .where(col("n_copies") > 1)
+        .select(col("h").as("canonical"), col("n_copies"), col("keeper_id"),
+          col("lang_consensus"), col("source_latest"), col("n_sources"))
+        .orderBy(col("canonical"))
+    },
+
     // URL-canonicalization dedup — the web-corpus (CommonCrawl-style)
     // dedup pass that runs BEFORE any content hashing: the same page is
     // crawled under many raw URLs, and canonicalizing collapses them
@@ -512,52 +606,13 @@ object DedupQueries {
     // distinct — kept params must prevent false merges. Pure per-row
     // string work + ONE canonical-keyed aggregation; no pairwise stage.
     Q("dedup_url", {
-      "WITH urls AS (SELECT doc_id, CASE doc_id % 4 " +
-        "WHEN 0 THEN 'https://Example.COM/articles/page' || (doc_id // 4)::VARCHAR " +
-        "WHEN 1 THEN 'http://example.com/articles/page' || (doc_id // 4)::VARCHAR || '/' " +
-        "WHEN 2 THEN 'https://www.example.com/articles/page' || (doc_id // 4)::VARCHAR || " +
-        "'?utm_source=feed&utm_campaign=x' " +
-        "ELSE 'https://example.com/articles/page' || (doc_id // 4)::VARCHAR || " +
-        "'?z=1&id=' || (doc_id % 7)::VARCHAR || '&utm_medium=rss' END AS url FROM documents), " +
-        "parts AS (SELECT doc_id, " +
-        "regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host, " +
-        "regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path, " +
-        "array_to_string(list_sort(list_filter(string_split(" +
-        "regexp_extract(url, '\\?([^#]*)', 1), '&'), " +
-        "p -> p != '' AND NOT starts_with(p, 'utm_'))), '&') AS q FROM urls), " +
-        "canon AS (SELECT doc_id, 'https://' || host || path || " +
-        "CASE WHEN q != '' THEN '?' || q ELSE '' END AS canonical FROM parts), " +
+      s"WITH $urlCanonCte, " +
         "g AS (SELECT canonical, COUNT(*)::BIGINT AS n_docs, " +
         "MIN(doc_id) AS keeper FROM canon GROUP BY 1) " +
         "SELECT canonical, n_docs, keeper FROM g WHERE n_docs > 1 " +
         "ORDER BY canonical"
     }) { (s, d) =>
-      val urls = Tables.documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit("https://Example.COM/articles/page"),
-            expr("doc_id div 4").cast("string")))
-          .when(col("doc_id") % 4 === 1,
-            concat(lit("http://example.com/articles/page"),
-              expr("doc_id div 4").cast("string"), lit("/")))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("https://www.example.com/articles/page"),
-              expr("doc_id div 4").cast("string"),
-              lit("?utm_source=feed&utm_campaign=x")))
-          .otherwise(concat(lit("https://example.com/articles/page"),
-            expr("doc_id div 4").cast("string"), lit("?z=1&id="),
-            (col("doc_id") % 7).cast("string"), lit("&utm_medium=rss")))
-          .as("url"))
-      urls.select(col("doc_id"),
-          regexp_replace(lower(regexp_extract(col("url"),
-            "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "").as("host"),
-          regexp_replace(regexp_extract(col("url"),
-            "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "").as("path"),
-          expr("array_join(array_sort(filter(split(" +
-            "regexp_extract(url, '\\\\?([^#]*)', 1), '&'), " +
-            "p -> p != '' AND NOT startswith(p, 'utm_'))), '&')").as("q"))
-        .select(col("doc_id"), concat(lit("https://"), col("host"),
-          col("path"), when(col("q") =!= "",
-            concat(lit("?"), col("q"))).otherwise("")).as("canonical"))
+      canonicalUrls(Tables.documents(s, d))
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .where(col("n_docs") > 1)

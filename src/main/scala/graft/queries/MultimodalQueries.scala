@@ -328,11 +328,11 @@ private object PhashOracle {
       "FROM px), " +
     "bits AS (SELECT doc_id, nf, f, k, CASE WHEN 64 * g > " +
       "SUM(g) OVER (PARTITION BY doc_id, f) THEN 1 ELSE 0 END AS bit FROM gr), " +
-    "bands AS (SELECT doc_id, k // 16 AS band_idx, " +
+    "bands AS (SELECT doc_id, nf, k // 16 AS band_idx, " +
       "CAST(SUM(bit << (k % 16)) AS BIGINT) AS band FROM bits " +
-      "WHERE f = 0 GROUP BY 1, 2), " +
+      "WHERE f = 0 GROUP BY 1, 2, 3), " +
     "cand AS (SELECT DISTINCT a.doc_id AS dup_a, b.doc_id AS dup_b " +
-      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
+      "FROM bands a JOIN bands b ON a.nf = b.nf AND a.band_idx = b.band_idx " +
       "AND a.band = b.band AND a.doc_id < b.doc_id), " +
     "fham AS (SELECT c.dup_a, c.dup_b, ba.f, " +
       "CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming " +
