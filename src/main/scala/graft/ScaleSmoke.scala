@@ -372,7 +372,15 @@ object ScaleSmoke {
       // Filtered ANN and hard-negative mining serve the persisted index
       // over a fixed query set (~flat); compacted-LSH is the served
       // probe plus a one-off fold build.
-      "sim_filtered_ann", "pipeline_hard_negatives", "dedup_lsh_compacted")
+      "sim_filtered_ann", "pipeline_hard_negatives", "dedup_lsh_compacted",
+      // Survivorship = the URL-canonicalization pass + one cluster-keyed
+      // aggregation with per-field policies (~linear like dedup_url).
+      "q_dedup_survivorship",
+      // Binary (1-bit) quantization rerank: the scan reads 8 bytes/vector
+      // and the Hamming shortlist is integer work — expected ~linear in
+      // the corpus at fixed queries, with the smallest constant of the
+      // quantization ladder.
+      "sim_binary_rerank")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

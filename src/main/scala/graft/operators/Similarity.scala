@@ -1089,6 +1089,52 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Sign bits of `v` for dims [32·word, 32·word+32) packed into one long
+    * (bit i set iff v[32·word+i] > 0). Two 32-bit words per 64-dim vector
+    * keep every shift ≤ 31 — a 1<<63 BIGINT shift overflows in some
+    * engines — and integer packing makes the downstream Hamming scores
+    * exact arithmetic, identical everywhere. */
+  private def signWord(v: Column, word: Int): Column =
+    aggregate(
+      transform(slice(v, 32 * word + 1, 32),
+        // 2^i is exact in a double for i ≤ 31, so the cast back to long is
+        // the same integer shiftleft(1L, i) would produce (the DSL's
+        // shiftleft only takes a literal shift, not the lambda index).
+        (x, i) => when(x > 0.0, pow(lit(2.0), i).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+
+  /** 1-bit binary quantization + Hamming shortlist + exact rerank — the
+    * last rung of the quantization ladder (float32 → int8 `sqRerankTopK` →
+    * PQ codes → sign bits): the corpus streams as 8 BYTES per 64-dim
+    * vector (32× less traffic than float32), the shortlist ranks by
+    * popcount(xor) of the packed words — small Hamming distance between
+    * sign patterns ≈ small angle, the binary-quantization serving trick —
+    * and only shortlist×|queries| full-precision vectors are touched for
+    * the exact cosine rerank. Both stages are integer-exact, so the
+    * shortlist is deterministic across engines. */
+  def binaryRerankTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                       shortlist: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val coded = e.select(col("vec_id"), col("v"),
+      signWord(col("v"), 0).as("w0"), signWord(col("v"), 1).as("w1"))
+    val q = coded.join(queries.select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val approx = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"), col("v").as("nv"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).as("ham"))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nid"))
+    val cand = approx.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+    val scored = cand
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (l2Norm(col("qv")) * l2Norm(col("nv"))), 6)
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Truncated-prefix (matryoshka-style) top-k with exact rerank: the
     * shortlist ranks by the dot product over only the FIRST `prefixDims`
     * dimensions — the nested-representation trick (embeddings trained so

@@ -468,6 +468,43 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rank"))
     },
 
+    // 1-bit binary quantization: sign bits packed into two 32-bit words
+    // (8 bytes per 64-dim vector — 32× less scan traffic than float32),
+    // Hamming (popcount-of-xor) shortlist, exact cosine rerank. Both the
+    // packing and the Hamming score are integer-exact, so the shortlist is
+    // engine-deterministic; shifts stay ≤ 31 because a 1<<63 BIGINT shift
+    // overflows in some engines. The last rung of the quantization ladder
+    // next to int8 (sim_sq_rerank) and PQ (sim_pq_rerank).
+    Q("sim_binary_rerank",
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "c AS (SELECT vec_id, v, " +
+        "list_sum(list_transform(range(1, 33), " +
+        "i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS w0, " +
+        "list_sum(list_transform(range(33, 65), " +
+        "i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS w1 " +
+        "FROM e), " +
+        "q AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1 FROM c " +
+        "WHERE vec_id < 10), " +
+        "a AS (SELECT qid, c.vec_id AS nid, c.v AS nv, qv, " +
+        "bit_count(xor(c.w0, qw0)) + bit_count(xor(c.w1, qw1)) AS ham " +
+        "FROM q, c WHERE c.vec_id != qid), " +
+        "s AS (SELECT qid, nid, nv, qv, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY ham, nid) AS srank FROM a), " +
+        "r AS (SELECT qid, nid, ROUND(" +
+        "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * nv[i])) / " +
+        "(sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) * " +
+        "sqrt(list_sum(list_transform(range(1, len(nv) + 1), i -> nv[i] * nv[i])))), 6) " +
+        "AS cosine FROM s WHERE srank <= 50), " +
+        "t AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM r) " +
+        "SELECT qid, rank, nid, cosine FROM t WHERE rank <= 5 ORDER BY qid, rank") {
+      (s, d) =>
+        val embT = emb(s, d)
+        Similarity.binaryRerankTopK(embT, embT.filter(col("vec_id") < 10),
+            k = 5, shortlist = 50)
+          .orderBy(col("qid"), col("rank"))
+    },
+
     // IVF-PQ composite — the FAISS-style production serve at 100 TB:
     // coarse IVF routing cuts candidates to nProbe cells, ADC over 8-byte
     // PQ codes cuts scan bandwidth 32x, exact L2 reranks only the
