@@ -380,7 +380,11 @@ object ScaleSmoke {
       // and the Hamming shortlist is integer work — expected ~linear in
       // the corpus at fixed queries, with the smallest constant of the
       // quantization ladder.
-      "sim_binary_rerank")
+      "sim_binary_rerank",
+      // PCA train+project: the covariance sufficient statistics are one
+      // integer-triple shuffle into d² groups (map-side combined) + a
+      // map-side projection pass — expected ~linear in the corpus.
+      "sim_pca_project")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

@@ -1135,6 +1135,78 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Top-principal-component projection — PCA as an aggregation-trained
+    * linear model, the embedding-preprocessing step (decorrelation /
+    * dominant-direction scoring) a training-data pipeline runs before
+    * cosine dedup or clustering. Engine shape: vectors quantize to a 1e-4
+    * integer grid map-side, the covariance's sufficient statistics are ONE
+    * shuffle of (i, j, Σxᵢxⱼ) integer triples (d² = 4 096 groups — partial
+    * aggregation collapses the explode map-side) plus a d-group Σxᵢ pass,
+    * and the centered matrix n·Σxy − Σx·Σy assembles DRIVER-SIDE as a
+    * bounded d×d model (exact long arithmetic — order-free, so the
+    * distributed sum needs no rounding discipline). `iters` power
+    * iterations (max-abs normalization, every iterate snapped to a 1e-6
+    * grid with floor(x+0.5) — the engine-portable rounding) yield the
+    * dominant eigenvector, persisted read-through like every trained
+    * model; the projection pass is one map-side fold against the
+    * broadcast-literal eigenvector. Nothing driver-side grows with n. */
+  def pcaProject(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        x => floor(x * 1e4 + 0.5).cast("long")).as("xi"))
+    val w: Array[Double] =
+      cachedModel[Array[Double]]("pca", emb, s"$iters",
+        read = p => spark.read.parquet(p).head().getSeq[Double](0).toArray,
+        write = (p, m) => {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(
+            Seq(org.apache.spark.sql.Row(m.toSeq)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("w",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType), nullable = false))))
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        }) {
+        val n = e.count()
+        val sx = e.select(posexplode(col("xi")).as(Seq("i", "x")))
+          .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val d = sx.size
+        val c = Array.ofDim[Double](d, d)
+        e.select(explode(expr("flatten(transform(xi, (x, i) -> " +
+            "transform(xi, (y, j) -> struct(i AS i, j AS j, x * y AS xy))))"))
+            .as("p"))
+          .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+          .agg(sum(col("p.xy")).as("sxy"))
+          .collect()
+          .foreach { r =>
+            val i = r.getInt(0); val j = r.getInt(1)
+            // |x| < 1 ⇒ grid values < 1e4, so n·Σxy stays far inside a
+            // long AND inside double's 2^53 at oracle scales — the cast
+            // is exact where the oracle compares, deterministic always.
+            c(i)(j) = (n * r.getLong(2) - sx(i) * sx(j)).toDouble
+          }
+        var v = Array.fill(d)(1.0)
+        for (_ <- 1 to iters) {
+          val raw = Array.tabulate(d) { i =>
+            var s = 0.0; var j = 0
+            while (j < d) { s += c(i)(j) * v(j); j += 1 } // left fold, like
+            s                                             // the SQL list_sum
+          }
+          val m = raw.map(math.abs).max
+          v = raw.map(x => math.floor(x / m * 1e6 + 0.5) / 1e6)
+        }
+        v
+      }
+    val wLit = w.map(x => String.format(java.util.Locale.ROOT, "%.6fD", Double.box(x)))
+      .mkString("array(", ", ", ")")
+    e.select(col("vec_id"),
+      round(expr(s"aggregate(zip_with(xi, $wLit, " +
+        "(a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, t) -> acc + t)") / 1e4, 6)
+        .as("pc1"))
+  }
+
   /** Truncated-prefix (matryoshka-style) top-k with exact rerank: the
     * shortlist ranks by the dot product over only the FIRST `prefixDims`
     * dimensions — the nested-representation trick (embeddings trained so

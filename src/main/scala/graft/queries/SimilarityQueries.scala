@@ -475,6 +475,18 @@ object SimilarityQueries {
     // engine-deterministic; shifts stay ≤ 31 because a 1<<63 BIGINT shift
     // overflows in some engines. The last rung of the quantization ladder
     // next to int8 (sim_sq_rerank) and PQ (sim_pq_rerank).
+    // Top-principal-component projection: PCA trained as an aggregation
+    // (covariance sufficient statistics in EXACT integer space on a 1e-4
+    // grid — the distributed sums are order-free longs, no rounding
+    // discipline needed), 3 power iterations snapped to a 1e-6 grid with
+    // the engine-portable floor(x+0.5), projection as one map-side fold
+    // against the broadcast eigenvector. The oracle replays the grid
+    // quantization, the integer moments, the iteration chain, AND the
+    // projection — the full train+apply cycle in SQL.
+    Q("sim_pca_project", pcaSql(iters = 3, d = 64)) { (s, d) =>
+      Similarity.pcaProject(emb(s, d), iters = 3).orderBy(col("vec_id"))
+    },
+
     Q("sim_binary_rerank",
       "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "c AS (SELECT vec_id, v, " +
@@ -1102,5 +1114,39 @@ object SimilarityQueries {
       s"SELECT qid, CAST($t AS BIGINT) AS it, nid, mmri FROM p$t").mkString(" UNION ALL ")
     s"$base$rounds SELECT qid, it, nid, " +
       s"mmri / CAST(10000000 AS DOUBLE) AS mmr FROM ($union) ORDER BY qid, it"
+  }
+
+  /** DuckDB replay of [[Similarity.pcaProject]]: 1e-4 grid quantization,
+    * exact-integer covariance sufficient statistics (n·Σxy − Σx·Σy over
+    * BIGINT sums — HUGEINT on the DuckDB side, value-identical where the
+    * engine's longs don't overflow, which the |x| < 1 grid guarantees),
+    * `iters` unrolled power-iteration CTEs (left-fold list_sum matrix
+    * product ≡ the driver's ascending-j loop; max-abs normalization;
+    * every iterate snapped to the 1e-6 grid with floor(x+0.5)), then the
+    * per-vector projection fold. */
+  private def pcaSql(iters: Int, d: Int): String = {
+    val r = s"range(1, ${d + 1})"
+    val base =
+      "WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], " +
+        "x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS xi FROM embeddings), " +
+        "nn AS (SELECT COUNT(*) AS n FROM e), " +
+        s"sx AS (SELECT i, SUM(xi[i]) AS s FROM e, $r t(i) GROUP BY i), " +
+        "sxy AS (SELECT t1.i AS i, t2.j AS j, SUM(xi[t1.i] * xi[t2.j]) AS s " +
+        s"FROM e, $r t1(i), $r t2(j) GROUP BY 1, 2), " +
+        "cm AS (SELECT p.i AS i, " +
+        "list(CAST(nn.n * p.s - a.s * b.s AS DOUBLE) ORDER BY p.j) AS crow " +
+        "FROM sxy p, nn, sx a, sx b WHERE a.i = p.i AND b.i = p.j GROUP BY p.i), " +
+        "it0 AS (SELECT (SELECT list(crow ORDER BY i) FROM cm) AS c, " +
+        s"list_transform($r, x -> 1.0) AS w)"
+    val steps = (1 to iters).map { t =>
+      s", it$t AS (SELECT c, list_transform(raw, " +
+        "x -> floor(x / m * 1000000 + 0.5) / 1000000) AS w FROM (" +
+        "SELECT c, raw, list_max(list_transform(raw, x -> abs(x))) AS m FROM (" +
+        s"SELECT c, list_transform($r, i -> list_sum(list_transform($r, " +
+        s"j -> c[i][j] * w[j]))) AS raw FROM it${t - 1})))"
+    }.mkString
+    s"$base$steps SELECT e.vec_id AS vec_id, " +
+      s"ROUND(list_sum(list_transform($r, i -> CAST(xi[i] AS DOUBLE) * w[i]))" +
+      s" / 10000, 6) AS pc1 FROM e, it$iters ORDER BY vec_id"
   }
 }
