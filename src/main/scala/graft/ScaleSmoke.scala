@@ -229,7 +229,11 @@ object ScaleSmoke {
       replicateDocs(spark.read.parquet(s"$zBase/documents.parquet"), zBig)
       val zNames = Seq("dedup_char_jaccard", "dedup_ngram_jaccard",
         "dedup_edit_distance", "dedup_canonical", "dedup_minhash_lsh",
-        "dedup_containment")
+        "dedup_containment",
+        // The remaining heavy text dedups: simhash's bit votes and the
+        // span digests both scale with shingle volume, so the natural-
+        // vocabulary fixture is the regime to certify them in too.
+        "dedup_simhash", "dedup_duplicate_spans")
       val zOnly = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       def ztime(fn: () => DataFrame): (Double, Long) = {
