@@ -661,6 +661,11 @@ object Dedup {
   def compactLshIndex(hist: DataFrame, batch: DataFrame, oldPath: String,
                       newPath: String, k: Int = 12, bands: Int = 4,
                       rows: Int = 3): Unit = {
+    // The merged index reads the old artifact LAZILY while writing the
+    // new one; an in-place compaction would delete the very files the
+    // write is still scanning. Compact to a sibling, then swap upstream.
+    require(newPath != oldPath,
+      s"compactLshIndex cannot compact in place ($oldPath); write to a sibling path")
     val spark = batch.sparkSession
     val index = spark.read.parquet(oldPath)
     val recordedFp = index.select(col("fingerprint")).limit(1).collect()
