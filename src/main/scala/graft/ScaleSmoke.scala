@@ -326,6 +326,9 @@ object ScaleSmoke {
       // token-keyed shuffle — all expected ~linear or flatter.
       "text_bpe_train", "pipeline_quality_lr", "sim_sparse_topk",
       "corpus_kl_drift",
+      // Served bigram LM: holdout bigrams join the persisted count
+      // artifacts — the score join is the only corpus-proportional stage.
+      "corpus_nll_served",
       // Containment rides the same banded-candidate machinery as
       // dedup_minhash_lsh (pair density linear under the dissimilar-
       // replica synth); gap-fill is one daily aggregate + a types×days

@@ -409,14 +409,28 @@ object Corpus {
     * build is a per-row array transform; train/uni are token-keyed
     * aggregations; scoring is a (bigram, w1)-keyed shuffle join (vocab
     * can be huge — never broadcast) plus one broadcast scalar (V). */
-  def bigramNll(docs: DataFrame, holdoutMod: Int = 5): DataFrame = {
-    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+  /** Per-document (big, w1) bigram rows — shared by the train-and-score
+    * [[bigramNll]] and the artifact-served [[bigramNllServed]]. */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
-    val bg = t.select(col("doc_id"),
+      .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(toks) - 1), " +
           "i -> struct(concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS big, " +
           "element_at(toks, i) AS w1))")).as("p"))
       .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
+
+  /** The add-1-smoothed NLL scoring expression over joined LM columns —
+    * kept as ONE shared expression so the trained and served paths cannot
+    * drift (identical float expression tree ⇒ identical 6-dp values). */
+  private def nllAgg: Seq[Column] = Seq(
+    round(avg(-log((coalesce(col("c2"), lit(0L)) + 1) /
+      (coalesce(col("c1"), lit(0L)) + col("vsize")).cast("double"))), 6)
+      .as("nll"),
+    count(lit(1)).as("n_bigrams"))
+
+  def bigramNll(docs: DataFrame, holdoutMod: Int = 5): DataFrame = {
+    val bg = bigramPairs(docs)
     val train = bg.where(col("doc_id") % holdoutMod =!= 0)
       .groupBy(col("big"), col("w1")).agg(count(lit(1)).as("c2"))
     val uni = train.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
@@ -426,11 +440,38 @@ object Corpus {
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
-      .agg(
-        round(avg(-log((coalesce(col("c2"), lit(0L)) + 1) /
-          (coalesce(col("c1"), lit(0L)) + col("vsize")).cast("double"))), 6)
-          .as("nll"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(nllAgg.head, nllAgg.tail: _*)
+  }
+
+  /** The SERVED half of the bigram-LM lifecycle: the trained model — the
+    * (big, w1, c2) count table AND its (w1, c1, vsize) unigram backoff
+    * (both granularities matter: a holdout bigram with an unseen `big`
+    * but a seen `w1` backs off to c1, so persisting only the bigram rows
+    * would mis-score exactly the out-of-vocabulary cases smoothing
+    * exists for) — persists read-through keyed by the corpus fingerprint,
+    * and scoring joins the holdout batch against the artifacts without
+    * re-counting the train split. Result-invisible vs [[bigramNll]] by
+    * construction (same shared scoring expression), so the same oracle
+    * certifies both — the dedup/IVF served-variant contract applied to a
+    * language model. */
+  def bigramNllServed(docs: DataFrame, holdoutMod: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = Dedup.docFp(docs)
+    val lmBig = IndexCache.cachedFrame(spark, "bigram_lm", s"m$holdoutMod", fp) {
+      bigramPairs(docs).where(col("doc_id") % holdoutMod =!= 0)
+        .groupBy(col("big"), col("w1")).agg(count(lit(1)).as("c2"))
+    }
+    val lmUni = IndexCache.cachedFrame(spark, "bigram_uni", s"m$holdoutMod", fp) {
+      lmBig.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        .crossJoin(broadcast(
+          bigramPairs(docs).agg(countDistinct(col("w1")).as("vsize"))))
+    }
+    bigramPairs(docs.where(col("doc_id") % holdoutMod === 0))
+      .join(lmBig, Seq("big", "w1"), "left")
+      .join(lmUni.select(col("w1"), col("c1")), Seq("w1"), "left")
+      .crossJoin(broadcast(lmUni.select(col("vsize")).limit(1)))
+      .groupBy(col("doc_id"))
+      .agg(nllAgg.head, nllAgg.tail: _*)
   }
 
   /** Unigram-LM surprisal: train a corpus unigram model (token frequency /

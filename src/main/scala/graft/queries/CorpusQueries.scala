@@ -199,6 +199,32 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The SERVED half of the bigram-LM lifecycle: the trained count table
+    // and its unigram backoff persist as read-through artifacts (bigram_lm
+    // + bigram_uni forensics kinds), and the holdout batch scores against
+    // them without re-counting the train split. Same oracle as
+    // corpus_bigram_nll — serving from the artifact must be
+    // result-invisible, the dedup/IVF served-variant contract applied to
+    // a language model.
+    Q("corpus_nll_served",
+      s"WITH $toksCte, " +
+        "bg AS (SELECT doc_id, " +
+        "unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS big, " +
+        "unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1 " +
+        "FROM toks WHERE len(t) >= 2), " +
+        "train AS (SELECT big, w1, COUNT(*)::BIGINT AS c2 FROM bg WHERE doc_id % 5 != 0 GROUP BY 1, 2), " +
+        "uni AS (SELECT w1, SUM(c2)::BIGINT AS c1 FROM train GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT w1)::BIGINT AS vsize FROM bg), " +
+        "hold AS (SELECT doc_id, big, w1 FROM bg WHERE doc_id % 5 = 0) " +
+        "SELECT h.doc_id, " +
+        "ROUND(AVG(-ln((COALESCE(t.c2, 0) + 1) / (COALESCE(u.c1, 0) + vsize)::DOUBLE)), 6) AS nll, " +
+        "COUNT(*) AS n_bigrams " +
+        "FROM hold h LEFT JOIN train t ON h.big = t.big AND h.w1 = t.w1 " +
+        "LEFT JOIN uni u ON h.w1 = u.w1, v GROUP BY 1 ORDER BY 1") { (s, d) =>
+      Corpus.bigramNllServed(Tables.documents(s, d), holdoutMod = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // Sparse tf-idf top-5 neighbors for query docs (doc_id < 10) via an
     // inverted-index probe: pairs accumulate the dot product over SHARED
     // tokens only and the bounded query side broadcasts so the postings

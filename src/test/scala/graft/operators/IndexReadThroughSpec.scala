@@ -99,4 +99,16 @@ class IndexReadThroughSpec extends AnyFunSuite with SparkSpec {
     assert(d.getOrElse("pq_codes.build", 0L) == 0L,
       s"sim_pq_rerank re-encoded the shared pq_codes artifact: $d")
   }
+
+  test("served bigram LM equals the trained path and serves from artifacts") {
+    val trained = run("corpus_bigram_nll").sorted
+    run("corpus_nll_served") // cold: builds or disk-resolves the artifacts
+    val d = deltas(_.startsWith("bigram_")) {
+      assert(run("corpus_nll_served").sorted == trained,
+        "served LM scoring diverged from the trained path")
+    }
+    assert(d.getOrElse("bigram_lm.build", 0L) == 0L &&
+      d.getOrElse("bigram_uni.build", 0L) == 0L,
+      s"warm re-serve rebuilt the LM artifacts: $d")
+  }
 }
