@@ -140,6 +140,14 @@ object IndexCache {
 
   private val buildLocks = new ConcurrentHashMap[String, Object]()
 
+  /** Kill-switch: `SPARK_GRAFT_INDEX_DISABLE=1` bypasses the artifact
+    * layer entirely — build plans run inline, nothing is persisted or
+    * read. For measuring the from-scratch path (scale smokes of index
+    * BUILD cost) and for hosts with no scratch disk. Results are
+    * identical either way; only the lifecycle changes. */
+  private[graft] def disabled: Boolean =
+    sys.env.get("SPARK_GRAFT_INDEX_DISABLE").contains("1")
+
   /** Read-through resolve: return a DataFrame scanning the persisted
     * artifact for (kind, params, fp), building and persisting it first if
     * absent. Both branches return a scan OF THE ARTIFACT, so the serve
@@ -148,6 +156,7 @@ object IndexCache {
     * cross-process write races benign. */
   def cachedFrame(spark: SparkSession, kind: String, params: String,
                   fp: String)(build: => DataFrame): DataFrame = {
+    if (disabled) { record(s"$kind.inline"); return build }
     val p = path(kind, params, fp)
     buildLocks.computeIfAbsent(p, _ => new Object).synchronized {
       if (complete(p)) record(s"$kind.disk")
@@ -168,6 +177,7 @@ object IndexCache {
     * (callers record `<kind>.mem` for their in-JVM LRU hits). */
   def cachedModelArtifact[T](kind: String, params: String, fp: String)(
       read: String => T, write: (String, T) => Unit)(build: => T): T = {
+    if (disabled) { record(s"$kind.inline"); return build }
     val p = path(s"model_$kind", params, fp)
     buildLocks.computeIfAbsent(p, _ => new Object).synchronized {
       if (complete(p)) { record(s"$kind.disk"); read(p) }
