@@ -299,6 +299,39 @@ object Corpus {
     trace.reduce(_ unionAll _).orderBy(col("it"))
   }
 
+  /** Serve the trained quality model from a persisted artifact: the
+    * final-iteration LR weights (a 1-row table — the bounded model) build
+    * once per corpus fingerprint via [[IndexCache]]; a SCORING batch is
+    * featurized with the identical rounded-grid expressions and scored by
+    * one broadcast join against the weights — the training corpus is never
+    * rescanned at serve time. Same 6-dp sigmoid recipe as
+    * [[qualityLrTrain]], so the oracle replays train + serve
+    * value-for-value and the serve result is certified under the trained
+    * path's determinism. */
+  def qualityLrServe(docs: DataFrame, inBatch: Column,
+                     iters: Int = 3): DataFrame = {
+    val w = IndexCache.cachedFrame(docs.sparkSession, "quality_lr",
+        s"i$iters", Dedup.docFp(docs)) {
+      qualityLrTrain(docs, iters).where(col("it") === iters)
+        .select(col("w0"), col("w1"), col("w2"), col("w3"))
+    }
+    val len = length(col("text")).cast("double")
+    val js = 0 to 3
+    val score = round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6)
+    docs.where(length(col("text")) > 0 && inBatch)
+      .select(col("doc_id"), col("lang"),
+        lit(1.0).as("x0"),
+        round(least(length(col("text")), lit(2000)) / 2000.0, 6).as("x1"),
+        round((len - length(regexp_replace(col("text"), " ", ""))) / len, 6).as("x2"),
+        round(length(regexp_replace(col("text"), "[^0-9]", "")) / len, 6).as("x3"))
+      .crossJoin(broadcast(w))
+      .withColumn("z", round(js.map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _), 6))
+      .select(col("doc_id"), score.as("score"),
+        (score >= 0.5).cast("int").as("pred_en"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Iterative BPE training — the actual tokenizer-training loop run as
     * engine aggregations: per merge round, count adjacent symbol pairs
     * weighted by word frequency, take the global argmax (count DESC, pair

@@ -468,13 +468,26 @@ object PipelineQueries {
     // oracle unrolls the identical three steps. Output = training trace.
     Q("pipeline_quality_lr", qualityLrSql(3)) { (s, d) =>
       Corpus.qualityLrTrain(Tables.documents(s, d), iters = 3)
+    },
+
+    // SERVED quality model — closes the quality-LR lifecycle the way the
+    // IVF/LM/DSIR families closed theirs: the final-iteration weights
+    // persist read-through (quality_lr artifact, 1 row), and an incoming
+    // batch (doc_id % 10 = 7) is featurized + scored by one broadcast
+    // join — zero training passes at serve time (forensics:
+    // quality_lr.disk warm). The oracle replays the full train + serve
+    // chain on the identical 6-dp grid.
+    Q("pipeline_quality_served", qualityLrServeSql(3)) { (s, d) =>
+      Corpus.qualityLrServe(Tables.documents(s, d),
+        col("doc_id") % 10 === 7, iters = 3)
     }
   )
 
-  /** DuckDB replay of [[Corpus.qualityLrTrain]], `iters` steps unrolled
+  /** Shared CTE chain replaying [[Corpus.qualityLrTrain]] in DuckDB:
+    * feature table `f` + unrolled GD steps ending at `w{iters}t`
     * (regexp_replace needs the 'g' flag — DuckDB replaces only the first
     * match by default, Spark replaces all). */
-  private def qualityLrSql(iters: Int): String = {
+  private def qualityLrCtes(iters: Int): String = {
     val js = 0 to 3
     val steps = (1 to iters).map { t =>
       val sums = js.map(j =>
@@ -487,17 +500,38 @@ object PipelineQueries {
         s"FROM f, w${t - 1}t w)), " +
         s"w${t}t AS (SELECT $ups FROM w${t - 1}t w, g$t g)"
     }.mkString(", ")
-    val out = (1 to iters).map(t =>
-      s"SELECT CAST($t AS BIGINT) AS it, w0, w1, w2, w3 FROM w${t}t")
-      .mkString(" UNION ALL ")
     "WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
       "1.0 AS x0, ROUND(LEAST(length(text), 2000) / 2000.0, 6) AS x1, " +
       "ROUND((length(text) - length(regexp_replace(text, ' ', '', 'g'))) / length(text)::DOUBLE, 6) AS x2, " +
       "ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE, 6) AS x3 " +
       "FROM documents WHERE length(text) > 0), " +
       "w0t AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3), " +
-      s"$steps SELECT it, w0, w1, w2, w3 FROM ($out) ORDER BY it"
+      steps
   }
+
+  /** DuckDB replay of [[Corpus.qualityLrTrain]]: training trace output. */
+  private def qualityLrSql(iters: Int): String = {
+    val out = (1 to iters).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS it, w0, w1, w2, w3 FROM w${t}t")
+      .mkString(" UNION ALL ")
+    s"${qualityLrCtes(iters)} SELECT it, w0, w1, w2, w3 FROM ($out) ORDER BY it"
+  }
+
+  /** DuckDB replay of [[Corpus.qualityLrServe]]: train to `w{iters}t`,
+    * then score the doc_id % 10 = 7 batch with the identical 6-dp
+    * feature/sigmoid expressions. */
+  private def qualityLrServeSql(iters: Int): String =
+    s"${qualityLrCtes(iters)}, " +
+      "b AS (SELECT doc_id, lang, 1.0 AS x0, " +
+      "ROUND(LEAST(length(text), 2000) / 2000.0, 6) AS x1, " +
+      "ROUND((length(text) - length(regexp_replace(text, ' ', '', 'g'))) / length(text)::DOUBLE, 6) AS x2, " +
+      "ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE, 6) AS x3 " +
+      "FROM documents WHERE length(text) > 0 AND doc_id % 10 = 7), " +
+      "s AS (SELECT doc_id, lang, " +
+      s"ROUND(1.0 / (1.0 + EXP(-ROUND(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3, 6))), 6) AS score " +
+      s"FROM b, w${iters}t w) " +
+      "SELECT doc_id, score, CAST(score >= 0.5 AS INT) AS pred_en, " +
+      "CAST(lang = 'en' AS INT) AS is_en FROM s ORDER BY doc_id"
 
   /** Shared packing core: (doc_id, lang, n_tok, before, seq_id) with
     * `before` = per-lang running token count ahead of the doc, computed by
