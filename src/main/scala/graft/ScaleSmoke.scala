@@ -326,6 +326,9 @@ object ScaleSmoke {
       // token-keyed shuffle — all expected ~linear or flatter.
       "text_bpe_train", "pipeline_quality_lr", "sim_sparse_topk",
       "corpus_kl_drift",
+      // Served quality model: weights artifact + one broadcast-scored
+      // batch scan (10 % of the corpus) — expected ~linear in the batch.
+      "pipeline_quality_served",
       // Served bigram LM: holdout bigrams join the persisted count
       // artifacts — the score join is the only corpus-proportional stage.
       "corpus_nll_served",

@@ -868,6 +868,16 @@ object SimilarityQueries {
     ivfKmeansCoreSql(nCells, iters, nProbe, nQueries) +
       s" SELECT qid, rank, nid, cosine FROM r2 WHERE rank <= $k ORDER BY qid, rank"
 
+  /** The `sim_ivf_served` oracle, shared with the streaming serve query
+    * (`stream_ann_serve`): the micro-batch split of the query stream must
+    * be invisible in the served rows. */
+  private[queries] def ivfServedOracleSql: String =
+    ivfKmeansSql(nCells = 16, iters = 3, k = 3, nProbe = 2, nQueries = 10)
+
+  /** The served-index artifact path for the streaming serve query. */
+  private[queries] def servedIndexPath(s: SparkSession, d: String): String =
+    ivfIndexFor(s, d)
+
   /** [[ivfKmeansSql]] up to the ranked CTE `r2` — reused by the recall
     * evaluation, which joins the IVF ranking against an exact
     * brute-force top-k computed in the same statement. */

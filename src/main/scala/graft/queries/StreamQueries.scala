@@ -191,6 +191,65 @@ object StreamQueries {
       path
     })
 
+  /** Arriving query-vector feed (vec_id < 10 — `sim_ivf_served`'s query
+    * set) written as 3 parquet files so the replay spans multiple
+    * micro-batches; written once per (JVM, sf dir). */
+  private val embFeedCache = new ConcurrentHashMap[String, String]()
+
+  private def embBatchFeed(s: SparkSession, dir: String): String =
+    embFeedCache.computeIfAbsent(dir, { _ =>
+      val path = s"$wsRoot/embfeed_" + UUID.randomUUID().toString.replace("-", "")
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .repartition(3).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Streaming ANN serving against the PERSISTED IVF index — retrieval at
+    * ingest, the vector analog of [[streamLshDedup]]: each micro-batch of
+    * arriving query vectors is assigned to its probe cells and served
+    * top-k from the index artifact inside `foreachBatch`. The stream is
+    * STATELESS (corpus knowledge lives in the artifact; per-batch cost
+    * tracks the batch), and because top-k is per-query and every query
+    * arrives exactly once, per-batch results compose into the global
+    * result: output is row-identical to the batch `sim_ivf_served`, which
+    * is the oracle. */
+  private def streamAnnServe(s: SparkSession, dir: String): DataFrame = {
+    val feed = embBatchFeed(s, dir)
+    val embT = Tables.embeddings(s, dir)
+    val indexPath = SimilarityQueries.servedIndexPath(s, dir)
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val out = s"$work/hits"
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val probe: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (batch, _) =>
+          graft.operators.Similarity.ivfTopKServed(embT, batch, k = 3,
+              nProbe = 2, indexPath = indexPath)
+            .write.mode("append").parquet(out)
+      q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType), nullable = true),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.IntegerType, nullable = true))))
+        .option("maxFilesPerTrigger", "1") // one batch file per micro-batch
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .foreachBatch(probe)
+        .start()
+      drain(q)
+      s.read.parquet(out).orderBy(col("qid"), col("rank"))
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Streaming ingest dedup against the PERSISTED LSH index — dedup AT
     * INGEST, the production placement of the near-dup gate: each
     * micro-batch of arriving documents shingles, signs, and probes the
@@ -1082,6 +1141,16 @@ object StreamQueries {
     Q("stream_lsh_dedup", DedupQueries.incrementalSql) {
       (s, d) => materialized(s, "stream_lsh_dedup", docsBatchFeed(s, d))(
         streamLshDedup(s, d))(_.orderBy(col("new_id"), col("dup_of")))
+    },
+
+    // Streaming ANN serving from the persisted IVF index: arriving query
+    // vectors replay one batch file per micro-batch, each assigned + served
+    // top-3 from the index artifact inside foreachBatch — retrieval at
+    // ingest, stateless in the stream. Oracle = the batch sim_ivf_served:
+    // the micro-batch split must be invisible in the served rows.
+    Q("stream_ann_serve", SimilarityQueries.ivfServedOracleSql) {
+      (s, d) => materialized(s, "stream_ann_serve", embBatchFeed(s, d))(
+        streamAnnServe(s, d))(_.orderBy(col("qid"), col("rank")))
     }
   )
 }
