@@ -86,6 +86,42 @@ class DedupEdgeSpec extends AnyFunSuite with SparkSpec {
     assert(prefix == Seq((1L, 2L, 0.4)), s"prefix strategy dropped the J = t pair: $prefix")
   }
 
+  /** File-backed corpora route the per-document derived tables (shingle
+    * sets, prefix postings, simhash signatures, normalized edit prefixes)
+    * through the IndexCache read-through — the COLD build, the WARM
+    * artifact serve, and the in-memory inline path must all produce
+    * identical pairs. cutover 0 forces the prefix branch so the cached
+    * prefix index is exercised too (it only runs at smoke scale
+    * otherwise). */
+  test("file-backed corpora serve identical pairs through the index artifacts") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      (1L, base, base.length.toLong),
+      (2L, base + " extra", (base.length + 6).toLong),
+      (3L, "completely different words appear in this one", 46L),
+      (5L, base.replace("quick", "slow"), base.length.toLong))
+    val dir = java.nio.file.Files.createTempDirectory("dedup_rt").toString
+    d.write.mode("overwrite").parquet(dir)
+    val f = spark.read.parquet(dir)
+    def charPairs(src: org.apache.spark.sql.DataFrame) =
+      Dedup.charJaccardPairs(src, prefixCutover = 0L)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val inline = charPairs(d)
+    val cold = charPairs(f) // builds char8_shingles + char8_prefix_idx
+    val warm = charPairs(f) // serves both artifacts
+    assert(inline.nonEmpty)
+    assert(cold == inline)
+    assert(warm == inline)
+    def simPairs(src: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashPairs(Dedup.simhashIndex(spark, src))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(simPairs(f) == simPairs(d))
+    def edPairs(src: org.apache.spark.sql.DataFrame) =
+      Dedup.editDistancePairs(src)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(edPairs(f) == edPairs(d))
+  }
+
   // Semantic dedup threshold extremes: > 1 can never fire (cosine ≤ 1, and
   // grid-rounding keeps equal vectors at exactly 1.0), so everything is
   // kept; ≤ -1 marks every pair similar, so exactly the min id of each
