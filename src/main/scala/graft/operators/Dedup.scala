@@ -494,7 +494,21 @@ object Dedup {
     val n =
       if (docs.inputFiles.isEmpty || IndexCache.disabled)
         swapCachedIn(lastEdit, nBuilt)
-      else cachedDocIndex(docs, "edit_norm", s"p$prefixLen")(nBuilt)
+      else {
+        // File-backed: the regexp pass reads through the persisted
+        // artifact (fresh processes skip it), but the table STAYS in the
+        // in-JVM columnar cache like the inline path — five downstream
+        // branches (13 segments + 325 windows per doc, two verify
+        // re-attach joins) read it, and serving them from a cold 1–2
+        // partition parquet scan measured 10.4 → 30.4 s at the 30× Zipf
+        // smoke. The repartition re-widens the tiny scan before caching
+        // so the explode branches parallelize.
+        val target = docs.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        swapCachedIn(lastEdit,
+          cachedDocIndex(docs, "edit_norm", s"p$prefixLen")(nBuilt)
+            .repartition(target))
+      }
     val longs = n.where(length(col("p")) >= minLongPrefix)
     // The (tier, slot, gram) join key collapses to ONE xxhash64 long:
     // smaller shuffle rows and a long-compare hash join instead of string
@@ -763,6 +777,23 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("idx"), col("quad")))),
           x => x.getField("quad")), "").as("simhash"))
   }
+
+  /** Positional token n-gram span digests (doc_id, span) — the
+    * substring-level exact-dedup signal table ("Deduplicating Training
+    * Data"-style). Per-document, so file-backed corpora persist it
+    * read-through like the other dedup index tables; the digest-spread
+    * aggregation and per-doc census stay per-run. */
+  def spanDigests(docs: DataFrame, n: Int = 8): DataFrame =
+    cachedDocIndex(docs, "span_digests", s"n$n") {
+      docs.where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => md5(concat_ws(" ",
+              (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
+          .as("span"))
+    }
 
   /** [[simhashSignatures]] as a read-through artifact for file-backed
     * corpora: the signature table is a per-document function of the text

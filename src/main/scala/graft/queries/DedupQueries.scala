@@ -372,17 +372,11 @@ object DedupQueries {
         "FROM g JOIN d USING (span) GROUP BY doc_id) " +
         "SELECT doc_id, n_spans, n_dup, ROUND(n_dup / n_spans::DOUBLE, 4) AS dup_frac " +
         "FROM p ORDER BY doc_id") { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .where(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 8)
       // Positional 8-grams digested inside the projection lambda over the
-      // BOUND toks column (hot-path rule: never inline tokens() here).
-      val spans = toks.select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("toks")) - 7),
-          i => md5(concat_ws(" ",
-            (0 until 8).map(o => element_at(col("toks"), i + o)): _*))))
-        .as("span"))
+      // BOUND toks column (hot-path rule: never inline tokens() here);
+      // the digest table persists read-through for file-backed corpora
+      // (Dedup.spanDigests).
+      val spans = Dedup.spanDigests(Tables.documents(s, d), n = 8)
       val spread = spans.groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       spans.join(spread, "span")
