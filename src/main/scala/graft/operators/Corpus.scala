@@ -265,15 +265,24 @@ object Corpus {
     * Label: lang = 'en' (the documents table's own tag); features: length
     * saturation, whitespace ratio, digit ratio + bias. Returns one row
     * per iteration: (it, w0..w3) — the training trace. */
-  def qualityLrTrain(docs: DataFrame, iters: Int, lr: Double = 1.0): DataFrame = {
+  /** The quality model's shared featurization — the ONE place the x0–x3
+    * rounded-grid expressions live on the Scala side (train and serve both
+    * call it; the oracle mirrors it in its `f`/`b` CTEs). Keeps doc_id and
+    * lang so the serve path can key and label its output. */
+  private def lrFeatures(docs: DataFrame): DataFrame = {
     val len = length(col("text")).cast("double")
-    val f = docs.where(length(col("text")) > 0)
-      .select(
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
         lit(1.0).as("x0"),
         round(least(length(col("text")), lit(2000)) / 2000.0, 6).as("x1"),
         round((len - length(regexp_replace(col("text"), " ", ""))) / len, 6).as("x2"),
         round(length(regexp_replace(col("text"), "[^0-9]", "")) / len, 6).as("x3"))
+  }
+
+  def qualityLrTrain(docs: DataFrame, iters: Int, lr: Double = 1.0): DataFrame = {
+    val f = lrFeatures(docs)
+      .select(col("y"), col("x0"), col("x1"), col("x2"), col("x3"))
       .localCheckpoint() // one materialized feature table feeds every step
     val spark = docs.sparkSession
     import spark.implicits._
@@ -310,20 +319,15 @@ object Corpus {
     * path's determinism. */
   def qualityLrServe(docs: DataFrame, inBatch: Column,
                      iters: Int = 3): DataFrame = {
-    val w = IndexCache.cachedFrame(docs.sparkSession, "quality_lr",
-        s"i$iters", Dedup.docFp(docs)) {
+    val w = Dedup.cachedDocIndex(docs, "quality_lr", s"i$iters") {
       qualityLrTrain(docs, iters).where(col("it") === iters)
         .select(col("w0"), col("w1"), col("w2"), col("w3"))
     }
-    val len = length(col("text")).cast("double")
     val js = 0 to 3
     val score = round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6)
-    docs.where(length(col("text")) > 0 && inBatch)
+    lrFeatures(docs.where(inBatch))
       .select(col("doc_id"), col("lang"),
-        lit(1.0).as("x0"),
-        round(least(length(col("text")), lit(2000)) / 2000.0, 6).as("x1"),
-        round((len - length(regexp_replace(col("text"), " ", ""))) / len, 6).as("x2"),
-        round(length(regexp_replace(col("text"), "[^0-9]", "")) / len, 6).as("x3"))
+        col("x0"), col("x1"), col("x2"), col("x3"))
       .crossJoin(broadcast(w))
       .withColumn("z", round(js.map(j => col(s"w$j") * col(s"x$j")).reduce(_ + _), 6))
       .select(col("doc_id"), score.as("score"),

@@ -32,17 +32,24 @@ object Dedup {
     * serve-many lifecycle the LSH/IVF indexes already have. In-memory
     * frames (tests, ad-hoc) build inline: there is no file listing to
     * anchor the staleness contract, and test frames are tiny. */
-  private def cachedDocIndex(docs: DataFrame, kind: String, params: String)(
-      build: => DataFrame): DataFrame =
+  private[graft] def cachedDocIndex(docs: DataFrame, kind: String,
+      params: String)(build: => DataFrame): DataFrame =
     if (docs.inputFiles.isEmpty) build
     else IndexCache.cachedFrame(docs.sparkSession, kind, params, docFp(docs))(build)
 
-  /** Cache key for [[jaccardPairsBanded]]'s staged tables: (kind, params,
-    * corpus fingerprint) for file-backed corpora, None (inline staging)
-    * otherwise. */
-  private def docCacheKey(docs: DataFrame, kind: String,
-                          params: String): Option[(String, String, String)] =
-    if (docs.inputFiles.isEmpty) None else Some((kind, params, docFp(docs)))
+  /** Cache key for [[jaccardPairsBanded]]'s staged tables. The shingle
+    * table depends only on the shingling scheme, the prefix index also on
+    * (threshold, maxDiff) — keying them separately means a threshold
+    * tuning sweep reuses the corpus-sized shingle artifact instead of
+    * re-shingling per parameter combo. None (inline staging) for
+    * in-memory corpora. */
+  private[graft] final case class JaccardCacheKey(kind: String,
+      shingleParams: String, prefixParams: String, fp: String)
+
+  private def docCacheKey(docs: DataFrame, kind: String, shingleParams: String,
+                          prefixParams: String): Option[JaccardCacheKey] =
+    if (docs.inputFiles.isEmpty) None
+    else Some(JaccardCacheKey(kind, shingleParams, prefixParams, docFp(docs)))
 
   /** Exact dedup by content hash: one shuffle on md5(text); keeps the lowest
     * doc_id of each duplicate group. */
@@ -203,7 +210,7 @@ object Dedup {
   private[graft] def jaccardPairsBanded(base: DataFrame, maxDiff: Int,
                                         threshold: Double,
                                         prefixCutover: Long = 20000L,
-                                        cache: Option[(String, String, String)] = None): DataFrame = {
+                                        cache: Option[JaccardCacheKey] = None): DataFrame = {
     // The verify kernel is the registered `sorted_intersect_count`
     // expression; registration is idempotent, so self-register for callers
     // that never touched graft.sources.Tables.
@@ -233,13 +240,15 @@ object Dedup {
     // smoke needs the build's shuffle scratch to retire with its job
     // either way (a persisted write retires it the same way a checkpoint
     // does).
-    def staged(kindSuffix: String)(built: => DataFrame): DataFrame =
+    def staged(kindSuffix: String, params: JaccardCacheKey => String)(
+        built: => DataFrame): DataFrame =
       cache match {
-        case Some((kind, params, fp)) if !IndexCache.disabled =>
-          IndexCache.cachedFrame(sess, s"${kind}_$kindSuffix", params, fp)(built)
+        case Some(key) if !IndexCache.disabled =>
+          IndexCache.cachedFrame(sess, s"${key.kind}_$kindSuffix",
+            params(key), key.fp)(built)
         case _ => built.localCheckpoint()
       }
-    val b = staged("shingles")(widened)
+    val b = staged("shingles", _.shingleParams)(widened)
     val arrs = b.select(col("doc_id"), size(col("sh64")).as("sz"), col("sh64"))
 
     // Candidate generation is ADAPTIVE on corpus size (count is free: `b`
@@ -274,7 +283,7 @@ object Dedup {
     // this — a strict val would build (and materialize!) the df-rank
     // index on every banded-path call too (measured +3.5 s in-sweep on
     // dedup_char_jaccard when this was briefly strict).
-    lazy val prefixes = staged("prefix_idx") {
+    lazy val prefixes = staged("prefix_idx", _.prefixParams) {
       // collect_list + in-row sort/slice, NOT a row_number window: the
       // windowed formulation re-measured slower at BOTH scales for char
       // shingles (23.5 s vs 16.4 s at the 10× smoke) — the per-doc array
@@ -388,7 +397,7 @@ object Dedup {
         .select(col("doc_id"), col("n_chars"),
           hashedShingleSet(shinglesFromTokens(col("toks"), 3)).as("sh64")),
       maxDiff, threshold, prefixCutover,
-      cache = docCacheKey(docs, "ngram3", s"d${maxDiff}_t$threshold"))
+      cache = docCacheKey(docs, "ngram3", "w3", s"d${maxDiff}_t$threshold"))
 
   /** Character-level k-gram Jaccard pairs: same join shape as
     * [[ngramJaccardPairs]], but over char k-shingles of the normalized
@@ -411,7 +420,7 @@ object Dedup {
         .select(col("doc_id"), col("n_chars"),
           hashedShingleSet(rawShingles).as("sh64")),
       maxDiff, threshold, prefixCutover,
-      cache = docCacheKey(docs, s"char$k", s"d${maxDiff}_t$threshold"))
+      cache = docCacheKey(docs, s"char$k", s"k$k", s"d${maxDiff}_t$threshold"))
   }
 
   /** MinHash similarity ESTIMATION: jaccard ≈ fraction of agreeing

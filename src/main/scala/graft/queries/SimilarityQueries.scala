@@ -327,8 +327,7 @@ object SimilarityQueries {
     // serve — read the k-row artifact, staleness-check, assign + probe.
     // Same oracle as sim_ivf_topk: the artifact round trip must be
     // invisible in the results.
-    Q("sim_ivf_served", ivfKmeansSql(nCells = 16, iters = 3, k = 3, nProbe = 2,
-      nQueries = 10)) { (s, d) =>
+    Q("sim_ivf_served", ivfServedOracleSql) { (s, d) =>
       val embT = emb(s, d)
       Similarity.ivfTopKServed(embT, embT.filter(col("vec_id") < 10), k = 3,
           nProbe = 2, indexPath = ivfIndexFor(s, d))

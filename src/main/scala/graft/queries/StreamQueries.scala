@@ -205,6 +205,38 @@ object StreamQueries {
       path
     })
 
+  /** Shared foreachBatch replay scaffold for the artifact-probing ingest
+    * queries: stream `feed` one file per micro-batch, run `probe` on each
+    * batch, and land every epoch's output under an EPOCH-KEYED
+    * subdirectory with overwrite mode — the standard foreachBatch
+    * idempotence pattern: a retried epoch (sink committed, checkpoint not
+    * yet advanced) rewrites its own subdir instead of appending duplicate
+    * rows. Returns the accumulated output (partition-discovery `epoch`
+    * column dropped). */
+  private def foreachBatchReplay(s: SparkSession, feed: String,
+      schema: org.apache.spark.sql.types.StructType)(
+      probe: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): DataFrame = {
+    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
+    val work = s"$wsRoot/run_$unique"
+    val out = s"$work/out"
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1") // one batch file per micro-batch
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", s"$work/cp")
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          probe(batch).write.mode("overwrite").parquet(s"$out/epoch=$epoch"))
+        .start()
+      drain(q)
+      s.read.parquet(out).drop("epoch")
+    } finally {
+      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Streaming ANN serving against the PERSISTED IVF index — retrieval at
     * ingest, the vector analog of [[streamLshDedup]]: each micro-batch of
     * arriving query vectors is assigned to its probe cells and served
@@ -215,39 +247,20 @@ object StreamQueries {
     * result: output is row-identical to the batch `sim_ivf_served`, which
     * is the oracle. */
   private def streamAnnServe(s: SparkSession, dir: String): DataFrame = {
-    val feed = embBatchFeed(s, dir)
     val embT = Tables.embeddings(s, dir)
     val indexPath = SimilarityQueries.servedIndexPath(s, dir)
-    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
-    val work = s"$wsRoot/run_$unique"
-    val out = s"$work/hits"
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      val probe: (org.apache.spark.sql.DataFrame, Long) => Unit =
-        (batch, _) =>
-          graft.operators.Similarity.ivfTopKServed(embT, batch, k = 3,
-              nProbe = 2, indexPath = indexPath)
-            .write.mode("append").parquet(out)
-      q = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType), nullable = true),
-          org.apache.spark.sql.types.StructField("label",
-            org.apache.spark.sql.types.IntegerType, nullable = true))))
-        .option("maxFilesPerTrigger", "1") // one batch file per micro-batch
-        .parquet(feed)
-        .writeStream
-        .option("checkpointLocation", s"$work/cp")
-        .foreachBatch(probe)
-        .start()
-      drain(q)
-      s.read.parquet(out).orderBy(col("qid"), col("rank"))
-    } finally {
-      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
-    }
+    foreachBatchReplay(s, embBatchFeed(s, dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))) { batch =>
+      graft.operators.Similarity.ivfTopKServed(embT, batch, k = 3,
+        nProbe = 2, indexPath = indexPath)
+    }.orderBy(col("qid"), col("rank"))
   }
 
   /** Streaming ingest dedup against the PERSISTED LSH index — dedup AT
@@ -261,35 +274,16 @@ object StreamQueries {
     * result: the output is row-identical to the batch `dedup_lsh_served`,
     * which is the oracle. */
   private def streamLshDedup(s: SparkSession, dir: String): DataFrame = {
-    val feed = docsBatchFeed(s, dir)
     val hist = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
     val indexPath = DedupQueries.lshIndexFor(s, dir)
-    def unique = s"stream_${UUID.randomUUID().toString.replace("-", "")}"
-    val work = s"$wsRoot/run_$unique"
-    val out = s"$work/pairs"
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      val probe: (org.apache.spark.sql.DataFrame, Long) => Unit =
-        (batch, _) =>
-          graft.operators.Dedup.lshServedPairs(hist, batch, indexPath)
-            .write.mode("append").parquet(out)
-      q = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType, nullable = true))))
-        .option("maxFilesPerTrigger", "1") // one batch file per micro-batch
-        .parquet(feed)
-        .writeStream
-        .option("checkpointLocation", s"$work/cp")
-        .foreachBatch(probe)
-        .start()
-      drain(q)
-      s.read.parquet(out).orderBy(col("new_id"), col("dup_of"))
-    } finally {
-      if (q != null) try q.stop() catch { case scala.util.control.NonFatal(_) => () }
-    }
+    foreachBatchReplay(s, docsBatchFeed(s, dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))) { batch =>
+      graft.operators.Dedup.lshServedPairs(hist, batch, indexPath)
+    }.orderBy(col("new_id"), col("dup_of"))
   }
 
   /** With SPARK_GRAFT_STREAM_FORENSICS=1, each invocation prints one JSON

@@ -94,15 +94,22 @@ class DedupEdgeSpec extends AnyFunSuite with SparkSpec {
     * prefix index is exercised too (it only runs at smoke scale
     * otherwise). */
   test("file-backed corpora serve identical pairs through the index artifacts") {
-    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // Salt the corpus per run: the artifact fingerprint is content-derived
+    // and the IndexCache root persists in /tmp across JVMs, so a fixed
+    // fixture would serve a WARM artifact on every run after the first and
+    // the cold-build leg below would silently stop exercising the
+    // build+publish path.
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"the quick brown fox $salt jumps over the lazy dog again and again"
     val d = docs(
       (1L, base, base.length.toLong),
       (2L, base + " extra", (base.length + 6).toLong),
-      (3L, "completely different words appear in this one", 46L),
+      (3L, s"completely different words appear in this one $salt", 55L),
       (5L, base.replace("quick", "slow"), base.length.toLong))
     val dir = java.nio.file.Files.createTempDirectory("dedup_rt").toString
     d.write.mode("overwrite").parquet(dir)
     val f = spark.read.parquet(dir)
+    try {
     def charPairs(src: org.apache.spark.sql.DataFrame) =
       Dedup.charJaccardPairs(src, prefixCutover = 0L)
         .as[(Long, Long, Double)].collect().toSeq.sorted
@@ -120,6 +127,11 @@ class DedupEdgeSpec extends AnyFunSuite with SparkSpec {
       Dedup.editDistancePairs(src)
         .as[(Long, Long, Int)].collect().toSeq.sorted
     assert(edPairs(f) == edPairs(d))
+    } finally {
+      val root = new java.io.File(dir)
+      Option(root.listFiles()).foreach(_.foreach(_.delete()))
+      root.delete() // per-run artifacts stay in the IndexCache root (tiny)
+    }
   }
 
   // Semantic dedup threshold extremes: > 1 can never fire (cosine ≤ 1, and
