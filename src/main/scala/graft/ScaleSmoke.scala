@@ -350,6 +350,13 @@ object ScaleSmoke {
       // one broadcast dim join + one basket-keyed shuffle with in-row
       // Apriori pair expansion — fact grows, dims don't, so ~linear.
       "q_market_basket",
+      // Graph family (lineitem-derived edge sets; dims shared across
+      // replicas, order keys offset — per-replica structure identical, so
+      // components/triangles/neighborhoods grow linearly): fixed-iteration
+      // loops, one keyed shuffle per round with per-round staging —
+      // expected ~linear in edges.
+      "q_pagerank", "q_triangle_count", "q_khop_reach",
+      "q_link_prediction", "q_label_propagation",
       // Round-11 third batch: DSIR = one token-keyed count shuffle + a
       // 128-row broadcast (expected ~linear); range search and the MMR
       // shortlist stage are broadcast-query corpus scans (linear at
