@@ -473,7 +473,8 @@ object ScaleSmoke {
     }) :+ streamRow("stream_check_tuned") :+
       streamRow("stream_check_chunked") :+ // many-micro-batch shape
       streamRow("stream_join") :+ streamRow("stream_session_agg") :+
-      streamRow("stream_lsh_dedup") // ingest-dedup: stateless artifact probe
+      streamRow("stream_lsh_dedup") :+ // ingest-dedup: stateless artifact probe
+      streamRow("stream_ann_serve") // streaming retrieval: stateless IVF probe
 
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
