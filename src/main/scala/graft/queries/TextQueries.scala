@@ -404,6 +404,63 @@ object TextQueries {
     Q("text_bpe_encode", bpeEncodeSql(3)) { (s, d) =>
       Corpus.bpeEncode(Tables.documents(s, d), iters = 3)
         .orderBy(col("doc_id"))
+    },
+
+    // PPMI word-association mining: for each target word, the top-8
+    // context words by pointwise mutual information over a directed
+    // 3-token co-occurrence window (w at position i, c at i+1..i+3).
+    // Pairs are generated IN-ROW (nested transform over the bound token
+    // array, the q_market_basket shape — fanout ≤ 3·|doc|, never a
+    // positional self-join), so the only corpus-proportional stage is one
+    // map-side-combined (w, c) count shuffle; everything downstream runs
+    // on the vocab²-bounded pair table (checkpointed once, read 4× for N,
+    // both marginals, and the score join). PMI ranking needs no log:
+    // log is monotone, so ranking by the RAW ratio N·n(w,c)/(n(w)·n(c))
+    // is identical — kept in exact integer space (ratio × 10⁴ via
+    // integer division; max magnitude N·max(nwc)·10⁴ ≈ 7.6e12 at sf0.1,
+    // six decades inside Long) so both engines produce the same bits
+    // with zero float/log-parity caveats. ppmi_e4 > 10000 keeps the
+    // positive-PMI half (PPMI's max(0, ·) cut); ties break on c.
+    Q("text_ppmi_topk",
+      "WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t " +
+        "FROM documents WHERE length(trim(text)) > 0), " +
+        "pos AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM toks), " +
+        "pr AS (SELECT t[CAST(i AS INT)] AS w, t[CAST(i + o AS INT)] AS c " +
+        "FROM pos CROSS JOIN (VALUES (1), (2), (3)) v(o) WHERE i + o <= len(t)), " +
+        "cnt AS (SELECT w, c, COUNT(*) AS nwc FROM pr GROUP BY 1, 2), " +
+        "nw AS (SELECT w, CAST(SUM(nwc) AS BIGINT) AS nw FROM cnt GROUP BY 1), " +
+        "nc AS (SELECT c, CAST(SUM(nwc) AS BIGINT) AS nc FROM cnt GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(nwc) AS BIGINT) AS n FROM cnt), " +
+        "sc AS (SELECT cnt.w, cnt.c, cnt.nwc, " +
+        "CAST(((SELECT n FROM nn) * nwc * 10000) // (nw.nw * nc.nc) AS BIGINT) AS ppmi_e4 " +
+        "FROM cnt JOIN nw ON cnt.w = nw.w JOIN nc ON cnt.c = nc.c WHERE nwc >= 5), " +
+        "r AS (SELECT w, c, nwc, ppmi_e4, ROW_NUMBER() OVER " +
+        "(PARTITION BY w ORDER BY ppmi_e4 DESC, c) AS rk FROM sc WHERE ppmi_e4 > 10000) " +
+        "SELECT w, c, nwc, ppmi_e4, CAST(rk AS INT) AS rk FROM r " +
+        "WHERE rk <= 8 ORDER BY w, rk") { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(tokens(col("text")).as("t"))
+        .select(explode(expr(
+          "flatten(transform(t, (x, i) -> " +
+            "transform(slice(t, i + 2, 3), y -> struct(x AS w, y AS c))))")).as("p"))
+        .select(col("p.w"), col("p.c"))
+        .groupBy(col("w"), col("c")).agg(count(lit(1)).as("nwc"))
+        .localCheckpoint() // vocab²-bounded; read 4× below
+      val nw = cnt.groupBy("w").agg(sum("nwc").as("nw"))
+      val nc = cnt.groupBy("c").agg(sum("nwc").as("nc"))
+      val nn = cnt.agg(sum("nwc").as("n"))
+      cnt.where(col("nwc") >= 5)
+        .join(broadcast(nw), "w").join(broadcast(nc), "c")
+        .crossJoin(broadcast(nn))
+        .select(col("w"), col("c"), col("nwc"),
+          expr("(n * nwc * 10000) DIV (nw * nc)").as("ppmi_e4"))
+        .where(col("ppmi_e4") > 10000)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("w").orderBy(col("ppmi_e4").desc, col("c"))))
+        .where(col("rk") <= 8)
+        .orderBy(col("w"), col("rk"))
     }
   )
 
