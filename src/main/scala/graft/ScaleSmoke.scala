@@ -401,7 +401,11 @@ object ScaleSmoke {
       // PCA train+project: the covariance sufficient statistics are one
       // integer-triple shuffle into d² groups (map-side combined) + a
       // map-side projection pass — expected ~linear in the corpus.
-      "sim_pca_project")
+      "sim_pca_project",
+      // PPMI association mining: one pair-count shuffle is the only
+      // corpus-proportional stage; marginals + score + top-k run on the
+      // vocab²-bounded pair table, so time should track the token scan.
+      "text_ppmi_topk")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
