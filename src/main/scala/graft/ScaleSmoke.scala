@@ -405,7 +405,10 @@ object ScaleSmoke {
       // PPMI association mining: one pair-count shuffle is the only
       // corpus-proportional stage; marginals + score + top-k run on the
       // vocab²-bounded pair table, so time should track the token scan.
-      "text_ppmi_topk")
+      "text_ppmi_topk",
+      // k-anonymity census: one QI-keyed aggregation over the fact
+      // table; the per-k sweep is QI-bounded — expect ~linear scan cost.
+      "q_k_anonymity")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

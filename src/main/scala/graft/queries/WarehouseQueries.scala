@@ -329,6 +329,51 @@ object WarehouseQueries {
         .orderBy(col("check_name"))
     },
 
+    // Privacy-release audit: k-anonymity + l-diversity census of the
+    // events table under a quasi-identifier projection (event_type,
+    // hour-of-day, value band) with user_id as the sensitive attribute.
+    // For k ∈ {2, 5, 10}: rows/groups in QI groups smaller than k (the
+    // re-identifiable mass a release at that k would have to suppress or
+    // generalize), plus the k-independent l-diversity floor — QI groups
+    // whose rows all belong to ONE user re-identify that user outright.
+    // One QI-keyed aggregation is the only fact-proportional stage; the
+    // per-k sweep runs on the QI-bounded group census (types × 24 × ~12
+    // bands), so auditing more k values costs nothing at scale.
+    // Hour-of-day derives from epoch micros by integer arithmetic (never
+    // a raw TIMESTAMP output or engine-local calendar function).
+    Q("q_k_anonymity",
+      "WITH e AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod, " +
+        "CAST(floor(value / 50) AS BIGINT) AS vband, user_id FROM events), " +
+        "g AS (SELECT event_type, hod, vband, COUNT(*) AS n, " +
+        "COUNT(DISTINCT user_id) AS u FROM e GROUP BY 1, 2, 3), " +
+        "k AS (SELECT unnest([2, 5, 10]) AS k) " +
+        "SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups, " +
+        "CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk, " +
+        "CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk, " +
+        "ROUND(CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE) / SUM(n), 6) AS risk_share, " +
+        "CAST(SUM(CASE WHEN u = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_user_groups, " +
+        "CAST(MIN(n) AS BIGINT) AS min_group_n, CAST(MIN(u) AS BIGINT) AS min_group_u " +
+        "FROM k CROSS JOIN g GROUP BY k ORDER BY k") { (s, d) =>
+      import s.implicits._
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+          expr("CAST(floor(value / 50) AS BIGINT)").as("vband"),
+          col("user_id"))
+        .groupBy(col("event_type"), col("hod"), col("vband"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      Seq(2, 5, 10).toDF("k").crossJoin(g)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("groups_at_risk"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L)).as("rows_at_risk"),
+          round(sum(when(col("n") < col("k"), col("n")).otherwise(0L)).cast("double")
+            / sum(col("n")), 6).as("risk_share"),
+          sum(when(col("u") === 1L, 1L).otherwise(0L)).as("singleton_user_groups"),
+          min(col("n")).as("min_group_n"), min(col("u")).as("min_group_u"))
+        .orderBy(col("k"))
+    },
+
     // Calendar gap-fill + trailing moving average (round 9): the
     // time-series densify every metric pipeline needs — days with no
     // events exist as explicit zeros, so the 7-day trailing mean is
