@@ -408,7 +408,11 @@ object ScaleSmoke {
       "text_ppmi_topk",
       // k-anonymity census: one QI-keyed aggregation over the fact
       // table; the per-k sweep is QI-bounded — expect ~linear scan cost.
-      "q_k_anonymity")
+      "q_k_anonymity",
+      // Semantic contamination: served-index radius probe — the bench
+      // side grows with the corpus (% 37) but stays broadcast-bounded;
+      // the corpus moves only through the ivf_cells artifact scan.
+      "contamination_semantic")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

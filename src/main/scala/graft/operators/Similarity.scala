@@ -94,6 +94,68 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Semantic benchmark-contamination census — the EMBEDDING-level
+    * complement to the lexical n-gram sweep (`Corpus.contaminationPairs`):
+    * a paraphrased eval item shares no 8-gram with its training-set
+    * source, but its embedding still sits at high cosine. Benchmark
+    * items (`vec_id % benchMod == 0`) probe the PERSISTED IVF index
+    * (the same artifact the serve path reads — contamination audits run
+    * against the production index, not a private retrain) for corpus
+    * neighbors at cosine ≥ `minCosine` among NON-benchmark vectors, and
+    * every benchmark item reports: hit count, the top hit, or a clean
+    * row — absence of evidence is part of the census.
+    *
+    * Scale shape: the radius predicate applies inside the cell-filtered
+    * scan (an IVF-accelerated range search — never a finished top-k
+    * post-filtered, never a corpus×bench cross join); the benchmark side
+    * is broadcast, the corpus moves only through the `ivf_cells`
+    * read-through artifact scan, and everything after the threshold is
+    * bounded by hit selectivity. */
+  def semanticContamination(emb: DataFrame, benchMod: Int, minCosine: Double,
+                            nProbe: Int, indexPath: String): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
+    val liveFp = contentFp(emb)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    val model = centroidDf(spark, cents)
+    val n = prep(emb)
+    val cells = IndexCache.cachedFrame(spark, "ivf_cells",
+        centsDigest(cents.toSeq), liveFp) {
+      assignNearest(n, model, Seq("v", "nrm"))
+        .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
+          col("v").as("nv"), col("nrm").as("nn"))
+    }
+    val bench = n.where(col("vec_id") % benchMod === 0)
+    val probes = bench.crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .select(col("vec_id").as("qid"), explode(col("pcs")).as("pc"),
+        col("qv"), col("qn"))
+      .select(col("qid"), col("pc.cid").as("cid"), col("qv"), col("qn"))
+    val hits = cells.where(col("nid") % benchMod =!= 0)
+      .join(broadcast(probes), "cid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .localCheckpoint() // hit-selectivity-bounded; read twice below
+    val counts = hits.groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"), max(col("cosine")).as("top_cosine"))
+    val top = hits.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("nid"))))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("nid").as("top_nid"))
+    bench.select(col("vec_id").as("qid"))
+      .join(counts, Seq("qid"), "left_outer")
+      .join(top, Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("contaminated"),
+        col("top_nid"), col("top_cosine"))
+  }
+
   /** Maximal-marginal-relevance diversified rerank (Carbonell &
     * Goldstein 1998): from each query's `shortlist`-deep relevance list,
     * greedily select `k` results maximizing

@@ -634,6 +634,21 @@ object SimilarityQueries {
         Similarity.mmrRerank(embT, embT.filter(col("vec_id") < 10),
             shortlist = 8, k = 4, lamTenths = 7, muTenths = 3)
           .orderBy(col("qid"), col("it"))
+    },
+
+    // Semantic benchmark contamination: the embedding-level complement
+    // to `contamination_ngram` — benchmark items (vec_id % 37 == 0)
+    // probe the SAME persisted IVF index the serve path reads for
+    // non-benchmark neighbors at cosine >= 0.35 (an IVF-accelerated
+    // range search: the radius predicate runs inside the cell-filtered
+    // scan, never post-filtering a finished top-k). Every benchmark
+    // item reports — contaminated rows carry the hit count and top hit,
+    // clean rows a zero/null census line. The oracle replays training +
+    // full-corpus assignment + the probed radius scan + the census.
+    Q("contamination_semantic", semanticContaminationSql) { (s, d) =>
+      Similarity.semanticContamination(emb(s, d), benchMod = 37,
+          minCosine = 0.35, nProbe = 2, indexPath = ivfIndexFor(s, d))
+        .orderBy(col("qid"))
     }
   )
 
@@ -890,6 +905,29 @@ object SimilarityQueries {
       "FROM probe JOIN cell USING (cid) WHERE nid != qid), " +
       "r2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
       s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM scored)"
+
+  /** DuckDB replay of [[Similarity.semanticContamination]]: the shared
+    * trained-cell chain, the % 37 benchmark probe at nProbe 2, the
+    * radius cut at 0.35 over non-benchmark cell-mates, and the per-item
+    * census with clean rows preserved through LEFT JOINs. */
+  private def semanticContaminationSql: String =
+    ivfTrainedCellSql(nCells = 16, iters = 3) + ", " +
+      "probe AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn " +
+      "FROM rf r JOIN n ON n.vec_id = r.vec_id WHERE r.rn <= 2 AND r.vec_id % 37 = 0), " +
+      "sc AS (SELECT qid, nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(qv) + 1), i -> qv[i] * nv[i])) / (qn * nn), 6) AS cosine " +
+      "FROM probe JOIN cell USING (cid) WHERE nid % 37 != 0), " +
+      "hits AS (SELECT * FROM sc WHERE cosine >= 0.35), " +
+      "cnt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hits, " +
+      "MAX(cosine) AS top_cosine FROM hits GROUP BY qid), " +
+      "top AS (SELECT qid, nid AS top_nid FROM (SELECT qid, nid, " +
+      "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn " +
+      "FROM hits) WHERE rn = 1), " +
+      "b AS (SELECT vec_id AS qid FROM e WHERE vec_id % 37 = 0) " +
+      "SELECT b.qid, COALESCE(cnt.n_hits, 0) AS n_hits, " +
+      "cnt.n_hits IS NOT NULL AS contaminated, top.top_nid, cnt.top_cosine " +
+      "FROM b LEFT JOIN cnt ON b.qid = cnt.qid LEFT JOIN top ON b.qid = top.qid " +
+      "ORDER BY b.qid"
 
   /** The k-means training replay through `rf` (full-corpus assignment
     * ranks) and `cell` (the final inverted file) — the probe-independent
