@@ -292,7 +292,9 @@ object ExtrasQueries {
     Q("q_csv_source",
       "SELECT user_id AS wallet_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS total " +
         "FROM events GROUP BY 1 ORDER BY 1") { (s, d) =>
-      val path = s"/tmp/graft_csv_${java.util.UUID.randomUUID().toString.take(8)}"
+      // Under the shutdown-cleaned scratch root like the ORC/JSONL spills
+      // — a bare /tmp UUID path leaked one ~1 MB dir per bench/verify run.
+      val path = s"$scratchRoot/csv_" + UUID.randomUUID().toString.replace("-", "")
       Tables.events(s, d).select(col("user_id"), col("value"))
         .write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true")

@@ -117,5 +117,9 @@ class ClusteredLayoutSpec extends AnyFunSuite with SparkSpec {
       .collect()(0)
     assert(zB.getLong(1) < zB.getLong(0),
       s"z-order must skip on b alone: ${zB.getLong(1)}/${zB.getLong(0)}")
+
+    // Temp layout dirs accumulate across suite runs otherwise.
+    Maintenance.deleteRecursively(new java.io.File(zDir).getParentFile)
+    Maintenance.deleteRecursively(new java.io.File(sDir).getParentFile)
   }
 }
