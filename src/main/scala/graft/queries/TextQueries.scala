@@ -438,15 +438,23 @@ object TextQueries {
         "(PARTITION BY w ORDER BY ppmi_e4 DESC, c) AS rk FROM sc WHERE ppmi_e4 > 10000) " +
         "SELECT w, c, nwc, ppmi_e4, CAST(rk AS INT) AS rk FROM r " +
         "WHERE rk <= 8 ORDER BY w, rk") { (s, d) =>
-      val cnt = Tables.documents(s, d)
-        .where(length(trim(col("text"))) > 0)
-        .select(tokens(col("text")).as("t"))
-        .select(explode(expr(
-          "flatten(transform(t, (x, i) -> " +
-            "transform(slice(t, i + 2, 3), y -> struct(x AS w, y AS c))))")).as("p"))
-        .select(col("p.w"), col("p.c"))
-        .groupBy(col("w"), col("c")).agg(count(lit(1)).as("nwc"))
-        .localCheckpoint() // vocab²-bounded; read 4× below
+      // The pair-count table is a corpus-derived build artifact (the
+      // tfidf_terms/sparse_postings discipline): one tokenize+count pass
+      // per corpus fingerprint, persisted read-through — serving ranks
+      // over the artifact instead of re-counting 3·tokens window pairs
+      // per query. vocab²-bounded, so the read is trivial at any scale.
+      val docsT = Tables.documents(s, d)
+      val cnt = graft.operators.IndexCache.cachedFrame(s, "ppmi_pairs",
+          "w3", graft.operators.Dedup.docFp(docsT)) {
+        docsT
+          .where(length(trim(col("text"))) > 0)
+          .select(tokens(col("text")).as("t"))
+          .select(explode(expr(
+            "flatten(transform(t, (x, i) -> " +
+              "transform(slice(t, i + 2, 3), y -> struct(x AS w, y AS c))))")).as("p"))
+          .select(col("p.w"), col("p.c"))
+          .groupBy(col("w"), col("c")).agg(count(lit(1)).as("nwc"))
+      }.localCheckpoint() // vocab²-bounded; read 4× below
       val nw = cnt.groupBy("w").agg(sum("nwc").as("nw"))
       val nc = cnt.groupBy("c").agg(sum("nwc").as("nc"))
       val nn = cnt.agg(sum("nwc").as("n"))
