@@ -591,8 +591,15 @@ object Corpus {
     * serving cost is one bucketize + a 128-row broadcast join. */
   def dsirServed(docs: DataFrame, buckets: Int, isTarget: Column,
                  inBatch: Column): DataFrame = {
+    // The ratio table's CONTENT depends on the target split, not just the
+    // corpus: fold a canonical rendering of the predicate into the key so
+    // a second call with a different split can never be served the first
+    // split's stale log-ratios (it misses and rebuilds instead).
+    val splitTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(isTarget.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
     val lr = IndexCache.cachedFrame(docs.sparkSession, "dsir_ratios",
-        s"$buckets", Dedup.docFp(docs)) {
+        s"${buckets}_$splitTag", Dedup.docFp(docs)) {
       dsirRatioTable(dsirBuckets(docs, buckets, isTarget), buckets)
     }
     dsirScore(dsirBuckets(docs.where(inBatch), buckets, isTarget), lr)

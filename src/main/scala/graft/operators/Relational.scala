@@ -97,12 +97,20 @@ object Relational {
     fact.where(call_function("bloom_might_contain", lit(bytes), factKey))
   }
 
-  /** Content fingerprint of a dim-side key set (order-insensitive
-    * xxhash64 fold + count) — keys the persisted filter artifact. */
+  /** Content fingerprint of a dim-side key set — keys the persisted
+    * filter artifact. Order-insensitive xxhash64 SUM (wrapping) + xor +
+    * count: xor alone cancels paired duplicates ({A,A,B} ≡ {C,C,B}), the
+    * sum does not, and carrying both makes multiset collisions require a
+    * simultaneous break of two independent folds. coalesce guards the
+    * empty dim (bit_xor over 0 rows is NULL) so the fingerprint is a
+    * stable "0|0|0" rather than an NPE. */
   private def keyFp(df: DataFrame, key: Column): String = {
     val r = df.select(xxhash64(key).as("h"))
-      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).first()
-    s"${r.getLong(0)}|${r.getLong(1)}"
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+        coalesce(expr("sum(cast(h as decimal(38,0)))"),
+          lit(java.math.BigDecimal.ZERO)).as("s"),
+        count(lit(1)).as("n")).first()
+    s"${r.getLong(0)}|${r.getDecimal(1).toBigInteger}|${r.getLong(2)}"
   }
 
   /** [[bloomSemiJoinReduce]] with the filter as a PERSISTED read-through

@@ -696,8 +696,17 @@ object Similarity {
       throw new IllegalStateException(
         s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
     val model = centroidDf(spark, cents)
+    // The labeled artifact's content depends on the LABEL column too, not
+    // just (vec_id, embedding): a label-only metadata update must miss the
+    // cache, or filtered ANN silently serves results under the old labels.
+    val labFp = {
+      val r = emb.select(xxhash64(col("vec_id"), col("label")).as("h"))
+        .agg(expr("sum(cast(h as decimal(38,0)))").as("s"),
+          count(lit(1)).as("n")).first()
+      s"${r.getDecimal(0).toBigInteger}_${r.getLong(1)}"
+    }
     val cells = IndexCache.cachedFrame(spark, "ivf_cells_lab",
-        centsDigest(cents.toSeq), liveFp) {
+        s"${centsDigest(cents.toSeq)}_$labFp", liveFp) {
       cellsOf(prep(emb), model)
         .join(emb.select(col("vec_id").as("nid"), col("label").as("nlab")), "nid")
     }
@@ -1247,7 +1256,12 @@ object Similarity {
             // |x| < 1 ⇒ grid values < 1e4, so n·Σxy stays far inside a
             // long AND inside double's 2^53 at oracle scales — the cast
             // is exact where the oracle compares, deterministic always.
-            c(i)(j) = (n * r.getLong(2) - sx(i) * sx(j)).toDouble
+            // Beyond ~3e5 vectors n²·1e8 leaves Long range while DuckDB
+            // promotes to HUGEINT: *Exact makes that divergence fail
+            // loudly (ArithmeticException) instead of silently wrapping.
+            c(i)(j) = Math.subtractExact(
+              Math.multiplyExact(n, r.getLong(2)),
+              Math.multiplyExact(sx(i), sx(j))).toDouble
           }
         var v = Array.fill(d)(1.0)
         for (_ <- 1 to iters) {

@@ -432,7 +432,7 @@ object TextQueries {
         "nc AS (SELECT c, CAST(SUM(nwc) AS BIGINT) AS nc FROM cnt GROUP BY 1), " +
         "nn AS (SELECT CAST(SUM(nwc) AS BIGINT) AS n FROM cnt), " +
         "sc AS (SELECT cnt.w, cnt.c, cnt.nwc, " +
-        "CAST(((SELECT n FROM nn) * nwc * 10000) // (nw.nw * nc.nc) AS BIGINT) AS ppmi_e4 " +
+        "CAST((CAST((SELECT n FROM nn) AS HUGEINT) * nwc * 10000) // (CAST(nw.nw AS HUGEINT) * nc.nc) AS BIGINT) AS ppmi_e4 " +
         "FROM cnt JOIN nw ON cnt.w = nw.w JOIN nc ON cnt.c = nc.c WHERE nwc >= 5), " +
         "r AS (SELECT w, c, nwc, ppmi_e4, ROW_NUMBER() OVER " +
         "(PARTITION BY w ORDER BY ppmi_e4 DESC, c) AS rk FROM sc WHERE ppmi_e4 > 10000) " +
@@ -462,7 +462,11 @@ object TextQueries {
         .join(broadcast(nw), "w").join(broadcast(nc), "c")
         .crossJoin(broadcast(nn))
         .select(col("w"), col("c"), col("nwc"),
-          expr("(n * nwc * 10000) DIV (nw * nc)").as("ppmi_e4"))
+          // Numerator in DECIMAL(38,0) (oracle: HUGEINT): N ≈ 3× corpus
+          // tokens, so N·max(nwc)·1e4 leaves Long range at large SF —
+          // widen the intermediate on BOTH engines, quotient stays tiny.
+          expr("cast((cast(n as decimal(38,0)) * nwc * 10000) div " +
+            "(cast(nw as decimal(38,0)) * nc) as bigint)").as("ppmi_e4"))
         .where(col("ppmi_e4") > 10000)
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
