@@ -14,11 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    expectsEmpty: Boolean = false)
 
 object Q {
   def apply(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(sql))
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+  /** A query whose CORRECT sf0.01 answer is the empty relation (e.g. an
+    * invariant-violation detector that must find nothing). Everything
+    * else failing to produce rows is treated as a vacuous pass — a bug —
+    * by Verify and EntrySpec. */
+  def emptyOk(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(sql), expectsEmpty = true)
 }

@@ -48,12 +48,26 @@ object Verify {
     // systemic loader break that read, in CORRECTNESS json, exactly like
     // "not registered".
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val emptyOk = SparkEntry.packs.filter(_.expectsEmpty).map(_.name).toSet
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Non-vacuity gate: a registered query returning 0 rows at sf0.01
+        // almost always means a broken predicate "passing" against an
+        // equally-empty oracle (two such slipped to mid-round in r11).
+        // Counting the WRITTEN parquet is one cheap local read; queries
+        // whose correct answer is empty annotate Q.emptyOk.
+        if (!emptyOk(name) &&
+            spark.read.parquet(s"$outDir/$name").isEmpty) {
+          val msg = "vacuous 0-row result (annotate Q.emptyOk if intended)"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors(name) = msg
+          Files.writeString(Paths.get(s"$outDir/$name._ERROR"), msg)
+        }
+      } catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg

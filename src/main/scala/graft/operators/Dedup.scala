@@ -109,6 +109,22 @@ object Dedup {
   // in-sweep vs 3.2 s isolated).
   private val lastEdit = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** [[minhashLshPairs]] as a read-through ARTIFACT: the verified pairs
+    * table itself persists keyed by (k, bands, rows, threshold, corpus
+    * fingerprint). The pair table is the near-dup EDGE LIST — tiny
+    * relative to the corpus (bounded by actual duplication, not corpus²)
+    * — and it is the shared input of every downstream composition
+    * (components, canonical keeper selection, clean-corpus anti-join),
+    * so at 100 TB it is built once per corpus snapshot by the dedup
+    * build job and each consumer reads the artifact instead of
+    * re-running the banded join + exact verify. In-memory corpora build
+    * inline (no file listing to anchor staleness). */
+  def lshVerifiedPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
+                       rows: Int = 3, threshold: Double = 0.5): DataFrame =
+    cachedDocIndex(docs, "lsh_pairs", s"k${k}b${bands}r${rows}t$threshold") {
+      minhashLshPairs(docs, k, bands, rows, threshold)
+    }
+
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       rows: Int = 3, threshold: Double = 0.5): DataFrame = {
     val mh = swapCached(minhashed(docs, k, bands, rows))
@@ -585,7 +601,17 @@ object Dedup {
         abs(col("ln1") - col("ln2")) <= maxLenDiff)
       .select(col("d1"), col("d2"))
       .distinct()
-    val pairs = pairsLL.unionAll(pairsM).unionAll(pairsS).distinct()
+    // The CANDIDATE edge list persists read-through like lsh_pairs: it is
+    // the output of all three posting-table joins (the explode-heavy
+    // stages), bounded by actual near-duplication, and safe to reuse —
+    // a stale-parameter artifact cannot exist (params key the path) and
+    // the banded Levenshtein verify below stays live, so a served run
+    // still proves every emitted pair. At 100 TB the posting joins run
+    // once per corpus snapshot in the dedup build job.
+    val pairs = cachedDocIndex(docs, "edit_cands",
+        s"p${prefixLen}w${bucketWidth}d${maxLenDiff}e$maxEdits") {
+      pairsLL.unionAll(pairsM).unionAll(pairsS).distinct()
+    }
     pairs
       .join(n.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
       .join(n.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")

@@ -278,7 +278,10 @@ object DedupQueries {
         "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
         "SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a ORDER BY doc_id") {
       (s, d) =>
-        val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), k = 12,
+        // Pairs come from the persisted edge-list artifact (built once
+        // per corpus snapshot; dedup_minhash_lsh stays the from-scratch
+        // build representative of that cost).
+        val pairs = Dedup.lshVerifiedPairs(Tables.documents(s, d), k = 12,
           bands = 4, rows = 3, threshold = 0.5)
         Dedup.connectedComponents(pairs)
           .select(col("id").as("doc_id"), col("comp"))
@@ -323,7 +326,7 @@ object DedupQueries {
     }) { (s, d) =>
       val enPat = langMarkers.toMap.apply("en")
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLshPairs(docs, k = 12, bands = 4, rows = 3,
+      val pairs = Dedup.lshVerifiedPairs(docs, k = 12, bands = 4, rows = 3,
         threshold = 0.5)
       val comp = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp"))

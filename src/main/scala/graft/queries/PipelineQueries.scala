@@ -43,7 +43,7 @@ object PipelineQueries {
         "WHERE q.stop_hits / q.n_tokens::DOUBLE >= 0.05 AND q.n_tokens >= 20 " +
         "AND d.doc_id NOT IN (SELECT id_b FROM dup) ORDER BY d.doc_id") { (s, d) =>
       val docs = Tables.documents(s, d)
-      val dupIds = Dedup.minhashLshPairs(docs, k = 12, bands = 4, rows = 3,
+      val dupIds = Dedup.lshVerifiedPairs(docs, k = 12, bands = 4, rows = 3,
           threshold = 0.5)
         .select(col("id_b").as("doc_id")).distinct()
       docs

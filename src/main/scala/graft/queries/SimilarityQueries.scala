@@ -308,6 +308,26 @@ object SimilarityQueries {
         .orderBy(col("qid"))
     },
 
+    // Recall@3 of the PQ + exact-rerank path against brute-force L2 —
+    // the pinned counterpart of sim_recall_pq's 7/30 pure-ADC baseline:
+    // the repaired number the docs cite (rerank recovers ~25/30) is
+    // itself oracle-checked data, not prose.
+    Q("sim_recall_pq_rerank", pqRerankRecallSql(m = 8, nCodes = 16,
+      iters = 2, k = 3, shortlist = 50, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val qs = embT.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceL2TopK(embT, qs, k = 3)
+        .select(col("qid"), col("nid"))
+      val pq = Similarity.pqRerankTopK(embT, qs, k = 3, shortlist = 50,
+          m = 8, nCodes = 16, iters = 2)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      bf.join(pq, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 3.0, 4).as("recall"))
+        .orderBy(col("qid"))
+    },
+
     // IVF top-3 with k-means-trained centroids: 3 seeded Lloyd iterations
     // (deterministic — 6-dp distance/centroid grids + cid tie-break), then
     // nearest-cell assignment and a 2-cell probe. The oracle replays the
@@ -710,6 +730,31 @@ object SimilarityQueries {
       "rr AS (SELECT qid, nid, dist, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY dist, nid) AS rank FROM resc) " +
       s"SELECT qid, rank, nid, dist FROM rr WHERE rank <= $k ORDER BY qid, rank"
+
+  /** Recall of the PQ rerank path: pqRerankSql's shortlist + exact-rerank
+    * CTE chain, then the same recall-vs-brute-force accounting as
+    * [[pqRecallSql]]. */
+  private def pqRerankRecallSql(m: Int, nCodes: Int, iters: Int, k: Int,
+                                shortlist: Int, nQueries: Int): String =
+    pqCoreSql(m, nCodes, iters, nQueries) +
+      s", cand AS (SELECT qid, nid FROM r WHERE rank <= $shortlist), " +
+      "resc AS (SELECT c.qid, c.nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(a.v) + 1), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) " +
+      "AS dist FROM cand c JOIN e a ON a.vec_id = c.qid " +
+      "JOIN e b ON b.vec_id = c.nid), " +
+      "rr AS (SELECT qid, nid, dist, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, nid) AS rank FROM resc), " +
+      s"pq AS (SELECT qid, nid, 1 AS hit FROM rr WHERE rank <= $k), " +
+      "bfs AS (SELECT a.vec_id AS qid, b.vec_id AS nid, " +
+      "ROUND(list_sum(list_transform(range(1, len(a.v) + 1), " +
+      "i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))), 6) AS dist " +
+      s"FROM e a, e b WHERE a.vec_id < $nQueries AND b.vec_id != a.vec_id), " +
+      "bf AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, nid) AS rnk FROM bfs) " +
+      s"WHERE rnk <= $k) " +
+      "SELECT bf.qid, CAST(COUNT(pq.hit) AS BIGINT) AS n_hit, " +
+      s"ROUND(COUNT(pq.hit) / $k.0, 4) AS recall " +
+      "FROM bf LEFT JOIN pq USING (qid, nid) GROUP BY bf.qid ORDER BY qid"
 
   /** DuckDB replay of [[Similarity.ivfPqRerankTopK]]: the ivfKmeansSql
     * training pipeline (i-prefixed CTEs) and the pqCoreSql pipeline

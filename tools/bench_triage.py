@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Mechanical triage of a graft.Bench draw against the committed baseline.
+
+Encodes the repo's bench-noise discipline (PERF.md) as a machine call
+instead of judgment-call prose:
+
+  python3 tools/bench_triage.py <draw.json> [baseline.json]
+
+(baseline defaults to the committed bench_full.json next to this repo).
+
+Classification rules, in order:
+ 1. CALIB: the draw's calibration probes must sit in the documented clean
+    band (pre/post _1t <= 0.33, _allcore <= 0.38, and post/pre drift
+    <= 1.25x). Outside it => the HOST was noisy during the draw; per-query
+    deltas are uninterpretable and the draw must be discarded, whatever
+    the total says.
+ 2. MEDIAN RATIO: per-query ratio draw/baseline over the shared query
+    set. A clean draw has median ratio in [0.8, 1.2].
+ 3. LOCALIZED SPIKES: queries with ratio > 1.5x AND baseline time > 0.2 s
+    (small bases are pure jitter). With a clean calib block and a clean
+    median, localized spikes are REGRESSIONS (the repo's triage rule:
+    uniform drift => host, localized => regression); with a dirty calib
+    they are unattributable.
+ 4. BUILDS: any in-sweep `.build`/`.train` forensic event means an
+    artifact retrained inside the measured sweep — the draw measured a
+    cold build, not the serve path; rebuild the cache and redraw.
+
+Exit status: 0 = CLEAN (commit it), 1 = DIRTY (discard / redraw),
+2 = REGRESSION (clean host, localized slowdowns — investigate the named
+queries before committing).
+"""
+import json
+import os
+import statistics
+import sys
+
+CAL_1T_MAX = 0.33
+CAL_ALL_MAX = 0.38
+CAL_DRIFT_MAX = 1.25
+SPIKE_RATIO = 1.5
+SPIKE_BASE = 0.2
+MEDIAN_BAND = (0.8, 1.2)
+
+
+def load(p):
+    with open(p) as f:
+        return json.load(f)
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    draw = load(sys.argv[1])
+    base_path = (sys.argv[2] if len(sys.argv) > 2 else
+                 os.path.join(os.path.dirname(__file__), "..", "bench_full.json"))
+    base = load(base_path)
+
+    problems, notes = [], []
+
+    # 1. calibration band
+    cal = draw.get("calib", {})
+    cal_dirty = False
+    for k in ("pre_1t", "post_1t"):
+        if cal.get(k, 0) > CAL_1T_MAX:
+            cal_dirty = True
+            problems.append(f"calib {k}={cal[k]:.3f} > {CAL_1T_MAX}")
+    for k in ("pre_allcore", "post_allcore"):
+        if cal.get(k, 0) > CAL_ALL_MAX:
+            cal_dirty = True
+            problems.append(f"calib {k}={cal[k]:.3f} > {CAL_ALL_MAX}")
+    for a, b in (("pre_1t", "post_1t"), ("pre_allcore", "post_allcore")):
+        if cal.get(a) and cal.get(b) and cal[b] / cal[a] > CAL_DRIFT_MAX:
+            cal_dirty = True
+            problems.append(f"calib drift {a}->{b} = {cal[b]/cal[a]:.2f}x > {CAL_DRIFT_MAX}")
+
+    # 2. per-query median ratio over the shared set
+    dq, bq = draw.get("queries", {}), base.get("queries", {})
+    shared = [k for k in dq if k in bq and bq[k] > 0]
+    ratios = {k: dq[k] / bq[k] for k in shared}
+    med = statistics.median(ratios.values()) if ratios else float("nan")
+    uniform_drift = med > MEDIAN_BAND[1] or med < MEDIAN_BAND[0]
+    if uniform_drift:
+        notes.append(f"median ratio {med:.2f} outside {MEDIAN_BAND} (uniform => host)")
+
+    # 3. localized spikes
+    spikes = sorted(
+        ((k, r) for k, r in ratios.items()
+         if r > SPIKE_RATIO and bq[k] > SPIKE_BASE),
+        key=lambda kv: -kv[1])
+    for k, r in spikes:
+        notes.append(f"spike {k}: {bq[k]:.2f} -> {dq[k]:.2f} s ({r:.2f}x)")
+
+    # 4. in-sweep builds
+    builds = []
+    for q, ev in (draw.get("forensics") or {}).items():
+        for kind, n in ev.items():
+            if kind.endswith(".build") or kind.endswith(".train"):
+                builds.append(f"{q}:{kind}={n}")
+    if builds:
+        notes.append("in-sweep builds: " + ", ".join(builds))
+
+    new_qs = [k for k in dq if k not in bq]
+    gone_qs = [k for k in bq if k not in dq]
+    if new_qs:
+        notes.append(f"{len(new_qs)} queries not in baseline (new surface)")
+    if gone_qs:
+        notes.append(f"{len(gone_qs)} baseline queries missing from draw")
+
+    total = draw.get("value")
+    header = (f"draw total {total:.2f} s over {len(dq)} queries; "
+              f"baseline {base.get('value', float('nan')):.2f} s over {len(bq)}; "
+              f"median ratio {med:.2f}; {len(spikes)} spike(s)")
+
+    if cal_dirty:
+        verdict, code = "DIRTY (noisy host: calib outside clean band — discard, redraw)", 1
+    elif builds:
+        verdict, code = "DIRTY (in-sweep artifact builds — warm the cache, redraw)", 1
+    elif uniform_drift:
+        verdict, code = "DIRTY (uniform drift with clean calib — treat as host, redraw)", 1
+    elif spikes:
+        verdict, code = ("REGRESSION (clean host, localized spikes: " +
+                         ", ".join(k for k, _ in spikes[:5]) + ")"), 2
+    else:
+        verdict, code = "CLEAN (commit this draw)", 0
+
+    print(header)
+    for p in problems:
+        print("  ! " + p)
+    for n in notes:
+        print("  - " + n)
+    print("VERDICT: " + verdict)
+    sys.exit(code)
+
+
+if __name__ == "__main__":
+    main()
