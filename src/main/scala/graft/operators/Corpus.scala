@@ -605,6 +605,156 @@ object Corpus {
     dsirScore(dsirBuckets(docs.where(inBatch), buckets, isTarget), lr)
   }
 
+  // ----------------- unigram-LM (SentencePiece-family) tokenizer -----------------
+
+  /** Per-length sorted piece arrays (v2..v`maxLen`, plus the single-char
+    * safety net implied by the fold's ELSE branch) — the one-row broadcast
+    * model the greedy segmenter folds against. */
+  private def vocabLists(vocab: DataFrame, maxLen: Int): DataFrame = {
+    val cols = (2 to maxLen).map(l =>
+      sort_array(collect_list(when(length(col("piece")) === l,
+        col("piece")))).as(s"v$l"))
+    vocab.agg(cols.head, cols.tail: _*)
+  }
+
+  /** The greedy longest-match segmentation fold, as a SQL expression over
+    * columns (w, v2..v`maxLen`): accumulator string "pos|p1 p2 …"; step i
+    * is a no-op unless i = pos (a matched piece advances pos past the
+    * skipped steps); at pos the longest vocab piece wins, single chars
+    * are the always-available floor. The SAME fold structure replays in
+    * DuckDB as a list_reduce (string accumulator — its fold is
+    * element-typed), so segmentations are engine-identical by
+    * construction: the control flow is integer/string-exact, no floats
+    * anywhere. */
+  private def greedyFoldExpr(maxLen: Int): String = {
+    val pos = "cast(element_at(split(acc, '\\\\|'), 1) as int)"
+    val ps = "element_at(split(acc, '\\\\|'), 2)"
+    val whens = (maxLen to 2 by -1).map { l =>
+      s"WHEN length(w) - $pos + 1 >= $l AND array_contains(v$l, substring(w, $pos, $l)) " +
+        s"THEN concat(cast($pos + $l as string), '|', $ps, ' ', substring(w, $pos, $l))"
+    }.mkString(" ")
+    "aggregate(sequence(1, length(w)), '1|', (acc, i) -> " +
+      s"CASE WHEN i != $pos THEN acc ELSE CASE $whens " +
+      s"ELSE concat(cast($pos + 1 as string), '|', $ps, ' ', substring(w, $pos, 1)) " +
+      "END END)"
+  }
+
+  /** Segment the word-type table with `vocab`, returning per-TYPE piece
+    * usage weighted by word frequency. The fold runs once per distinct
+    * word, never per occurrence — word types are Heaps-law-bounded
+    * (~|corpus|^0.5), so at 100 TB this is a vocabulary job, not a
+    * corpus scan. */
+  private def segmentUsage(words: DataFrame, vocab: DataFrame,
+                           maxLen: Int): DataFrame =
+    words.crossJoin(broadcast(vocabLists(vocab, maxLen)))
+      .select(col("freq"),
+        explode(split(trim(expr(
+          s"element_at(split(${greedyFoldExpr(maxLen)}, '\\\\|'), 2)")), " "))
+          .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** Unigram-LM tokenizer TRAIN — the SentencePiece-style subword family
+    * next to [[bpeTrain]]'s merge-based one. Hard-EM over a substring
+    * candidate vocabulary:
+    *
+    *  1. candidates = every substring of length 2..`maxPieceLen` of the
+    *     lowercase word types, weighted by word frequency (overlapping
+    *     positions count); top `nCandidates` by (count, piece) join the
+    *     full single-char alphabet as vocab₀;
+    *  2. each round greedy-segments the word-type table with the current
+    *     vocab (the E step — Viterbi's argmax under a unigram LM where
+    *     longer pieces dominate), counts weighted piece usage, and keeps
+    *     the `keepPieces` most-used multi-char pieces (the prune/M step);
+    *     single chars are never pruned (coverage floor);
+    *  3. the final model is the last round's surviving vocabulary with
+    *     its usage counts and the grid-quantized likelihood
+    *     p_e6 = ⌊cnt·10⁶ / Σcnt⌋ — computed in DECIMAL(38,0) (HUGEINT in
+    *     the oracle) so the numerator cannot wrap at corpus scale.
+    *
+    * Everything is exact integer/string arithmetic — likelihoods appear
+    * only as the OUTPUT column, never in control flow — so the DuckDB
+    * oracle replays candidate generation, both EM rounds, and the final
+    * quantization by value. Scale shape: two vocabulary-bounded shuffles
+    * per round (substring count, usage count); the corpus is scanned once
+    * (word-frequency table); the model is a ≤ (26 + keepPieces)-row
+    * driver artifact. */
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int = 4,
+                   nCandidates: Int = 40, keepPieces: Int = 24,
+                   rounds: Int = 2): DataFrame = {
+    val words = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // type-bounded; every round re-reads it
+    val chars = words
+      .select(col("freq"), explode(split(col("w"), "")).as("piece"))
+      .where(col("piece") =!= "")
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .select(col("piece"))
+    val cand = words
+      .select(col("freq"), explode(expr(
+        s"flatten(transform(sequence(2, $maxPieceLen), l -> " +
+          "CASE WHEN length(w) >= l THEN transform(sequence(1, length(w) - l + 1), " +
+          "i -> substring(w, i, l)) ELSE CAST(array() AS array<string>) END))"))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("wcnt"))
+      .orderBy(col("wcnt").desc, col("piece")).limit(nCandidates)
+      .select(col("piece"))
+    var vocab = chars.unionAll(cand).localCheckpoint()
+    var usage: DataFrame = null
+    for (_ <- 1 to rounds) {
+      usage = segmentUsage(words, vocab, maxPieceLen).localCheckpoint()
+      val multi = usage.where(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(keepPieces)
+        .select(col("piece"))
+      vocab = chars.unionAll(multi).localCheckpoint()
+    }
+    // Final model = surviving vocab with the LAST round's usage (pieces
+    // pruned this round are gone; chars unseen in the segmentation keep
+    // cnt 0 — they stay in the vocab as the coverage floor).
+    val m = vocab.join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    m.crossJoin(broadcast(m.agg(sum(expr("cast(cnt as decimal(38,0))")).as("tot"))))
+      .select(col("piece"), col("cnt"),
+        expr("cast(cast(cnt as decimal(38,0)) * 1000000 div tot as bigint)")
+          .as("p_e6"))
+  }
+
+  /** Unigram-LM ENCODE — the serve half: the trained vocabulary persists
+    * as a read-through model artifact ([[IndexCache]], keyed by training
+    * params + corpus fingerprint), and each document's words fold through
+    * the same greedy longest-match segmenter. The fold runs per WORD TYPE
+    * (its own cached artifact), then a broadcast join re-attaches piece
+    * counts to the corpus scan — at 100 TB the corpus is read once
+    * map-side, the type table moves once. Output: per-doc chars-vs-pieces
+    * compression accounting, the [[bpeEncode]] shape. */
+  def unigramEncode(docs: DataFrame, maxPieceLen: Int = 4,
+                    nCandidates: Int = 40, keepPieces: Int = 24,
+                    rounds: Int = 2): DataFrame = {
+    val params = s"l${maxPieceLen}c${nCandidates}k${keepPieces}r$rounds"
+    val vocab = IndexCache.cachedFrame(docs.sparkSession, "unigram_vocab",
+      params, Dedup.docFp(docs)) {
+      unigramTrain(docs, maxPieceLen, nCandidates, keepPieces, rounds)
+    }
+    val typeCounts = IndexCache.cachedFrame(docs.sparkSession, "unigram_wtypes",
+      params, Dedup.docFp(docs)) {
+      docs.select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+        .distinct()
+        .crossJoin(broadcast(vocabLists(vocab, maxPieceLen)))
+        .select(col("w"),
+          size(split(trim(expr(
+            s"element_at(split(${greedyFoldExpr(maxPieceLen)}, '\\\\|'), 2)")), " "))
+            .cast("long").as("n_pieces"))
+    }
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .join(broadcast(typeCounts), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("compression", round(col("n_chars") / col("n_pieces"), 4))
+  }
+
   /** Content-defined chunking (the FastCDC/rsync family, digest-gated):
     * a chunk boundary falls AT token position q whenever the digest of
     * the `w`-token window ending at q starts with hex '0' (P = 1/16 ⇒

@@ -473,8 +473,111 @@ object TextQueries {
             .partitionBy("w").orderBy(col("ppmi_e4").desc, col("c"))))
         .where(col("rk") <= 8)
         .orderBy(col("w"), col("rk"))
+    },
+
+    // Unigram-LM (SentencePiece-family) tokenizer TRAIN — the second
+    // mainstream subword family next to BPE: substring candidate vocab,
+    // 2 hard-EM rounds (greedy-segment → weighted usage → prune to the
+    // top-24 multi-char pieces; single chars are the never-pruned
+    // coverage floor), grid-quantized likelihood p_e6 = cnt*1e6 div Σcnt
+    // in DECIMAL/HUGEINT space. All control flow is integer/string-exact;
+    // the oracle replays candidate generation and BOTH EM rounds by value.
+    Q("text_unigram_train", unigramTrainSql(4, 40, 24, 2)) { (s, d) =>
+      Corpus.unigramTrain(Tables.documents(s, d), maxPieceLen = 4,
+          nCandidates = 40, keepPieces = 24, rounds = 2)
+        .orderBy(col("piece"))
+    },
+
+    // Unigram-LM ENCODE — the serve half: trained vocab persisted
+    // read-through (the bpe_merges discipline), greedy longest-match fold
+    // once per word TYPE, broadcast-joined back to the corpus scan for
+    // per-doc compression accounting. The oracle replays train + encode
+    // end-to-end, so encode(train(corpus)) determinism is pinned across
+    // engines by value.
+    Q("text_unigram_encode", unigramEncodeSql(4, 40, 24, 2)) { (s, d) =>
+      Corpus.unigramEncode(Tables.documents(s, d), maxPieceLen = 4,
+          nCandidates = 40, keepPieces = 24, rounds = 2)
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** The greedy longest-match segmentation fold in DuckDB — structurally
+    * the SAME fold as [[Corpus]]'s Spark-side `aggregate` (string
+    * accumulator "pos|p1 p2 …", longest piece wins, chars are the ELSE
+    * floor); list_reduce's accumulator is element-typed, so the position
+    * list is VARCHAR and the seed rides in via list_prepend. */
+  private def unigramFoldSql(maxLen: Int): String = {
+    val pos = "string_split(acc, '|')[1]::INT"
+    val ps = "string_split(acc, '|')[2]"
+    val whens = (maxLen to 2 by -1).map { l =>
+      s"WHEN length(w) - $pos + 1 >= $l AND list_contains(v$l, substr(w, $pos, $l)) " +
+        s"THEN ($pos + $l)::VARCHAR || '|' || $ps || ' ' || substr(w, $pos, $l)"
+    }.mkString(" ")
+    "list_reduce(list_prepend('1|', list_transform(range(1, length(w) + 1), " +
+      "i -> i::VARCHAR)), " +
+      s"(acc, x) -> CASE WHEN x::INT != $pos THEN acc ELSE CASE $whens " +
+      s"ELSE ($pos + 1)::VARCHAR || '|' || $ps || ' ' || substr(w, $pos, 1) END END)"
+  }
+
+  /** One-row per-length piece lists (v2..v`maxLen`) from a vocab CTE —
+    * the DuckDB side of Corpus.vocabLists. An empty length class yields
+    * NULL; list_contains(NULL, x) is NULL which falls through the CASE
+    * exactly like Spark's empty-array false. */
+  private def unigramVlSql(name: String, src: String, maxLen: Int): String =
+    s"$name AS (SELECT " + (2 to maxLen).map(l =>
+      s"(SELECT list(piece ORDER BY piece) FROM $src WHERE length(piece) = $l) AS v$l")
+      .mkString(", ") + ")"
+
+  /** Shared train CTE chain through the final `model` table (piece, cnt). */
+  private def unigramCoreSql(maxLen: Int, nCand: Int, keep: Int,
+                             rounds: Int): String = {
+    val segPieces =
+      s"string_split(trim(string_split(${unigramFoldSql(maxLen)}, '|')[2]), ' ')"
+    val roundsSql = (1 to rounds).map { t =>
+      s"${unigramVlSql(s"vl${t - 1}", s"voc${t - 1}", maxLen)}, " +
+        s"seg$t AS (SELECT freq, unnest($segPieces) AS piece FROM words, vl${t - 1}), " +
+        s"u$t AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM seg$t GROUP BY piece), " +
+        s"mu$t AS (SELECT piece FROM u$t WHERE length(piece) >= 2 " +
+        s"ORDER BY cnt DESC, piece LIMIT $keep), " +
+        s"voc$t AS (SELECT piece FROM chars UNION ALL SELECT piece FROM mu$t)"
+    }.mkString(", ")
+    "words AS (SELECT w, COUNT(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) GROUP BY w), " +
+      "chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS piece FROM words), " +
+      "cand AS (SELECT piece FROM (SELECT piece, SUM(freq) AS wcnt FROM " +
+      s"(SELECT freq, unnest(flatten(list_transform(range(2, ${maxLen + 1}), l -> " +
+      "CASE WHEN length(w) >= l THEN list_transform(range(1, length(w) - l + 2), " +
+      "i -> substr(w, CAST(i AS INT), CAST(l AS INT))) ELSE CAST([] AS VARCHAR[]) END))) AS piece " +
+      s"FROM words) GROUP BY piece ORDER BY wcnt DESC, piece LIMIT $nCand)), " +
+      "voc0 AS (SELECT piece FROM chars UNION ALL SELECT piece FROM cand), " +
+      roundsSql + ", " +
+      s"model AS (SELECT v.piece, COALESCE(u$rounds.cnt, 0)::BIGINT AS cnt " +
+      s"FROM voc$rounds v LEFT JOIN u$rounds USING (piece))"
+  }
+
+  private def unigramTrainSql(maxLen: Int, nCand: Int, keep: Int,
+                              rounds: Int): String =
+    s"WITH ${unigramCoreSql(maxLen, nCand, keep, rounds)} " +
+      "SELECT piece, cnt, CAST(cnt::HUGEINT * 1000000 // t AS BIGINT) AS p_e6 " +
+      "FROM model, (SELECT SUM(cnt::HUGEINT) AS t FROM model) tot ORDER BY piece"
+
+  private def unigramEncodeSql(maxLen: Int, nCand: Int, keep: Int,
+                               rounds: Int): String = {
+    val segPieces =
+      s"string_split(trim(string_split(${unigramFoldSql(maxLen)}, '|')[2]), ' ')"
+    s"WITH ${unigramCoreSql(maxLen, nCand, keep, rounds)}, " +
+      s"${unigramVlSql("vlf", "model", maxLen)}, " +
+      "wt AS (SELECT DISTINCT w FROM " +
+      "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)), " +
+      s"tc AS (SELECT w, len($segPieces)::BIGINT AS n_pieces FROM wt, vlf), " +
+      "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
+      "FROM documents) " +
+      "SELECT doc_id, COUNT(*)::BIGINT AS n_words, " +
+      "CAST(SUM(length(w)) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(n_pieces) AS BIGINT) AS n_pieces, " +
+      "ROUND(SUM(length(w)) / SUM(n_pieces), 4) AS compression " +
+      "FROM dw JOIN tc USING (w) GROUP BY doc_id ORDER BY doc_id"
+  }
 
   /** DuckDB replay of [[Corpus.bpeTrain]], `iters` rounds unrolled. The
     * merge rewrite is a list_reduce whose accumulator is the '/'-joined
