@@ -572,4 +572,26 @@ object Multimodal {
         .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         (col("frame_idx") * frameBytes).as("frame_off"))
+
+  /** Deterministic synthetic IMAGE-side embeddings ALIGNED to the text
+    * corpus — the stand-in for a CLIP-style dual encoder (the real image
+    * tower isn't in this container): image i's vector is text i's vector
+    * plus a reproducible per-dimension offset in [-0.20, 0.20], derived
+    * from the first two hex digits of md5(vec_id|dim) — large enough
+    * that retrieval through the shared space is non-trivial (the
+    * "modality gap"), small enough that the aligned text stays the
+    * nearest neighborhood. Exact cross-engine replay: the offset is an
+    * integer grid value added in IEEE double space (the simhash oracle's
+    * hex-digit decode), no RNG anywhere. */
+  def alignedImageEmbeddings(emb: DataFrame): DataFrame = {
+    def hexDigit(pos: Int): String = {
+      val a = s"ascii(substring(md5(concat(cast(vec_id as string), '|', " +
+        s"cast(j as string))), $pos, 1))"
+      s"(CASE WHEN $a <= 57 THEN $a - 48 ELSE $a - 87 END)"
+    }
+    emb.select(col("vec_id"),
+      expr("transform(embedding, (x, j) -> cast(x as double) + " +
+        s"(((${hexDigit(1)} * 16 + ${hexDigit(2)}) % 41) - 20) / 100.0)")
+        .as("embedding"))
+  }
 }

@@ -728,6 +728,50 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** CROSS-MODAL top-k through the persisted IVF index — the CLIP
+    * retrieval shape: queries are EXTERNAL vectors (another modality's
+    * encoder output aligned into the corpus space), so unlike
+    * [[ivfTopKServed]] they are prep'd directly instead of being joined
+    * into the corpus by id, and there is NO self-exclusion — the aligned
+    * corpus item (nid == qid for a synthetic aligned pair) is the ideal
+    * hit, not a degenerate one. Shares the `ivf_cells` inverted-file
+    * artifact with every other serve path; the query side stays a
+    * broadcast. */
+  def ivfCrossModalTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                        nProbe: Int, indexPath: String): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
+    val liveFp = contentFp(emb)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    val model = centroidDf(spark, cents)
+    val cells = IndexCache.cachedFrame(spark, "ivf_cells",
+        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(emb), model) }
+    val probes = prep(queries).crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .select(col("vec_id").as("qid"), explode(col("pcs")).as("pc"),
+        col("qv"), col("qn"))
+      .select(col("qid"), col("pc.cid").as("cid"), col("qv"), col("qn"))
+    val scored = cells.join(broadcast(probes), "cid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Exact cross-modal top-k (brute force, no self-exclusion) — the
+    * recall denominator for [[ivfCrossModalTopK]]. */
+  def crossModalExactTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = prep(queries).select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val scored = prep(emb).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** The inverted-file row shape: (nid, cid, vector payload, norm). */
   private def cellsOf(vecs: DataFrame, model: DataFrame): DataFrame =
     assignNearest(vecs, model, Seq("v", "nrm"))

@@ -669,8 +669,101 @@ object SimilarityQueries {
       Similarity.semanticContamination(emb(s, d), benchMod = 37,
           minCosine = 0.35, nProbe = 2, indexPath = ivfIndexFor(s, d))
         .orderBy(col("qid"))
+    },
+
+    // CROSS-MODAL retrieval (the CLIP shape): deterministic synthetic
+    // image-side embeddings aligned to the text corpus
+    // (Multimodal.alignedImageEmbeddings — md5-grid offsets, no RNG)
+    // retrieve text items through the SAME persisted IVF index every
+    // other serve path reads. No self-exclusion: the aligned text item
+    // is the ideal hit. The oracle replays k-means training, the
+    // image-side perturbation, the 2-cell probe, and the ranking.
+    Q("mm_crossmodal_topk", crossModalTopkSql(nCells = 16, iters = 3,
+      k = 3, nProbe = 2, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
+        .filter(col("vec_id") < 10)
+      Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = 2,
+          indexPath = ivfIndexFor(s, d))
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // Cross-modal recall@3 vs exact brute force over the shared space —
+    // the sim_recall_* pattern: the modality gap's cost through the IVF
+    // probe is pinned as oracle-checked data, and aligned_hit records
+    // whether each image found ITS OWN text in the IVF top-3.
+    Q("mm_crossmodal_recall", crossModalRecallSql(nCells = 16, iters = 3,
+      k = 3, nProbe = 2, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
+        .filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = 2,
+          indexPath = ivfIndexFor(s, d))
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
+        .select(col("qid"), col("nid"))
+      val rec = bf.join(ivf, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 3.0, 4).as("recall"))
+      val aligned = ivf.groupBy(col("qid"))
+        .agg(max(when(col("nid") === col("qid"), 1L).otherwise(0L))
+          .as("aligned_hit"))
+      rec.join(aligned, "qid").orderBy(col("qid"))
     }
   )
+
+  /** DuckDB replay of the cross-modal chain up to the ranked CTE `cmr2`:
+    * the trained-cell prefix, the image-side perturbation
+    * (md5 hex-digit grid — note `(i - 1)` matches Spark transform's
+    * 0-based lambda index), the nProbe cell probe, and cosine scoring
+    * WITHOUT self-exclusion. */
+  private def crossModalCoreSql(nCells: Int, iters: Int, nProbe: Int,
+                                nQueries: Int): String = {
+    def hexDigit(pos: Int): String = {
+      val a = "ascii(substr(md5(vec_id::VARCHAR || '|' || " +
+        s"(i - 1)::VARCHAR), $pos, 1))"
+      s"(CASE WHEN $a <= 57 THEN $a - 48 ELSE $a - 87 END)"
+    }
+    ivfTrainedCellSql(nCells, iters) + ", " +
+      "img AS (SELECT vec_id, list_transform(v, (x, i) -> x + " +
+      s"(((${hexDigit(1)} * 16 + ${hexDigit(2)}) % 41) - 20) / 100.0) AS qv " +
+      s"FROM e WHERE vec_id < $nQueries), " +
+      "cmq AS (SELECT vec_id AS qid, qv, sqrt(list_sum(list_transform(" +
+      "range(1, len(qv) + 1), k -> qv[k] * qv[k]))) AS qn FROM img), " +
+      "cmd AS (SELECT q.qid, c.cid, ROUND(list_sum(list_transform(" +
+      "range(1, len(q.qv) + 1), k -> (q.qv[k] - c.cv[k]) * (q.qv[k] - c.cv[k]))), 6) " +
+      s"AS dist FROM cmq q, cent$iters c), " +
+      "cmp AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER " +
+      s"(PARTITION BY qid ORDER BY dist, cid) AS rn FROM cmd) WHERE rn <= $nProbe), " +
+      "cmsc AS (SELECT q.qid, cell.nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(q.qv) + 1), k -> q.qv[k] * cell.nv[k])) / (q.qn * cell.nn), 6) " +
+      "AS cosine FROM cmq q JOIN cmp USING (qid) JOIN cell USING (cid)), " +
+      "cmr2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM cmsc)"
+  }
+
+  private def crossModalTopkSql(nCells: Int, iters: Int, k: Int,
+                                nProbe: Int, nQueries: Int): String =
+    crossModalCoreSql(nCells, iters, nProbe, nQueries) +
+      s" SELECT qid, rank, nid, cosine FROM cmr2 WHERE rank <= $k ORDER BY qid, rank"
+
+  private def crossModalRecallSql(nCells: Int, iters: Int, k: Int,
+                                  nProbe: Int, nQueries: Int): String =
+    crossModalCoreSql(nCells, iters, nProbe, nQueries) +
+      s", ivf AS (SELECT qid, nid, 1 AS hit FROM cmr2 WHERE rank <= $k), " +
+      "bfs AS (SELECT q.qid, c.vec_id AS nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(q.qv) + 1), k -> q.qv[k] * c.v[k])) / (q.qn * c.nrm), 6) " +
+      "AS cosine FROM cmq q, n c), " +
+      "bf AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bfs) WHERE rnk <= $k), " +
+      "rec AS (SELECT bf.qid, CAST(COUNT(ivf.hit) AS BIGINT) AS n_hit, " +
+      s"ROUND(COUNT(ivf.hit) / $k.0, 4) AS recall " +
+      "FROM bf LEFT JOIN ivf USING (qid, nid) GROUP BY bf.qid), " +
+      "ah AS (SELECT qid, CAST(MAX(CASE WHEN nid = qid THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS aligned_hit FROM ivf GROUP BY qid) " +
+      "SELECT rec.qid, rec.n_hit, rec.recall, ah.aligned_hit " +
+      "FROM rec JOIN ah USING (qid) ORDER BY qid"
 
   /** DuckDB replay of [[Similarity.pqTopK]] up to the ranked-ADC CTE `r`:
     * subvector split → per-subspace Lloyd (same 6-dp grids + cid tie-break,
