@@ -140,6 +140,40 @@ object IndexCache {
 
   private val buildLocks = new ConcurrentHashMap[String, Object]()
 
+  /** Order-insensitive content fingerprint of an arbitrary FILE-BACKED
+    * frame over the named key columns — the generic form of Dedup.docFp
+    * for non-document sources (fact tables feeding mined artifacts).
+    * xor + decimal-space sum + count over xxhash64(keyCols): collision
+    * needs a simultaneous break of two independent folds; the decimal sum
+    * is ANSI-overflow-safe; the empty frame is a stable "0|0|0". Memoized
+    * behind the same (plan semantic hash, file listing) check as docFp —
+    * unchanged files cost no job after the first call per process.
+    * Non-file frames always recompute. */
+  private val tableFpCache = new ConcurrentHashMap[String, String]()
+  def tableFp(df: DataFrame, keyCols: Seq[String]): String = {
+    import org.apache.spark.sql.functions._
+    val files = df.inputFiles.sorted
+    val listingKey =
+      if (files.isEmpty) ""
+      else {
+        val listing = files.map { u =>
+          val f = new java.io.File(new java.net.URI(u).getPath)
+          s"${f.getPath}:${f.length}:${f.lastModified}"
+        }.mkString(",")
+        s"${df.queryExecution.analyzed.semanticHash()}|$listing"
+      }
+    def compute: String = {
+      val r = df.select(xxhash64(keyCols.map(col): _*).as("h"))
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+          coalesce(expr("sum(cast(h as decimal(38,0)))"),
+            lit(java.math.BigDecimal.ZERO)).as("s"),
+          count(lit(1)).as("n")).first()
+      s"${r.getLong(0)}|${r.getDecimal(1).toBigInteger}|${r.getLong(2)}"
+    }
+    if (listingKey.isEmpty) compute
+    else tableFpCache.computeIfAbsent(listingKey, _ => compute)
+  }
+
   /** Kill-switch: `SPARK_GRAFT_INDEX_DISABLE=1` bypasses the artifact
     * layer entirely — build plans run inline, nothing is persisted or
     * read. For measuring the from-scratch path (scale smokes of index
