@@ -412,7 +412,17 @@ object ScaleSmoke {
       // Semantic contamination: served-index radius probe — the bench
       // side grows with the corpus (% 37) but stays broadcast-bounded;
       // the corpus moves only through the ivf_cells artifact scan.
-      "contamination_semantic")
+      "contamination_semantic",
+      // Unigram-LM tokenizer (round 12): train's folds run per word TYPE
+      // (Heaps-bounded ~corpus^0.5) and every shuffle is vocab-bounded,
+      // so train should be strongly sublinear; encode adds one corpus
+      // scan + broadcast join — ~linear with a small constant.
+      "text_unigram_train", "text_unigram_encode",
+      // Cross-modal retrieval (round 12): 10 external queries probe the
+      // persisted IVF cells — the corpus moves only through the cell
+      // artifact scan (topk) plus one brute-force pass (recall's exact
+      // denominator, honestly linear).
+      "mm_crossmodal_topk", "mm_crossmodal_recall")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
