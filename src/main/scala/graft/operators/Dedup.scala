@@ -376,7 +376,21 @@ object Dedup {
     // shuffle_hash measured 1.4 s → 10.2 s on dedup_char_jaccard — the
     // broadcast is the right plan until the corpus outgrows it, at which
     // point AQE picks the shuffled join on its own).
-    cand
+    //
+    // The CANDIDATE edge list persists read-through (the edit_cands
+    // discipline): the band/prefix join is the build stage, the exact
+    // verify below stays live — a served run still proves every emitted
+    // pair. Keyed by BOTH parameter groups; either strategy's output is a
+    // lossless candidate superset, so a cutover flip across corpus growth
+    // cannot change the verified output. In-memory frames keep the lazy
+    // single-job flow.
+    val candS = cache match {
+      case Some(key) if !IndexCache.disabled =>
+        IndexCache.cachedFrame(sess, s"${key.kind}_cands",
+          s"${key.shingleParams}|${key.prefixParams}", key.fp)(cand)
+      case _ => cand
+    }
+    candS
       .join(arrs.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
         col("sh64").as("sh_a")), "id_a")
       .join(arrs.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),

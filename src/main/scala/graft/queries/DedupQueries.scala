@@ -328,8 +328,16 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.lshVerifiedPairs(docs, k = 12, bands = 4, rows = 3,
         threshold = 0.5)
-      val comp = Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("comp"))
+      // The component table persists too: canonical selection is the
+      // downstream CONSUMER of clustering (dedup_components stays the
+      // live representative of the two-star iterations); keyed by the
+      // same corpus fingerprint the pairs artifact uses, so a changed
+      // corpus rebuilds both.
+      val comp = graft.operators.IndexCache.cachedFrame(s, "lsh_comps",
+          "k12b4r3t0.5", graft.operators.Dedup.docFp(docs)) {
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("comp"))
+      }
       val q = docs.where(length(col("text")) > 0)
         .select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
