@@ -111,6 +111,19 @@ def main():
               f"baseline {base.get('value', float('nan')):.2f} s over {len(bq)}; "
               f"median ratio {med:.2f}; {len(spikes)} spike(s)")
 
+    # A draw with no comparable per-query data is NOT clean — it's
+    # untriageable (wrong file, stdout summary line instead of
+    # bench_full.json, or a draw compared against itself).
+    if not shared:
+        print(header)
+        print("VERDICT: INVALID (no shared per-query timings — pass the "
+              "draw's bench_full.json and the COMMITTED baseline)")
+        sys.exit(1)
+    if os.path.realpath(sys.argv[1]) == os.path.realpath(base_path):
+        print(header)
+        print("VERDICT: INVALID (draw and baseline are the same file)")
+        sys.exit(1)
+
     if cal_dirty:
         verdict, code = "DIRTY (noisy host: calib outside clean band — discard, redraw)", 1
     elif builds:
