@@ -22,7 +22,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // Env-overridable for LOCAL measurement only (the driver never sets
+      // it): quantifies how much of the small-query tail is AQE's
+      // stage-by-stage re-planning vs fixed scheduling cost.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Coalesce small shuffles to the advisory size rather than keeping
       // one partition per core — the production-recommended AQE setting
       // (idle-core scheduling overhead dominates tiny post-shuffle stages;
@@ -59,16 +63,34 @@ object Bench {
       while (i < 200000000) { x = x * 1099511628211L + i; i += 1 }
       x
     }
-    def calibrate(): (Double, Double) = {
+    // MEMORY-BANDWIDTH probe next to the ALU burn: round 12 measured a
+    // sustained phase where the register-only burn sat in its clean band
+    // while every Spark query ran a uniform 1.26× slow (r11-code A/B
+    // reproduced it — host condition, not plans). Spark execution is
+    // bandwidth-bound, the burn loop is not; a draw needs both numbers to
+    // attribute uniform drift from the artifact alone. 16 streaming
+    // passes over a 256 MiB long array, single-threaded (~0.4 s clean).
+    val membwArr = new Array[Long](32 << 20)
+    def membw(): Double = {
+      var pass = 0
+      val t = System.nanoTime()
+      while (pass < 16) {
+        var i = 0; var s = 0L
+        while (i < membwArr.length) { s += membwArr(i); i += 1 }
+        calibSink += s; pass += 1
+      }
+      (System.nanoTime() - t) / 1e9
+    }
+    def calibrate(): (Double, Double, Double) = {
       val t1 = System.nanoTime(); calibSink += burn()
       val one = (System.nanoTime() - t1) / 1e9
       val ts = (1 to Runtime.getRuntime.availableProcessors).map(_ =>
         new Thread(() => { calibSink += burn() }))
       val t2 = System.nanoTime(); ts.foreach(_.start()); ts.foreach(_.join())
       val all = (System.nanoTime() - t2) / 1e9
-      (one, all)
+      (one, all, membw())
     }
-    val (calPre1, calPreN) = calibrate()
+    val (calPre1, calPreN, calPreBw) = calibrate()
 
     // Local-iteration subset (driver never sets this → full sweep).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -139,9 +161,11 @@ object Bench {
       if (failed.isEmpty) ""
       else s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
     val total = perQuery.flatMap(_._2).sum
-    val (calPost1, calPostN) = calibrate()
+    val (calPost1, calPostN, calPostBw) = calibrate()
     val calib = s""""calib":{"pre_1t":${r4(calPre1)},"pre_allcore":${r4(calPreN)},""" +
-      s""""post_1t":${r4(calPost1)},"post_allcore":${r4(calPostN)}}"""
+      s""""pre_membw":${r4(calPreBw)},""" +
+      s""""post_1t":${r4(calPost1)},"post_allcore":${r4(calPostN)},""" +
+      s""""post_membw":${r4(calPostBw)}}"""
     val forensicsJson = forensicsAcc.map { case (n, m) =>
       "\"" + n + "\":" + m.toSeq.sorted.map { case (k, v) =>
         "\"" + k + "\":" + v

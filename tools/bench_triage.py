@@ -73,6 +73,23 @@ def main():
             cal_dirty = True
             problems.append(f"calib drift {a}->{b} = {cal[b]/cal[a]:.2f}x > {CAL_DRIFT_MAX}")
 
+    # 1b. memory-bandwidth probe (round 12+: the ALU burn misses
+    # bandwidth-level contention — a sustained phase measured uniform
+    # 1.26x query drift with a clean burn calib). Hard-gate against the
+    # baseline's probe when both sides carry it; print informationally
+    # otherwise.
+    for k in ("pre_membw", "post_membw"):
+        if k in cal:
+            bl = base.get("calib", {}).get(k)
+            if bl:
+                if cal[k] / bl > 1.3:
+                    cal_dirty = True
+                    problems.append(
+                        f"calib {k}={cal[k]:.3f} > 1.3x baseline {bl:.3f} "
+                        "(bandwidth contention)")
+            else:
+                notes.append(f"calib {k}={cal[k]:.3f} (no baseline reference)")
+
     # 2. per-query median ratio over the shared set
     dq, bq = draw.get("queries", {}), base.get("queries", {})
     shared = [k for k in dq if k in bq and bq[k] > 0]
