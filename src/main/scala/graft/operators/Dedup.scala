@@ -445,12 +445,28 @@ object Dedup {
         transform(sequence(lit(1), length(norm) - (k - 1)),
           i => norm.substr(i, lit(k))))
         .otherwise(array().cast("array<string>"))
-    jaccardPairsBanded(
+    val key = docCacheKey(docs, s"char$k", s"k$k", s"d${maxDiff}_t$threshold")
+    val raw = jaccardPairsBanded(
       docs.select(col("doc_id"), col("n_chars"), normText(col("text")).as("norm"))
         .select(col("doc_id"), col("n_chars"),
           hashedShingleSet(rawShingles).as("sh64")),
       maxDiff, threshold, prefixCutover,
-      cache = docCacheKey(docs, s"char$k", s"k$k", s"d${maxDiff}_t$threshold"))
+      cache = key)
+    // The VERIFIED pair list persists read-through, layered over the
+    // candidate artifact (miss → rebuild from cands; cands miss → full
+    // build). Same lifecycle argument as `lshVerifiedPairs`: at 100 TB a
+    // near-dup edge list is a build-job output consumed many times, and
+    // the char-shingle verify is the heaviest in the family (long in-token
+    // shingle arrays). The family's build stages stay live elsewhere:
+    // `dedup_minhash_lsh` runs its whole pipeline per query, and
+    // `ngramJaccardPairs` keeps its exact verify live over served
+    // candidates — so serving here hides no unexercised code path.
+    key match {
+      case Some(kk) if !IndexCache.disabled =>
+        IndexCache.cachedFrame(docs.sparkSession, s"char${k}_pairs",
+          s"k${k}d${maxDiff}t$threshold", kk.fp)(raw)
+      case _ => raw
+    }
   }
 
   /** MinHash similarity ESTIMATION: jaccard ≈ fraction of agreeing
