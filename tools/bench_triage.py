@@ -39,6 +39,13 @@ CAL_ALL_MAX = 0.38
 CAL_DRIFT_MAX = 1.25
 SPIKE_RATIO = 1.5
 SPIKE_BASE = 0.2
+# Absolute-delta floor: every flagged-then-hand-adjudicated "spike" in
+# rounds 11-12 with a delta under ~0.3 s re-measured at baseline (draws
+# rotate ONE different small query above 1.5x per draw — scheduler
+# jitter). A real regression on a served query is an artifact rebuild
+# or a plan change — whole seconds. Ratio alone over-triggers on small
+# bases; require the draw to actually lose meaningful time.
+SPIKE_DELTA = 0.3
 MEDIAN_BAND = (0.8, 1.2)
 
 
@@ -102,7 +109,8 @@ def main():
     # 3. localized spikes
     spikes = sorted(
         ((k, r) for k, r in ratios.items()
-         if r > SPIKE_RATIO and bq[k] > SPIKE_BASE),
+         if r > SPIKE_RATIO and bq[k] > SPIKE_BASE
+         and dq[k] - bq[k] > SPIKE_DELTA),
         key=lambda kv: -kv[1])
     for k, r in spikes:
         notes.append(f"spike {k}: {bq[k]:.2f} -> {dq[k]:.2f} s ({r:.2f}x)")
