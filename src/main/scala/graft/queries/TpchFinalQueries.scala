@@ -83,8 +83,18 @@ object TpchFinalQueries {
     },
 
     // Q11 important stock: per-part shipped value for one nation's
-    // suppliers, kept where it exceeds a fraction of that nation's total
+    // suppliers, kept where it exceeds a threshold of the nation's total
     // (scalar-subquery threshold → broadcast single-row cross join).
+    // The threshold is SCALE-FREE — TPC-H's own Q11 shrinks its fraction
+    // as 0.0001/SF precisely because a fixed fraction empties the result
+    // as the part population grows (a fixed 0.001 returned 0 rows at
+    // sf0.1: 20x the average share with insufficient skew — caught by the
+    // round-12 non-vacuity gate). SF isn't observable here, so the
+    // equivalent data-derived rule is "value > 2x the average part
+    // value", compared by integer cross-multiply (val*cnt > tot*2) in
+    // 38-digit decimal on the Spark side / HUGEINT in DuckDB — exact at
+    // any scale, no division, no Long overflow when cnt and val both
+    // grow with the corpus.
     Q("q11_important_stock",
       "WITH ps AS (SELECT l_partkey, " +
         "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS val_cents " +
@@ -92,7 +102,8 @@ object TpchFinalQueries {
         "JOIN nation ON s_nationkey=n_nationkey " +
         "WHERE n_name='NATION_7' GROUP BY 1) " +
         "SELECT l_partkey, val_cents/100.0 AS value FROM ps " +
-        "WHERE val_cents > (SELECT SUM(val_cents) FROM ps) * 0.001 " +
+        "WHERE CAST(val_cents AS HUGEINT) * (SELECT COUNT(*) FROM ps) " +
+        "> CAST((SELECT SUM(val_cents) FROM ps) AS HUGEINT) * 2 " +
         "ORDER BY value DESC, l_partkey") { (s, d) =>
       val ps = Tables.lineitem(s, d)
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -100,9 +111,10 @@ object TpchFinalQueries {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("val_cents"))
-      val tot = ps.agg(sum("val_cents").as("tot"))
+      val tot = ps.agg(sum("val_cents").as("tot"), count(lit(1)).as("cnt"))
       ps.crossJoin(broadcast(tot))
-        .filter(col("val_cents") > col("tot") * 0.001)
+        .filter(col("val_cents").cast("decimal(38,0)") * col("cnt") >
+          col("tot").cast("decimal(38,0)") * 2)
         .select(col("l_partkey"), (col("val_cents") / 100.0).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     },
