@@ -18,15 +18,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val aqeOn = sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // Env-overridable for LOCAL measurement only (the driver never sets
       // it): quantifies how much of the small-query tail is AQE's
-      // stage-by-stage re-planning vs fixed scheduling cost.
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // stage-by-stage re-planning vs fixed scheduling cost. The resolved
+      // value is embedded in the emitted JSON ("aqe":…) so an AQE-off
+      // draw is distinguishable from a baseline draw after the fact.
+      .config("spark.sql.adaptive.enabled", aqeOn.toString)
       // Coalesce small shuffles to the advisory size rather than keeping
       // one partition per core — the production-recommended AQE setting
       // (idle-core scheduling overhead dominates tiny post-shuffle stages;
@@ -172,12 +174,14 @@ object Bench {
       }.mkString("{", ",", "}")
     }.mkString("\"forensics\":{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,${failedJson}"queries":$qs,$forensicsJson,$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"aqe":$aqeOn,${failedJson}"queries":$qs,$forensicsJson,$calib,"sf":"$sfDir"}"""
     println(fullLine)
-    // Short, truncation-proof summary LAST (tail captures keep it whole;
-    // it carries the forensics block too, so cache-traffic attribution
-    // survives a truncated big line).
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$failedJson$forensicsJson,$calib,"sf":"$sfDir"}""")
+    // Short, truncation-proof summary LAST. The driver's BENCH_r*.json
+    // keeps only a ~2000-char stdout tail; round 12's "short" line still
+    // carried the forensics blob and outgrew it (BENCH_r12.json parsed:
+    // null). This line is total + conditions ONLY — forensics and
+    // per-query medians live in the full line and bench_full.json.
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$failedJson"nqueries":${names.size},"aqe":$aqeOn,$calib,"sf":"$sfDir"}""")
     // Machine-readable artifact of record: the driver's BENCH_r*.json
     // keeps only a 2000-char stdout tail, so the full per-query medians +
     // forensics are ALSO written to a file (committed per round → git

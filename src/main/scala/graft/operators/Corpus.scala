@@ -681,6 +681,9 @@ object Corpus {
   def unigramTrain(docs: DataFrame, maxPieceLen: Int = 4,
                    nCandidates: Int = 40, keepPieces: Int = 24,
                    rounds: Int = 2): DataFrame = {
+    // usage is populated by the EM loop; with rounds < 1 the final model
+    // join would NPE on a null frame instead of explaining itself.
+    require(rounds >= 1, s"unigramTrain needs at least 1 EM round (got $rounds)")
     val words = docs
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))

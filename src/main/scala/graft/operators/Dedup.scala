@@ -337,6 +337,14 @@ object Dedup {
     val bandedA = meta.withColumn("bucket",
       explode(array((-1 to 1).map(o => floor(col("n_chars") / bucketW) + o): _*)))
     val bandedB = meta.withColumn("bucket", floor(col("n_chars") / bucketW))
+    // CACHE-KEY INVARIANT: the candidate artifact below (`*_cands`) is
+    // keyed by (shingleParams, prefixParams, corpus fp) but NOT by which
+    // branch of this switch produced it. That is sound only because BOTH
+    // strategies emit a lossless superset of the true pairs under those
+    // params — a cached candidate set from either side verifies to the
+    // same output. If a future strategy is NOT a lossless superset (e.g.
+    // probabilistic banding), it MUST add a strategy tag to the cache key
+    // or a cutover flip will silently serve wrong cached candidates.
     val cand =
       if (b.count() < prefixCutover)
         bandedA.as("a").join(bandedB.as("b"),

@@ -699,11 +699,17 @@ object Similarity {
     // The labeled artifact's content depends on the LABEL column too, not
     // just (vec_id, embedding): a label-only metadata update must miss the
     // cache, or filtered ANN silently serves results under the old labels.
+    // Same two-fold discipline as Relational.keyFp / IndexCache.tableFp:
+    // bit_xor + decimal sum are independent folds (a paired-duplicate row
+    // set must break both to collide), and coalesce makes the empty-table
+    // fingerprint a stable "0_0_0" instead of an NPE on getDecimal.
     val labFp = {
       val r = emb.select(xxhash64(col("vec_id"), col("label")).as("h"))
-        .agg(expr("sum(cast(h as decimal(38,0)))").as("s"),
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+          coalesce(expr("sum(cast(h as decimal(38,0)))"),
+            lit(java.math.BigDecimal.ZERO)).as("s"),
           count(lit(1)).as("n")).first()
-      s"${r.getDecimal(0).toBigInteger}_${r.getLong(1)}"
+      s"${r.getLong(0)}_${r.getDecimal(1).toBigInteger}_${r.getLong(2)}"
     }
     val cells = IndexCache.cachedFrame(spark, "ivf_cells_lab",
         s"${centsDigest(cents.toSeq)}_$labFp", liveFp) {
