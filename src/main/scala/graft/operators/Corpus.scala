@@ -556,31 +556,70 @@ object Corpus {
         (conv(substring(md5(col("tok").cast("binary")), 1, 6), 16, 10)
           .cast("long") % buckets).as("bk"))
 
+  /** Pre-aggregated bucket counts (doc_id, is_t, bk, cnt) — the DSIR
+    * lifecycle's persistable intermediate. isTarget is a DOC-level
+    * predicate, so is_t is constant within a doc and this grouping is
+    * exactly the (doc_id, bk) count table both consumers need. At 100 TB
+    * this is the artifact worth keeping: the raw per-token table is
+    * corpus-sized, while this is bounded by docs × min(buckets,
+    * doc_tokens) (≤ 128 rows/doc here) with the token-keyed map-side
+    * combine paid once at build. */
+  private def dsirCounts(docs: DataFrame, buckets: Int,
+                         isTarget: Column): DataFrame =
+    dsirBuckets(docs, buckets, isTarget)
+      .groupBy(col("doc_id"), col("is_t"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** The DSIR model: the `buckets`-row (bk, lw) add-1-smoothed
-    * target/raw log-ratio table — ONE token-keyed count shuffle over the
-    * corpus, then two scalar totals broadcast back. */
-  private def dsirRatioTable(tb: DataFrame, buckets: Int): DataFrame = {
-    val bc = tb.groupBy(col("bk")).agg(
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    * target/raw log-ratio table over the pre-aggregated count table —
+    * a buckets-bounded fold, then two scalar totals broadcast back. */
+  private def dsirRatioTableFromCounts(tc: DataFrame, buckets: Int): DataFrame = {
+    val bc = tc.groupBy(col("bk")).agg(
+      sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), col("cnt")).otherwise(0L)).as("cr"))
     val tot = bc.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     bc.crossJoin(broadcast(tot)).select(col("bk"),
       round(log(((col("ct") + 1) / (col("tt") + buckets).cast("double")) /
         ((col("cr") + 1) / (col("tr") + buckets).cast("double"))), 6).as("lw"))
   }
 
-  /** Score (doc_id, bk)-bucketed docs against a (bk, lw) ratio table:
-    * per-doc Σ cnt·lw with the bounded table broadcast. */
-  private def dsirScore(tb: DataFrame, lr: DataFrame): DataFrame =
-    tb.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(lr), "bk")
+  /** Score a (doc_id, bk, cnt) count table against a (bk, lw) ratio
+    * table: per-doc Σ cnt·lw with the bounded table broadcast. */
+  private def dsirScoreFromCounts(tc: DataFrame, lr: DataFrame): DataFrame =
+    tc.join(broadcast(lr), "bk")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         round(sum(col("cnt") * col("lw")), 6).as("log_weight"))
 
+  /** Score (doc_id, bk)-bucketed docs against a (bk, lw) ratio table. */
+  private def dsirScore(tb: DataFrame, lr: DataFrame): DataFrame =
+    dsirScoreFromCounts(
+      tb.groupBy(col("doc_id"), col("bk")).agg(count(lit(1)).as("cnt")), lr)
+
+  /** Canonical rendering of the target-split predicate for cache keys —
+    * the bucket/ratio artifacts' CONTENT depends on the split, so two
+    * different splits must never share an artifact. */
+  private def splitTag(isTarget: Column): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(isTarget.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** The (doc_id, is_t, bk, cnt) table as a read-through artifact keyed
+    * by (buckets, split, corpus fingerprint) — the single token-keyed
+    * shuffle over the corpus is paid once per snapshot; every DSIR
+    * consumer (ratio training AND pool scoring) reads the compact count
+    * table from disk afterwards. */
+  private def dsirCountsCached(docs: DataFrame, buckets: Int,
+                               isTarget: Column): DataFrame =
+    IndexCache.cachedFrame(docs.sparkSession, "dsir_buckets",
+        s"${buckets}_${splitTag(isTarget)}", Dedup.docFp(docs)) {
+      dsirCounts(docs, buckets, isTarget)
+    }
+
   def dsirLogWeights(docs: DataFrame, buckets: Int, isTarget: Column): DataFrame = {
-    val tb = dsirBuckets(docs, buckets, isTarget)
-    dsirScore(tb.where(!col("is_t")), dsirRatioTable(tb, buckets))
+    val tc = dsirCountsCached(docs, buckets, isTarget)
+    dsirScoreFromCounts(tc.where(!col("is_t")),
+      dsirRatioTableFromCounts(tc, buckets))
   }
 
   /** The SERVED half of the DSIR lifecycle: the log-ratio table persists
@@ -592,15 +631,14 @@ object Corpus {
   def dsirServed(docs: DataFrame, buckets: Int, isTarget: Column,
                  inBatch: Column): DataFrame = {
     // The ratio table's CONTENT depends on the target split, not just the
-    // corpus: fold a canonical rendering of the predicate into the key so
-    // a second call with a different split can never be served the first
-    // split's stale log-ratios (it misses and rebuilds instead).
-    val splitTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(isTarget.toString.getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    // corpus: the split tag in the key means a second call with a
+    // different split can never be served the first split's stale
+    // log-ratios (it misses and rebuilds instead). The build itself reads
+    // through the shared dsir_buckets count artifact, so training the
+    // ratios after a weights run touches only the compact table.
     val lr = IndexCache.cachedFrame(docs.sparkSession, "dsir_ratios",
-        s"${buckets}_$splitTag", Dedup.docFp(docs)) {
-      dsirRatioTable(dsirBuckets(docs, buckets, isTarget), buckets)
+        s"${buckets}_${splitTag(isTarget)}", Dedup.docFp(docs)) {
+      dsirRatioTableFromCounts(dsirCountsCached(docs, buckets, isTarget), buckets)
     }
     dsirScore(dsirBuckets(docs.where(inBatch), buckets, isTarget), lr)
   }
