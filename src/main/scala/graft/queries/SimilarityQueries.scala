@@ -710,6 +710,65 @@ object SimilarityQueries {
         .agg(max(when(col("nid") === col("qid"), 1L).otherwise(0L))
           .as("aligned_hit"))
       rec.join(aligned, "qid").orderBy(col("qid"))
+    },
+
+    // The cross-modal nProbe TUNING CURVE — the sim_probe_sweep repair
+    // applied to the modality-gap path: recall@3 of image→text retrieval
+    // through the SAME persisted IVF index at widths 1, 2, 4, 8.
+    // Perturbed queries land near cell boundaries more often than
+    // in-corpus queries (the modality gap), so their recall-vs-width
+    // curve climbs later than the text path's; this query pins the whole
+    // curve as oracle data so the operating point (mm_crossmodal_tuned)
+    // is a documented choice, not a guess. Ground truth and the probe
+    // ranking are computed once; every width reuses the shared index
+    // (forensics: ivf_cells.disk only).
+    Q("mm_crossmodal_sweep", crossModalSweepSql(nCells = 16, iters = 3,
+      k = 3, probes = Seq(1, 2, 4, 8), nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
+        .filter(col("vec_id") < 10)
+      val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
+        .select(col("qid"), col("nid"))
+      Seq(1, 2, 4, 8).map { p =>
+        val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = p,
+            indexPath = ivfIndexFor(s, d))
+          .select(col("qid"), col("nid"), lit(1).as("hit"))
+        bf.join(ivf, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("hit")).as("n_hit"),
+            round(count(col("hit")) / 3.0, 4).as("recall"))
+          .select(lit(p.toLong).as("n_probe"), col("qid"), col("n_hit"),
+            col("recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("n_probe"), col("qid"))
+    },
+
+    // The REPAIRED cross-modal operating point, picked off the sweep
+    // curve: same recall@3 + aligned_hit census as mm_crossmodal_recall
+    // but at nProbe = 8 (of 16 cells) — the first width on the sweep
+    // curve at recall ≥ 27/30 (widths 1/2/4/8 measure 20/22/25/28 at
+    // oracle scale; the perturbed queries' cell-boundary placement makes
+    // the curve climb later than the text path's, so the modality gap
+    // honestly costs a wider probe). The default-width row stays
+    // registered as the cost-floor baseline; this row is the
+    // quality-floor serve configuration.
+    Q("mm_crossmodal_tuned", crossModalRecallSql(nCells = 16, iters = 3,
+      k = 3, nProbe = 8, nQueries = 10)) { (s, d) =>
+      val embT = emb(s, d)
+      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
+        .filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = 8,
+          indexPath = ivfIndexFor(s, d))
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
+        .select(col("qid"), col("nid"))
+      val rec = bf.join(ivf, Seq("qid", "nid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"),
+          round(count(col("hit")) / 3.0, 4).as("recall"))
+      val aligned = ivf.groupBy(col("qid"))
+        .agg(max(when(col("nid") === col("qid"), 1L).otherwise(0L))
+          .as("aligned_hit"))
+      rec.join(aligned, "qid").orderBy(col("qid"))
     }
   )
 
@@ -718,7 +777,10 @@ object SimilarityQueries {
     * (md5 hex-digit grid — note `(i - 1)` matches Spark transform's
     * 0-based lambda index), the nProbe cell probe, and cosine scoring
     * WITHOUT self-exclusion. */
-  private def crossModalCoreSql(nCells: Int, iters: Int, nProbe: Int,
+  /** The probe-width-independent prefix of the cross-modal replay:
+    * trained cells, the image-side perturbation, and the per-(query,
+    * centroid) distance table `cmd`. */
+  private def crossModalBaseSql(nCells: Int, iters: Int,
                                 nQueries: Int): String = {
     def hexDigit(pos: Int): String = {
       val a = "ascii(substr(md5(vec_id::VARCHAR || '|' || " +
@@ -733,7 +795,12 @@ object SimilarityQueries {
       "range(1, len(qv) + 1), k -> qv[k] * qv[k]))) AS qn FROM img), " +
       "cmd AS (SELECT q.qid, c.cid, ROUND(list_sum(list_transform(" +
       "range(1, len(q.qv) + 1), k -> (q.qv[k] - c.cv[k]) * (q.qv[k] - c.cv[k]))), 6) " +
-      s"AS dist FROM cmq q, cent$iters c), " +
+      s"AS dist FROM cmq q, cent$iters c)"
+  }
+
+  private def crossModalCoreSql(nCells: Int, iters: Int, nProbe: Int,
+                                nQueries: Int): String =
+    crossModalBaseSql(nCells, iters, nQueries) + ", " +
       "cmp AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER " +
       s"(PARTITION BY qid ORDER BY dist, cid) AS rn FROM cmd) WHERE rn <= $nProbe), " +
       "cmsc AS (SELECT q.qid, cell.nid, ROUND(list_sum(list_transform(" +
@@ -741,6 +808,38 @@ object SimilarityQueries {
       "AS cosine FROM cmq q JOIN cmp USING (qid) JOIN cell USING (cid)), " +
       "cmr2 AS (SELECT qid, nid, cosine, ROW_NUMBER() OVER " +
       "(PARTITION BY qid ORDER BY cosine DESC, nid) AS rank FROM cmsc)"
+
+  /** The cross-modal nProbe tuning curve: recall@k of the image→text IVF
+    * probe at each width, against the shared exact ground truth — the
+    * [[ivfProbeSweepSql]] pattern with the modality-gap query side and
+    * no self-exclusion. */
+  private def crossModalSweepSql(nCells: Int, iters: Int, k: Int,
+                                 probes: Seq[Int], nQueries: Int): String = {
+    val perProbe = probes.map { p =>
+      s"cmsc$p AS (SELECT q.qid, cell.nid, ROUND(list_sum(list_transform(" +
+        "range(1, len(q.qv) + 1), k -> q.qv[k] * cell.nv[k])) / (q.qn * cell.nn), 6) " +
+        "AS cosine FROM cmq q JOIN (SELECT qid, cid FROM cmrf WHERE " +
+        s"rn <= $p) pr ON pr.qid = q.qid JOIN cell USING (cid)), " +
+        s"cmivf$p AS (SELECT qid, nid, 1 AS hit FROM (SELECT qid, nid, " +
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) " +
+        s"AS rank FROM cmsc$p) WHERE rank <= $k)"
+    }.mkString(", ")
+    val recalls = probes.map { p =>
+      s"SELECT CAST($p AS BIGINT) AS n_probe, bf.qid, " +
+        s"CAST(COUNT(cmivf$p.hit) AS BIGINT) AS n_hit, " +
+        s"ROUND(COUNT(cmivf$p.hit) / $k.0, 4) AS recall " +
+        s"FROM bf LEFT JOIN cmivf$p USING (qid, nid) GROUP BY bf.qid"
+    }.mkString(" UNION ALL ")
+    crossModalBaseSql(nCells, iters, nQueries) + ", " +
+      "cmrf AS (SELECT qid, cid, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY dist, cid) AS rn FROM cmd), " +
+      s"$perProbe, " +
+      "bfs AS (SELECT q.qid, c.vec_id AS nid, ROUND(list_sum(list_transform(" +
+      "range(1, len(q.qv) + 1), k -> q.qv[k] * c.v[k])) / (q.qn * c.nrm), 6) " +
+      "AS cosine FROM cmq q, n c), " +
+      "bf AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER " +
+      s"(PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bfs) WHERE rnk <= $k) " +
+      s"SELECT * FROM ($recalls) ORDER BY n_probe, qid"
   }
 
   private def crossModalTopkSql(nCells: Int, iters: Int, k: Int,
