@@ -2,14 +2,15 @@ package graft.service
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions._
-import graft.model.TimedDeposit
+import graft.model.{KeyedFlagEvent, TimedDeposit}
 import graft.streaming.DepositStreams
+import graft.streaming.DepositStreams.BalanceRow
 
 /** The reference's two HTTP endpoints (/root/reference/service/service.go)
   * over the streaming engine:
@@ -23,12 +24,19 @@ import graft.streaming.DepositStreams
   *  - `GET /check/{wallet_id}` — balance ⟕ flag with unknown-wallet →
   *    `{balance: 0, above_threshold: false}` and HTTP 200 (SURVEY §2.3.6).
   *
-  * Topology: one collector query materializes the balance view; one
-  * detector query (the exact state machine) materializes the verdict
-  * stream, and the serve path applies the flagger's LWW at read time
-  * (`max_by(verdict, seq)`) — the view-over-changelog form of O7.
-  * A JDK HttpServer stands in for the reference's chi router; everything
-  * engine-side is ordinary Structured Streaming.
+  * Topology: one collector query and one detector query, each feeding a
+  * KEYED SERVING VIEW through `foreachBatch` — the analog of the
+  * reference's local LevelDB view (`view.Get`, service.go:128-133):
+  * every committed micro-batch upserts only ITS OWN keys (LWW by
+  * nDeposits / seq — the flagger's O7 discipline applied at write time),
+  * and `GET /check` is two O(1) map reads with NO Spark job. Per-request
+  * cost is therefore independent of table size; per-batch maintenance
+  * cost is proportional to the keys the batch touched, never to the
+  * accumulated state. On a cluster the same `foreachBatch` writes to an
+  * external KV store (RocksDB service, Redis, Cassandra) — the lifecycle
+  * (upsert-on-commit, last-writer-wins keyed rows) is identical; only
+  * the map implementation changes. A JDK HttpServer stands in for the
+  * reference's chi router.
   */
 final class DepositService(spark: SparkSession, port: Int = 0) {
   import spark.implicits._
@@ -36,20 +44,42 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
 
   private val mapper = new ObjectMapper()
   private val seq = new AtomicLong(0L)
-  private val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
-  private val balanceTable = s"svc_balance_$suffix"
-  private val verdictTable = s"svc_verdicts_$suffix"
+
+  // The serving views (view.Get analog). ConcurrentHashMap.merge makes the
+  // LWW upsert atomic per key — the HTTP executor reads concurrently with
+  // the streaming thread's batch commit.
+  private val balanceView = new ConcurrentHashMap[String, BalanceRow]()
+  private val flagView = new ConcurrentHashMap[String, KeyedFlagEvent]()
 
   private val input = MemoryStream[TimedDeposit]
 
   private val collectorQuery = DepositStreams.collector(spark, input.toDS())
-    .writeStream.format("memory").queryName(balanceTable)
-    .outputMode("update").start()
+    .writeStream.outputMode("update")
+    .foreachBatch { (batch: Dataset[BalanceRow], _: Long) =>
+      // collect() here is bounded by the keys THIS batch updated (update
+      // mode emits changed keys only), not by the size of the view.
+      batch.collect().foreach { r =>
+        balanceView.merge(r.walletId, r,
+          (old, nw) => if (nw.nDeposits >= old.nDeposits) nw else old)
+      }
+    }
+    .start()
 
   private val detectorQuery = DepositStreams.detector(spark, input.toDS())
-    .writeStream.format("memory").queryName(verdictTable)
-    .outputMode("append").start()
+    .writeStream.outputMode("append")
+    .foreachBatch { (batch: Dataset[KeyedFlagEvent], _: Long) =>
+      batch.collect().foreach { r =>
+        flagView.merge(r.walletId, r,
+          (old, nw) => if (nw.seq >= old.seq) nw else old)
+      }
+    }
+    .start()
 
+  // TCP_NODELAY on the serving socket: headers and body go out as two
+  // small writes, and with Nagle on, a keep-alive client's next request
+  // waits out the peer's delayed ACK — measured 44 ms per GET (the
+  // classic 40 ms artifact) vs ~100 µs with it off.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/deposit", (ex: HttpExchange) => handleDeposit(ex))
   server.createContext("/check/", (ex: HttpExchange) => handleCheck(ex))
@@ -79,7 +109,9 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
       val ts = Option(node.get("ts_unix")).map(_.asLong())
         .getOrElse(System.currentTimeMillis() / 1000L)
       input.addData(TimedDeposit(wallet, amount, ts, seq.incrementAndGet()))
-      // EmitSync analog: ack only once the engine has absorbed the event.
+      // EmitSync analog: ack only once the engine has absorbed the event —
+      // and, since the views update inside foreachBatch, once the serving
+      // maps reflect it (read-your-writes for the ACKed deposit).
       collectorQuery.processAllAvailable()
       detectorQuery.processAllAvailable()
       respond(ex, 200, s"""{"wallet_id":"$wallet","status":"ok"}""")
@@ -87,19 +119,13 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
       case _: Throwable => respond(ex, 500, """{"error":"internal"}""")
     }
 
+  /** O8: the point lookup. Two keyed map reads — no scan, no job; the
+    * same asymptotics as the reference's `view.Get` (service.go:128-133). */
   private def handleCheck(ex: HttpExchange): Unit =
     try {
       val wallet = ex.getRequestURI.getPath.stripPrefix("/check/")
-      val balance = spark.table(balanceTable)
-        .filter(col("walletId") === wallet)
-        .agg(max_by(col("balance"), col("nDeposits")).as("b"))
-        .collect().headOption.flatMap(r => Option(r.get(0)))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val flagged = spark.table(verdictTable)
-        .filter(col("walletId") === wallet)
-        .agg((!max_by(col("flagRemoved"), col("seq"))).as("f"))
-        .collect().headOption.flatMap(r => Option(r.get(0)))
-        .exists(_.asInstanceOf[Boolean])
+      val balance = Option(balanceView.get(wallet)).map(_.balance).getOrElse(0.0)
+      val flagged = Option(flagView.get(wallet)).exists(e => !e.flagRemoved)
       respond(ex, 200,
         s"""{"wallet_id":"$wallet","balance":$balance,"above_threshold":$flagged}""")
     } catch {

@@ -50,13 +50,32 @@ object ServeSmoke {
         .uri(java.net.URI.create(s"http://127.0.0.1:$port/check/$wallet"))
         .GET().build())._2
 
+    // O8 evidence: per-lookup latency at two view sizes. The serve path
+    // is a keyed map read (DepositService.handleCheck) — cost must be
+    // independent of how much state the stream has accumulated, so the
+    // same 400-GET probe is timed after the first quarter of deposits
+    // and again after all of them. (The pre-round-13 scan-per-request
+    // path grew with the sink table; this pins the fix as data.)
+    def lookupMicros(wallets: Seq[String], iters: Int): Double = {
+      wallets.take(5).foreach(check) // JIT/connection warmup
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < iters) { check(wallets(i % wallets.size)); i += 1 }
+      (System.nanoTime() - t0) / 1000.0 / iters
+    }
+    val probeWallets = rows.filter(_._2 > 0).map(_._1).distinct.take(8).toSeq
+
     var accepted = 0; var rejected = 0; var badStatus = 0
-    rows.foreach { case (w, a, t) =>
+    val quarter = math.max(1, rows.length / 4)
+    var lookupUsQuarter = 0.0
+    rows.zipWithIndex.foreach { case ((w, a, t), i) =>
       val st = post(w, a, t)
       val expect = if (a > 0) 200 else 422
       if (st == expect) { if (st == 200) accepted += 1 else rejected += 1 }
       else badStatus += 1
+      if (i + 1 == quarter) lookupUsQuarter = lookupMicros(probeWallets, 400)
     }
+    val lookupUsFull = lookupMicros(probeWallets, 400)
     // The reject path must be exercised regardless of fixture content:
     // zero and negative amounts take the reference's 422 branch
     // (service.go:87-91) and must NOT reach the stream (the balance
@@ -92,6 +111,7 @@ object ServeSmoke {
     println(s"""{"smoke":"serve","sf":"$sfDir","posted":${rows.length},""" +
       s""""accepted":$accepted,"rejected_422":$rejected,"bad_status":$badStatus,""" +
       s""""wallets_checked":${perWallet.size + 1},"mismatches":${mismatches.size},""" +
+      f""""lookup_us_quarter":$lookupUsQuarter%.1f,"lookup_us_full":$lookupUsFull%.1f,""" +
       s""""ok":${mismatches.isEmpty && badStatus == 0}}""")
     svc.stop()
     spark.stop()
