@@ -233,7 +233,16 @@ object ScaleSmoke {
         // The remaining heavy text dedups: simhash's bit votes and the
         // span digests both scale with shingle volume, so the natural-
         // vocabulary fixture is the regime to certify them in too.
-        "dedup_simhash", "dedup_duplicate_spans")
+        "dedup_simhash", "dedup_duplicate_spans",
+        // Tokenizer training (round 12 claims, round 13 evidence): the
+        // "vocabulary-bounded" posture must hold where word TYPES grow
+        // with the corpus — the zipf fixture's cipher replicas grow the
+        // type table ×mult (harsher than natural Heaps growth), while
+        // train's candidate/vocab shuffles stay bounded by (nCandidates,
+        // keepPieces). encode adds one corpus scan + a broadcast fold —
+        // expected ~linear with a small constant.
+        "text_unigram_train", "text_unigram_encode",
+        "text_bpe_train")
       val zOnly = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       def ztime(fn: () => DataFrame): (Double, Long) = {

