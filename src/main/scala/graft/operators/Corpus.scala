@@ -628,20 +628,49 @@ object Corpus {
     * scored against it without touching the training corpus again. At
     * 100 TB the ratio table is built once per corpus snapshot; per-batch
     * serving cost is one bucketize + a 128-row broadcast join. */
-  def dsirServed(docs: DataFrame, buckets: Int, isTarget: Column,
-                 inBatch: Column): DataFrame = {
-    // The ratio table's CONTENT depends on the target split, not just the
-    // corpus: the split tag in the key means a second call with a
-    // different split can never be served the first split's stale
-    // log-ratios (it misses and rebuilds instead). The build itself reads
-    // through the shared dsir_buckets count artifact, so training the
-    // ratios after a weights run touches only the compact table.
-    val lr = IndexCache.cachedFrame(docs.sparkSession, "dsir_ratios",
-        s"${buckets}_${splitTag(isTarget)}", Dedup.docFp(docs)) {
-      dsirRatioTableFromCounts(dsirCountsCached(docs, buckets, isTarget), buckets)
+  /** Score an ARBITRARY batch of documents against the trained (and
+    * persisted) log-ratio table of `corpus` — the serve kernel shared by
+    * the batch serve query and the streaming ingest scorer. The ratio
+    * table's CONTENT depends on the target split, not just the corpus:
+    * the split tag in the key means a second call with a different split
+    * can never be served the first split's stale log-ratios (it misses
+    * and rebuilds instead). The build itself reads through the shared
+    * dsir_buckets count artifact, so training the ratios after a weights
+    * run touches only the compact table. */
+  def dsirScoreBatch(corpus: DataFrame, batch: DataFrame, buckets: Int,
+                     isTarget: Column): DataFrame = {
+    val lr = IndexCache.cachedFrame(corpus.sparkSession, "dsir_ratios",
+        s"${buckets}_${splitTag(isTarget)}", Dedup.docFp(corpus)) {
+      dsirRatioTableFromCounts(dsirCountsCached(corpus, buckets, isTarget), buckets)
     }
-    dsirScore(dsirBuckets(docs.where(inBatch), buckets, isTarget), lr)
+    dsirScore(dsirBuckets(batch, buckets, isTarget), lr)
   }
+
+  def dsirServed(docs: DataFrame, buckets: Int, isTarget: Column,
+                 inBatch: Column): DataFrame =
+    dsirScoreBatch(docs, docs.where(inBatch), buckets, isTarget)
+
+  /** The RESAMPLING step DSIR's weights exist for — the pipeline's
+    * emitted corpus: accept pool document d with probability
+    * min(1, exp(log_weight(d))) on the engine's deterministic md5 hash
+    * coordinate ([[Sampling]]'s discipline, so any engine replays the
+    * accept set and a re-run keeps a document's fate). The decision is
+    * integer-exact on a 16-bit grid: accept iff
+    * u16 = int(md5("rs|" + doc_id)[0:4], 16) < cap_u16 =
+    * ⌊min(1, exp(lw))·65536 + 0.5⌋ — lw sits on the 6-dp grid, so cap is
+    * a pure function of the already-oracle-checked weight (positive
+    * weights saturate at exactly 65536: every target-looking doc kept).
+    * One broadcast-join scoring pass + a narrow filter; no new shuffle
+    * shape beyond [[dsirLogWeights]]. */
+  def dsirResample(docs: DataFrame, buckets: Int, isTarget: Column): DataFrame =
+    dsirLogWeights(docs, buckets, isTarget)
+      .withColumn("cap_u16",
+        floor(least(exp(col("log_weight")), lit(1.0)) * 65536 + 0.5).cast("long"))
+      .withColumn("u16",
+        conv(substring(md5(concat(lit("rs|"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("long"))
+      .where(col("u16") < col("cap_u16"))
+      .select(col("doc_id"), col("n_tokens"), col("log_weight"), col("cap_u16"))
 
   // ----------------- unigram-LM (SentencePiece-family) tokenizer -----------------
 

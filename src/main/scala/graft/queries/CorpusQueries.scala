@@ -317,20 +317,31 @@ object CorpusQueries {
     // looks more target-like than pool-like; resampling by exp(log w) is
     // a hash-sample on top of this table.
     Q("pipeline_dsir_weights",
-      s"WITH $tokCte, " +
-        "tb AS (SELECT doc_id, doc_id % 7 = 0 AS is_t, " +
-        "('0x' || substr(md5(tok), 1, 6))::BIGINT % 128 AS bk FROM tok1), " +
-        "bc AS (SELECT bk, SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct, " +
-        "SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS cr FROM tb GROUP BY 1), " +
-        "tot AS (SELECT SUM(ct)::BIGINT AS tt, SUM(cr)::BIGINT AS tr FROM bc), " +
-        "lr AS (SELECT bk, ROUND(ln(((ct + 1) / (tt + 128)::DOUBLE) " +
-        "/ ((cr + 1) / (tr + 128)::DOUBLE)), 6) AS lw FROM bc, tot), " +
-        "dc AS (SELECT doc_id, bk, COUNT(*)::BIGINT AS cnt FROM tb " +
-        "WHERE NOT is_t GROUP BY 1, 2) " +
-        "SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens, " +
-        "ROUND(SUM(cnt * lw), 6) AS log_weight " +
-        "FROM dc JOIN lr USING (bk) GROUP BY 1 ORDER BY 1") { (s, d) =>
+      dsirCoreSql("NOT is_t") +
+        " SELECT doc_id, n_tokens, log_weight FROM w ORDER BY 1") { (s, d) =>
       Corpus.dsirLogWeights(Tables.documents(s, d), buckets = 128,
+          isTarget = col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // The RESAMPLING step the weights exist for — the corpus DSIR
+    // actually emits (Corpus.dsirResample): accept pool doc d with
+    // probability min(1, exp(log_weight)) on the md5 hash coordinate
+    // (Sampling's discipline — deterministic fate per doc, any engine
+    // replays the accept set). Integer-exact decision on a 16-bit grid:
+    // u16 = md5("rs|"+doc_id)[0:4] as int < ⌊min(1,exp(lw))·65536+0.5⌋;
+    // positive weights saturate at exactly 65536 (every target-looking
+    // doc kept), so the only float in control flow is exp() of the
+    // already-oracle-checked 6-dp log weight.
+    Q("pipeline_dsir_resample",
+      dsirCoreSql("NOT is_t") +
+        ", r AS (SELECT doc_id, n_tokens, log_weight, " +
+        "CAST(FLOOR(LEAST(EXP(log_weight), 1.0) * 65536 + 0.5) AS BIGINT) AS cap_u16 " +
+        "FROM w) " +
+        "SELECT doc_id, n_tokens, log_weight, cap_u16 FROM r " +
+        "WHERE ('0x' || substr(md5('rs|' || doc_id::VARCHAR), 1, 4))::BIGINT < cap_u16 " +
+        "ORDER BY doc_id") { (s, d) =>
+      Corpus.dsirResample(Tables.documents(s, d), buckets = 128,
           isTarget = col("doc_id") % 7 === 0)
         .orderBy(col("doc_id"))
     },
@@ -341,23 +352,38 @@ object CorpusQueries {
     // and the incoming batch (doc_id % 10 = 3) is scored against it
     // without re-reading the training corpus.
     Q("pipeline_dsir_served",
-      s"WITH $tokCte, " +
-        "tb AS (SELECT doc_id, doc_id % 7 = 0 AS is_t, " +
-        "('0x' || substr(md5(tok), 1, 6))::BIGINT % 128 AS bk FROM tok1), " +
-        "bc AS (SELECT bk, SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct, " +
-        "SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS cr FROM tb GROUP BY 1), " +
-        "tot AS (SELECT SUM(ct)::BIGINT AS tt, SUM(cr)::BIGINT AS tr FROM bc), " +
-        "lr AS (SELECT bk, ROUND(ln(((ct + 1) / (tt + 128)::DOUBLE) " +
-        "/ ((cr + 1) / (tr + 128)::DOUBLE)), 6) AS lw FROM bc, tot), " +
-        "dc AS (SELECT doc_id, bk, COUNT(*)::BIGINT AS cnt FROM tb " +
-        "WHERE doc_id % 10 = 3 GROUP BY 1, 2) " +
-        "SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens, " +
-        "ROUND(SUM(cnt * lw), 6) AS log_weight " +
-        "FROM dc JOIN lr USING (bk) GROUP BY 1 ORDER BY 1") { (s, d) =>
+      dsirCoreSql("doc_id % 10 = 3") +
+        " SELECT doc_id, n_tokens, log_weight FROM w ORDER BY 1") { (s, d) =>
       Corpus.dsirServed(Tables.documents(s, d), buckets = 128,
           isTarget = col("doc_id") % 7 === 0,
           inBatch = col("doc_id") % 10 === 3)
         .orderBy(col("doc_id"))
     }
   )
+
+  /** The DSIR replay chain up to the scored-batch CTE `w`: bucketize →
+    * per-bucket target/pool counts → smoothed 6-dp log ratios → per-doc
+    * Σ cnt·lw over the docs selected by `batchPred` (a predicate over
+    * tb's doc_id / is_t columns). Shared by the weights / served /
+    * resample queries and the streaming ingest scorer. */
+  private def dsirCoreSql(batchPred: String): String =
+    s"WITH $tokCte, " +
+      "tb AS (SELECT doc_id, doc_id % 7 = 0 AS is_t, " +
+      "('0x' || substr(md5(tok), 1, 6))::BIGINT % 128 AS bk FROM tok1), " +
+      "bc AS (SELECT bk, SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct, " +
+      "SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS cr FROM tb GROUP BY 1), " +
+      "tot AS (SELECT SUM(ct)::BIGINT AS tt, SUM(cr)::BIGINT AS tr FROM bc), " +
+      "lr AS (SELECT bk, ROUND(ln(((ct + 1) / (tt + 128)::DOUBLE) " +
+      "/ ((cr + 1) / (tr + 128)::DOUBLE)), 6) AS lw FROM bc, tot), " +
+      s"dc AS (SELECT doc_id, bk, COUNT(*)::BIGINT AS cnt FROM tb " +
+      s"WHERE $batchPred GROUP BY 1, 2), " +
+      "w AS (SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens, " +
+      "ROUND(SUM(cnt * lw), 6) AS log_weight " +
+      "FROM dc JOIN lr USING (bk) GROUP BY 1)"
+
+  /** Oracle for the STREAMING ingest scorer: the served chain over the
+    * stream feed's batch convention (doc_id ≡ 0 mod 5). */
+  private[queries] def dsirStreamSql: String =
+    dsirCoreSql("doc_id % 5 = 0") +
+      " SELECT doc_id, n_tokens, log_weight FROM w ORDER BY 1"
 }

@@ -1145,6 +1145,36 @@ object StreamQueries {
     Q("stream_ann_serve", SimilarityQueries.ivfServedOracleSql) {
       (s, d) => materialized(s, "stream_ann_serve", embBatchFeed(s, d))(
         streamAnnServe(s, d))(_.orderBy(col("qid"), col("rank")))
+    },
+
+    // Streaming DSIR scoring at ingest — the data-selection gate placed
+    // where a production pipeline runs it: each arriving micro-batch of
+    // documents is bucketized and scored against the PERSISTED log-ratio
+    // artifact (Corpus.dsirScoreBatch, the same dsir_ratios every batch
+    // consumer reads) inside foreachBatch. The stream is STATELESS (all
+    // corpus knowledge lives in the artifact; per-batch cost tracks the
+    // batch), and because the score is per-doc and every doc arrives
+    // exactly once, per-batch results compose into the global result:
+    // output is row-identical to the batch served chain over the feed
+    // subset, which is the oracle.
+    Q("stream_dsir_score", CorpusQueries.dsirStreamSql) {
+      (s, d) => materialized(s, "stream_dsir_score", docsBatchFeed(s, d))(
+        streamDsirScore(s, d))(_.orderBy(col("doc_id")))
     }
   )
+
+  /** See the stream_dsir_score registration: per-batch artifact probe,
+    * stateless, composes because scores are per-doc. */
+  private def streamDsirScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    foreachBatchReplay(s, docsBatchFeed(s, dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))) { batch =>
+      graft.operators.Corpus.dsirScoreBatch(docs, batch, buckets = 128,
+        isTarget = col("doc_id") % 7 === 0)
+    }.orderBy(col("doc_id"))
+  }
 }

@@ -124,10 +124,40 @@ def main():
     if builds:
         notes.append("in-sweep builds: " + ", ".join(builds))
 
+    # New-surface budgets: a query's FIRST appearance has no committed
+    # median to compare against, so every registration pins its own
+    # clean-window budget in tools/bench_budgets.json at the time it is
+    # added. A budgeted new query is triaged exactly like a baselined
+    # one (ratio + absolute-delta spike rule against the budget); an
+    # unbudgeted one is called out so the gap is closed at registration
+    # time, not discovered when the query first misbehaves.
+    budgets = {}
+    budget_path = os.path.join(os.path.dirname(__file__), "bench_budgets.json")
+    if os.path.exists(budget_path):
+        budgets = {k: v for k, v in load(budget_path).items()
+                   if isinstance(v, (int, float))}
+
     new_qs = [k for k in dq if k not in bq]
     gone_qs = [k for k in bq if k not in dq]
+    budget_spikes = []
+    unbudgeted = []
+    for k in new_qs:
+        if k in budgets and budgets[k] > 0:
+            r = dq[k] / budgets[k]
+            if (r > SPIKE_RATIO and budgets[k] > SPIKE_BASE
+                    and dq[k] - budgets[k] > SPIKE_DELTA):
+                budget_spikes.append((k, r))
+                notes.append(
+                    f"budget spike {k}: budget {budgets[k]:.2f} -> {dq[k]:.2f} s ({r:.2f}x)")
+        else:
+            unbudgeted.append(k)
+    spikes = spikes + budget_spikes
     if new_qs:
-        notes.append(f"{len(new_qs)} queries not in baseline (new surface)")
+        notes.append(f"{len(new_qs)} queries not in baseline (new surface; "
+                     f"{len(new_qs) - len(unbudgeted)} budgeted)")
+    if unbudgeted:
+        notes.append("unbudgeted new queries (pin a median in "
+                     "tools/bench_budgets.json): " + ", ".join(sorted(unbudgeted)))
     if gone_qs:
         notes.append(f"{len(gone_qs)} baseline queries missing from draw")
 
