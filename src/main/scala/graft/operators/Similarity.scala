@@ -767,6 +767,64 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall-vs-probe-width TUNING CURVE in one pass: probe once at
+    * max(probes) keeping each cell's rank, score every (query, candidate)
+    * pair once, then derive every width's top-k by filtering
+    * cell_rn ≤ width before the per-(width, query) rank window — the
+    * scoring join and the exact ground truth are paid once instead of
+    * once per width (the naive per-width union ran 4 probe+score plans;
+    * this is one). `groundTruth` is the exact (qid, nid) top-k set the
+    * caller computed (brute force, with or without self-exclusion to
+    * match the probe side). Per-width ranking is identical to the
+    * serve path's: the top-p cells of the sorted max-P prefix ARE the
+    * top-p probe, and scoring/tie-break expressions are shared. */
+  def ivfRecallSweep(emb: DataFrame, queries: DataFrame,
+                     groundTruth: DataFrame, k: Int, probes: Seq[Int],
+                     indexPath: String, selfExclude: Boolean,
+                     queriesInCorpus: Boolean): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
+    val liveFp = contentFp(emb)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    val model = centroidDf(spark, cents)
+    val cells = IndexCache.cachedFrame(spark, "ivf_cells",
+        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(emb), model) }
+    val maxP = probes.max
+    val q =
+      if (queriesInCorpus) prep(emb).join(queries.select(col("vec_id")), "vec_id")
+      else prep(queries)
+    val ranked = q.crossJoin(broadcast(model))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, maxP).as("pcs"),
+        first(col("v")).as("qv"), first(col("nrm")).as("qn"))
+      .select(col("vec_id").as("qid"), posexplode(col("pcs")).as(Seq("pi", "pc")),
+        col("qv"), col("qn"))
+      .select(col("qid"), (col("pi") + 1).cast("long").as("cell_rn"),
+        col("pc.cid").as("cid"), col("qv"), col("qn"))
+    val scoredAll = cells.join(broadcast(ranked), "cid")
+    val scored = (if (selfExclude) scoredAll.where(col("nid") =!= col("qid"))
+                  else scoredAll)
+      .select(col("qid"), col("cell_rn"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6).as("cosine"))
+    def widths: Column =
+      explode(array(probes.map(p => lit(p.toLong)): _*)).as("n_probe")
+    val w = Window.partitionBy(col("n_probe"), col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    val ivf = scored.select(col("qid"), col("cell_rn"), col("nid"),
+        col("cosine"), widths)
+      .where(col("cell_rn") <= col("n_probe"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("n_probe"), col("qid"), col("nid"), lit(1).as("hit"))
+    groundTruth.select(col("qid"), col("nid"), widths)
+      .join(ivf, Seq("n_probe", "qid", "nid"), "left")
+      .groupBy(col("n_probe"), col("qid"))
+      .agg(count(col("hit")).as("n_hit"),
+        round(count(col("hit")) / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** Exact cross-modal top-k (brute force, no self-exclusion) — the
     * recall denominator for [[ivfCrossModalTopK]]. */
   def crossModalExactTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {

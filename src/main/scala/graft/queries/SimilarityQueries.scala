@@ -253,17 +253,10 @@ object SimilarityQueries {
       val qs = embT.filter(col("vec_id") < 10)
       val bf = Similarity.bruteForceTopK(embT, qs, k = 3)
         .select(col("qid"), col("nid"))
-      Seq(1, 2, 4).map { p =>
-        val ivf = Similarity.ivfTopKServed(embT, qs, k = 3, nProbe = p,
-            indexPath = ivfIndexFor(s, d))
-          .select(col("qid"), col("nid"), lit(1).as("hit"))
-        bf.join(ivf, Seq("qid", "nid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(col("hit")).as("n_hit"),
-            round(count(col("hit")) / 3.0, 4).as("recall"))
-          .select(lit(p.toLong).as("n_probe"), col("qid"), col("n_hit"),
-            col("recall"))
-      }.reduce(_.unionByName(_)).orderBy(col("n_probe"), col("qid"))
+      Similarity.ivfRecallSweep(embT, qs, bf, k = 3, probes = Seq(1, 2, 4),
+          indexPath = ivfIndexFor(s, d), selfExclude = true,
+          queriesInCorpus = true)
+        .orderBy(col("n_probe"), col("qid"))
     },
 
     // MRR of the served IVF ranking: the reciprocal rank at which each
@@ -729,17 +722,10 @@ object SimilarityQueries {
         .filter(col("vec_id") < 10)
       val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
         .select(col("qid"), col("nid"))
-      Seq(1, 2, 4, 8).map { p =>
-        val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = p,
-            indexPath = ivfIndexFor(s, d))
-          .select(col("qid"), col("nid"), lit(1).as("hit"))
-        bf.join(ivf, Seq("qid", "nid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(col("hit")).as("n_hit"),
-            round(count(col("hit")) / 3.0, 4).as("recall"))
-          .select(lit(p.toLong).as("n_probe"), col("qid"), col("n_hit"),
-            col("recall"))
-      }.reduce(_.unionByName(_)).orderBy(col("n_probe"), col("qid"))
+      Similarity.ivfRecallSweep(embT, img, bf, k = 3, probes = Seq(1, 2, 4, 8),
+          indexPath = ivfIndexFor(s, d), selfExclude = false,
+          queriesInCorpus = false)
+        .orderBy(col("n_probe"), col("qid"))
     },
 
     // The REPAIRED cross-modal operating point, picked off the sweep
