@@ -537,11 +537,26 @@ object PipelineQueries {
     * `before` = per-lang running token count ahead of the doc, computed by
     * the bounded-shard two-pass prefix sum described on
     * `pipeline_pack_sequences`. */
+  /** The packed-sequence LAYOUT — (doc → global token offset → sequence
+    * id) under the bounded-shard two-pass prefix sum — persisted
+    * read-through keyed by (budget, shard width, corpus fingerprint):
+    * in production this table is the dataloader's index, materialized
+    * once per corpus snapshot and consumed every epoch by every pack /
+    * span / mask consumer; rows are linear in docs and the build cost
+    * (the only all-docs windows in the family) is paid once. */
   private def packedDocs(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
+    val src = Tables.documents(s, d)
+    graft.operators.Dedup.cachedDocIndex(src, "packed_layout", "b2048w128") {
+      packedDocsBuild(src)
+    }
+  }
+
+  private def packedDocsBuild(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val budget = 2048L
     val shardW = 128L
-    val t = Tables.documents(s, d)
+    val t = docs
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tok"),

