@@ -767,6 +767,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The persisted IVF ASSIGNMENT table, (vec_id, cid) — cluster
+    * membership as a first-class dataset for curation consumers
+    * (cluster-balanced sampling, per-cluster quotas, diversity audits).
+    * Reads the same `ivf_cells` artifact every serve path shares;
+    * staleness-checked against the live corpus like all index reads. */
+  def ivfAssignments(emb: DataFrame, indexPath: String): DataFrame = {
+    val spark = emb.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
+    val liveFp = contentFp(emb)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    val model = centroidDf(spark, cents)
+    IndexCache.cachedFrame(spark, "ivf_cells",
+        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(emb), model) }
+      .select(col("nid").as("vec_id"), col("cid"))
+  }
+
   /** Recall-vs-probe-width TUNING CURVE in one pass: probe once at
     * max(probes) keeping each cell's rank, score every (query, candidate)
     * pair once, then derive every width's top-k by filtering

@@ -2,6 +2,7 @@ package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.operators.Similarity
@@ -755,8 +756,44 @@ object SimilarityQueries {
         .agg(max(when(col("nid") === col("qid"), 1L).otherwise(0L))
           .as("aligned_hit"))
       rec.join(aligned, "qid").orderBy(col("qid"))
+    },
+
+    // CLUSTER-BALANCED subsampling — diversity-aware curation (the
+    // SSL/DINOv2-style data-curation shape): instead of sampling the
+    // corpus uniformly (which over-represents dense regions), keep a
+    // fixed per-cluster QUOTA from the PERSISTED IVF assignment — the
+    // cluster membership is the same ivf_cells artifact every serve path
+    // reads, and the per-cluster pick is the deterministic md5-reservoir
+    // (Sampling.groupSample: smallest (md5(vec_id), vec_id) per cluster),
+    // so any engine replays the kept set and a re-run keeps a vector's
+    // fate. One cid-keyed shuffle serves BOTH the membership census and
+    // the quota window (same partitioning — the exchange is reused).
+    // Output carries n_members so downstream mixing can weight by the
+    // density the quota flattened.
+    Q("pipeline_cluster_balance", clusterBalanceSql(nCells = 16, iters = 3,
+      quota = 4)) { (s, d) =>
+      val a = Similarity.ivfAssignments(emb(s, d), ivfIndexFor(s, d))
+      val wC = Window.partitionBy(col("cid"))
+      val wR = Window.partitionBy(col("cid"))
+        .orderBy(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 4),
+          col("vec_id"))
+      a.withColumn("n_members", count(lit(1)).over(wC))
+        .withColumn("rn", row_number().over(wR))
+        .where(col("rn") <= 4)
+        .select(col("cid"), col("vec_id"), col("n_members"))
+        .orderBy(col("cid"), col("vec_id"))
     }
   )
+
+  /** Oracle for pipeline_cluster_balance: trained-cell assignment +
+    * per-cluster census + the md5-reservoir quota pick. */
+  private def clusterBalanceSql(nCells: Int, iters: Int, quota: Int): String =
+    ivfTrainedCellSql(nCells, iters) + ", " +
+      "m AS (SELECT cid, COUNT(*)::BIGINT AS n_members FROM cell GROUP BY 1), " +
+      "rq AS (SELECT cid, nid, ROW_NUMBER() OVER (PARTITION BY cid " +
+      "ORDER BY substr(md5(nid::VARCHAR), 1, 4), nid) AS rn FROM cell) " +
+      s"SELECT rq.cid, rq.nid AS vec_id, m.n_members FROM rq JOIN m USING (cid) " +
+      s"WHERE rn <= $quota ORDER BY cid, vec_id"
 
   /** DuckDB replay of the cross-modal chain up to the ranked CTE `cmr2`:
     * the trained-cell prefix, the image-side perturbation
