@@ -582,10 +582,15 @@ object DedupQueries {
         docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
         .select(col("canonical").as("h"), col("doc_id"), col("lang"),
           col("source"))
-      val wl = Window.partitionBy(col("h")).orderBy(col("c").desc, col("lang"))
+      // Majority vote as ONE aggregate instead of window+filter: the
+      // ROW_NUMBER pick over (c DESC, lang ASC) is exactly
+      // min_by(lang, struct(-c, lang)) — (c, lang) is unique per group,
+      // so the argmin is deterministic and value-identical to the
+      // oracle's window formulation, with one sort stage fewer.
       val lm = g.groupBy(col("h"), col("lang")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wl)).where(col("rn") === 1)
-        .select(col("h"), col("lang").as("lang_consensus"))
+        .groupBy(col("h"))
+        .agg(min_by(col("lang"), struct((-col("c")).as("nc"), col("lang")))
+          .as("lang_consensus"))
       g.groupBy(col("h"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"),
           max_by(col("source"), col("doc_id")).as("source_latest"),
