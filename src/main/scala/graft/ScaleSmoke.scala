@@ -428,7 +428,12 @@ object ScaleSmoke {
       // persisted IVF cells — the corpus moves only through the cell
       // artifact scan (topk) plus one brute-force pass (recall's exact
       // denominator, honestly linear).
-      "mm_crossmodal_topk", "mm_crossmodal_recall")
+      "mm_crossmodal_topk", "mm_crossmodal_recall",
+      // Round 13: the DSIR lifecycle tail and cluster-balanced curation.
+      // resample = the weights plan + a narrow accept filter (~weights
+      // cost); cluster_balance = one cid-keyed shuffle over the persisted
+      // assignment — both expected ~flat-to-linear in the artifact scan.
+      "pipeline_dsir_resample", "pipeline_cluster_balance")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
@@ -501,7 +506,8 @@ object ScaleSmoke {
       streamRow("stream_check_chunked") :+ // many-micro-batch shape
       streamRow("stream_join") :+ streamRow("stream_session_agg") :+
       streamRow("stream_lsh_dedup") :+ // ingest-dedup: stateless artifact probe
-      streamRow("stream_ann_serve") // streaming retrieval: stateless IVF probe
+      streamRow("stream_ann_serve") :+ // streaming retrieval: stateless IVF probe
+      streamRow("stream_dsir_score") // data selection at ingest: stateless ratio probe
 
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
