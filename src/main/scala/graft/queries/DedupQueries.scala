@@ -176,6 +176,47 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
     },
 
+    // The dedup THRESHOLD tuning curve — the retention-vs-aggressiveness
+    // trade a corpus owner reads before picking τ, pinned as oracle data
+    // (the sim_probe_sweep discipline applied to dedup): surviving pair
+    // count and would-be-dropped doc count at τ ∈ {0.5 … 0.99} (the
+    // planted near-dups live at Jaccard 0.90–0.99, so the curve bends in
+    // the top decade), all
+    // derived from ONE scan of the verified-pairs artifact — every pair
+    // row carries its exact Jaccard, and a τ ≥ the build threshold is a
+    // lossless filter of the τ=0.5 pair set (sweeping BELOW the build
+    // threshold would need a re-banded build; that direction is the
+    // artifact's documented boundary). Every τ emits a row (left join
+    // from the τ list), so an over-aggressive threshold reads as an
+    // explicit zero, not a missing row.
+    Q("dedup_threshold_sweep",
+      s"WITH $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, " +
+        "md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s))::DOUBLE / " +
+        "len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard " +
+        "FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b), " +
+        "p AS (SELECT * FROM v WHERE jaccard >= 0.5), " +
+        "tv AS (SELECT unnest([0.5, 0.9, 0.95, 0.97, 0.99]::DOUBLE[]) AS tau) " +
+        "SELECT tau, CAST(COUNT(p.id_a) AS BIGINT) AS n_pairs, " +
+        "CAST(COUNT(DISTINCT p.id_b) AS BIGINT) AS n_dropped_docs " +
+        "FROM tv LEFT JOIN p ON p.jaccard >= tv.tau " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      import s.implicits._
+      val pairs = Dedup.lshVerifiedPairs(Tables.documents(s, d), k = 12,
+        bands = 4, rows = 3, threshold = 0.5)
+      Seq(0.5, 0.9, 0.95, 0.97, 0.99).toDF("tau")
+        .join(broadcast(pairs), col("jaccard") >= col("tau"), "left")
+        .groupBy(col("tau"))
+        .agg(count(col("id_a")).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_dropped_docs"))
+        .orderBy(col("tau"))
+    },
+
     // Exact n-gram Jaccard over length-banded candidates (|n_chars diff| <=
     // 10). The Spark plan generates candidates with the explode-bucket trick
     // (equi join); the oracle's theta join yields the same pair set.
