@@ -358,6 +358,26 @@ object CorpusQueries {
           isTarget = col("doc_id") % 7 === 0,
           inBatch = col("doc_id") % 10 === 3)
         .orderBy(col("doc_id"))
+    },
+
+    // COMPACTION closing the DSIR ingest loop (Corpus.dsirCompacted) —
+    // the lifecycle statement the LSH/IVF families already make, applied
+    // to a trained data-selection model: DSIR's sufficient statistics
+    // (per-(doc, bucket) counts) are ADDITIVE, so the arriving batch
+    // (doc_id % 10 = 3) folds into the HISTORY's persisted count
+    // artifact as a pure union + one tokenize pass over just the batch.
+    // History text is never re-read, and the merged ratio table is
+    // IDENTICAL to retraining on history ∪ batch — certified by the
+    // same oracle as the served path (same final rows through a
+    // different lifecycle).
+    Q("pipeline_dsir_compacted",
+      dsirCoreSql("doc_id % 10 = 3") +
+        " SELECT doc_id, n_tokens, log_weight FROM w ORDER BY 1") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Corpus.dsirCompacted(docs.where(col("doc_id") % 10 =!= 3),
+          docs.where(col("doc_id") % 10 === 3), buckets = 128,
+          isTarget = col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id"))
     }
   )
 
