@@ -433,7 +433,12 @@ object ScaleSmoke {
       // resample = the weights plan + a narrow accept filter (~weights
       // cost); cluster_balance = one cid-keyed shuffle over the persisted
       // assignment — both expected ~flat-to-linear in the artifact scan.
-      "pipeline_dsir_resample", "pipeline_cluster_balance")
+      "pipeline_dsir_resample", "pipeline_cluster_balance",
+      // Compaction folds a batch into the history count artifact (union
+      // of sufficient statistics + one batch tokenize) — expected to
+      // track the batch, not the corpus; the threshold sweep is one scan
+      // of the verified-pairs artifact — expected ~flat.
+      "pipeline_dsir_compacted", "dedup_threshold_sweep")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
