@@ -652,21 +652,27 @@ object Corpus {
 
   /** COMPACTION for the DSIR lifecycle — the continuous-ingest statement
     * the LSH/IVF families already make: the model's sufficient statistics
-    * (per-(doc, bucket) counts) are ADDITIVE, and batch doc_ids are
-    * disjoint from history's, so folding a batch in is a pure UNION of
-    * the history's persisted count artifact with one tokenize pass over
-    * just the batch — history text is never re-read, and the ratio table
-    * derived from the merged counts is IDENTICAL to retraining on
-    * history ∪ batch (same oracle as the served path certifies it). The
-    * batch is then scored against the merged model. */
-  def dsirCompacted(history: DataFrame, batch: DataFrame, buckets: Int,
-                    isTarget: Column): DataFrame = {
+    * (per-(doc, bucket) counts) are ADDITIVE, so folding a batch in is a
+    * pure UNION of the history's persisted count artifact with one
+    * tokenize pass over just the batch — history text is never re-read,
+    * and the ratio table derived from the merged counts is IDENTICAL to
+    * retraining on history ∪ batch (same oracle as the served path
+    * certifies it). The batch is then scored against the merged model.
+    *
+    * History and batch are DERIVED here from one frame + the membership
+    * predicate (the [[dsirServed]] signature), so the additivity
+    * precondition — disjoint doc sets — holds by construction; a caller
+    * cannot accidentally double-count a batch that was never filtered
+    * out of history. */
+  def dsirCompacted(docs: DataFrame, buckets: Int, isTarget: Column,
+                    inBatch: Column): DataFrame = {
     // One tokenize pass over the batch feeds BOTH the merge and the
     // scoring side (is_t is doc-constant, so dropping it leaves exactly
     // the (doc_id, bk, cnt) table dsirScoreFromCounts consumes — ALL
     // batch docs are scored, mirroring dsirServed's membership filter).
-    val batchCounts = dsirCounts(batch, buckets, isTarget).localCheckpoint()
-    val merged = dsirCountsCached(history, buckets, isTarget)
+    val batchCounts =
+      dsirCounts(docs.where(inBatch), buckets, isTarget).localCheckpoint()
+    val merged = dsirCountsCached(docs.where(!inBatch), buckets, isTarget)
       .unionByName(batchCounts)
     dsirScoreFromCounts(
       batchCounts.select(col("doc_id"), col("bk"), col("cnt")),

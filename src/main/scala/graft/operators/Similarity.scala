@@ -113,20 +113,9 @@ object Similarity {
     * bounded by hit selectivity. */
   def semanticContamination(emb: DataFrame, benchMod: Int, minCosine: Double,
                             nProbe: Int, indexPath: String): DataFrame = {
-    val spark = emb.sparkSession
-    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
-    val liveFp = contentFp(emb)
-    if (recordedFp != liveFp)
-      throw new IllegalStateException(
-        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
-    val model = centroidDf(spark, cents)
+    val (cents, model) = servedIvf(emb, indexPath)
     val n = prep(emb)
-    val cells = IndexCache.cachedFrame(spark, "ivf_cells",
-        centsDigest(cents.toSeq), liveFp) {
-      assignNearest(n, model, Seq("v", "nrm"))
-        .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
-          col("v").as("nv"), col("nrm").as("nn"))
-    }
+    val cells = cellsFor(emb, cents, model)
     val bench = n.where(col("vec_id") % benchMod === 0)
     val probes = bench.crossJoin(broadcast(model))
       .groupBy(col("vec_id"))
@@ -555,21 +544,42 @@ object Similarity {
     * assignment pass over the corpus ([[assignNearest]]), probe expansion
     * over the (tiny) query set, then one broadcast equi-join on the cell
     * id — the corpus is never shuffled. */
+  /** The inverted file — (vector → cell) plus the vector payload the
+    * rerank reads — as a persisted artifact keyed by the centroid digest
+    * + corpus fingerprint: serving scans it instead of re-running the
+    * assignment pass per query. At 100 TB this artifact IS the index
+    * (vectors grouped by cell), maintained by a build job. The artifact
+    * KEY lives only here — every consumer resolves cells through this. */
+  private def cellsFor(emb: DataFrame, cents: Array[Centroid],
+                       model: DataFrame): DataFrame =
+    IndexCache.cachedFrame(emb.sparkSession, "ivf_cells",
+        centsDigest(cents.toSeq), contentFp(emb)) {
+      cellsOf(prep(emb), model)
+    }
+
+  /** Serve-path entry shared by every consumer of a PERSISTED IVF index:
+    * read the artifact, verify its recorded fingerprint against the live
+    * corpus, return (centroids, broadcastable model). The staleness
+    * policy lives only here — a policy change cannot silently miss one
+    * serve path. `role` qualifies the error for callers where `emb` is a
+    * subset (e.g. the incremental path's history corpus). */
+  private def servedIvf(emb: DataFrame, indexPath: String,
+                        role: String = ""): (Array[Centroid], DataFrame) = {
+    val spark = emb.sparkSession
+    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
+    val liveFp = contentFp(emb)
+    if (recordedFp != liveFp)
+      throw new IllegalStateException(
+        s"IVF index at $indexPath is stale$role (recorded $recordedFp, " +
+          s"live $liveFp); rebuild with writeIvfIndex")
+    (cents, centroidDf(spark, cents))
+  }
+
   private def ivfServe(emb: DataFrame, queries: DataFrame, k: Int,
                        nProbe: Int, cents: Array[Centroid]): DataFrame = {
     val model = centroidDf(emb.sparkSession, cents)
     val n = prep(emb)
-    // The inverted file itself — (vector → cell) plus the vector payload
-    // the rerank reads — is a persisted artifact keyed by the centroid
-    // digest + corpus fingerprint: serving scans it instead of re-running
-    // the assignment pass per query. At 100 TB this artifact IS the index
-    // (vectors grouped by cell), maintained by a build job.
-    val cells = IndexCache.cachedFrame(emb.sparkSession, "ivf_cells",
-        centsDigest(cents.toSeq), contentFp(emb)) {
-      assignNearest(n, model, Seq("v", "nrm"))
-        .select(col("vec_id").as("nid"), col("mc.cid").as("cid"),
-          col("v").as("nv"), col("nrm").as("nn"))
-    }
+    val cells = cellsFor(emb, cents, model)
     // nProbe nearest cells per query: the query side is tiny, so a
     // collect_list + array_sort per query replaces any window.
     val probes = n.join(queries.select(col("vec_id")), "vec_id")
@@ -627,11 +637,7 @@ object Similarity {
     * (rebuild is the caller's build step, not a serve-time side effect). */
   def ivfTopKServed(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
                     indexPath: String): DataFrame = {
-    val (cents, recordedFp) = readIvfIndex(emb.sparkSession, indexPath)
-    val liveFp = contentFp(emb)
-    if (recordedFp != liveFp)
-      throw new IllegalStateException(
-        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
+    val (cents, _) = servedIvf(emb, indexPath)
     ivfServe(emb, queries, k, nProbe, cents)
   }
 
@@ -651,16 +657,9 @@ object Similarity {
   def ivfTopKIncremental(history: DataFrame, batch: DataFrame,
                          queries: DataFrame, k: Int, nProbe: Int,
                          indexPath: String): DataFrame = {
-    val spark = history.sparkSession
-    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
-    val liveFp = contentFp(history)
-    if (recordedFp != liveFp)
-      throw new IllegalStateException(
-        s"IVF index at $indexPath is stale vs the history corpus " +
-          s"(recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
-    val model = centroidDf(spark, cents)
-    val histCells = IndexCache.cachedFrame(spark, "ivf_cells",
-        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(history), model) }
+    val (cents, model) = servedIvf(history, indexPath,
+      role = " vs the history corpus")
+    val histCells = cellsFor(history, cents, model)
     val cells = histCells.unionByName(cellsOf(prep(batch), model))
     val q = prep(queries)
     val probes = q.crossJoin(broadcast(model))
@@ -690,12 +689,7 @@ object Similarity {
   def ivfTopKServedSameLabel(emb: DataFrame, queries: DataFrame, k: Int,
                              nProbe: Int, indexPath: String): DataFrame = {
     val spark = emb.sparkSession
-    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
-    val liveFp = contentFp(emb)
-    if (recordedFp != liveFp)
-      throw new IllegalStateException(
-        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
-    val model = centroidDf(spark, cents)
+    val (cents, model) = servedIvf(emb, indexPath)
     // The labeled artifact's content depends on the LABEL column too, not
     // just (vec_id, embedding): a label-only metadata update must miss the
     // cache, or filtered ANN silently serves results under the old labels.
@@ -712,7 +706,7 @@ object Similarity {
       s"${r.getLong(0)}_${r.getDecimal(1).toBigInteger}_${r.getLong(2)}"
     }
     val cells = IndexCache.cachedFrame(spark, "ivf_cells_lab",
-        s"${centsDigest(cents.toSeq)}_$labFp", liveFp) {
+        s"${centsDigest(cents.toSeq)}_$labFp", contentFp(emb)) {
       cellsOf(prep(emb), model)
         .join(emb.select(col("vec_id").as("nid"), col("label").as("nlab")), "nid")
     }
@@ -745,15 +739,8 @@ object Similarity {
     * broadcast. */
   def ivfCrossModalTopK(emb: DataFrame, queries: DataFrame, k: Int,
                         nProbe: Int, indexPath: String): DataFrame = {
-    val spark = emb.sparkSession
-    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
-    val liveFp = contentFp(emb)
-    if (recordedFp != liveFp)
-      throw new IllegalStateException(
-        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
-    val model = centroidDf(spark, cents)
-    val cells = IndexCache.cachedFrame(spark, "ivf_cells",
-        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(emb), model) }
+    val (cents, model) = servedIvf(emb, indexPath)
+    val cells = cellsFor(emb, cents, model)
     val probes = prep(queries).crossJoin(broadcast(model))
       .groupBy(col("vec_id"))
       .agg(slice(array_sort(collect_list(distEntry(col("v")))), 1, nProbe).as("pcs"),
@@ -773,15 +760,8 @@ object Similarity {
     * Reads the same `ivf_cells` artifact every serve path shares;
     * staleness-checked against the live corpus like all index reads. */
   def ivfAssignments(emb: DataFrame, indexPath: String): DataFrame = {
-    val spark = emb.sparkSession
-    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
-    val liveFp = contentFp(emb)
-    if (recordedFp != liveFp)
-      throw new IllegalStateException(
-        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
-    val model = centroidDf(spark, cents)
-    IndexCache.cachedFrame(spark, "ivf_cells",
-        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(emb), model) }
+    val (cents, model) = servedIvf(emb, indexPath)
+    cellsFor(emb, cents, model)
       .select(col("nid").as("vec_id"), col("cid"))
   }
 
@@ -800,15 +780,8 @@ object Similarity {
                      groundTruth: DataFrame, k: Int, probes: Seq[Int],
                      indexPath: String, selfExclude: Boolean,
                      queriesInCorpus: Boolean): DataFrame = {
-    val spark = emb.sparkSession
-    val (cents, recordedFp) = readIvfIndex(spark, indexPath)
-    val liveFp = contentFp(emb)
-    if (recordedFp != liveFp)
-      throw new IllegalStateException(
-        s"IVF index at $indexPath is stale (recorded $recordedFp, live $liveFp); rebuild with writeIvfIndex")
-    val model = centroidDf(spark, cents)
-    val cells = IndexCache.cachedFrame(spark, "ivf_cells",
-        centsDigest(cents.toSeq), liveFp) { cellsOf(prep(emb), model) }
+    val (cents, model) = servedIvf(emb, indexPath)
+    val cells = cellsFor(emb, cents, model)
     val maxP = probes.max
     val q =
       if (queriesInCorpus) prep(emb).join(queries.select(col("vec_id")), "vec_id")

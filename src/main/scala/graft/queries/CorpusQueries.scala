@@ -373,10 +373,9 @@ object CorpusQueries {
     Q("pipeline_dsir_compacted",
       dsirCoreSql("doc_id % 10 = 3") +
         " SELECT doc_id, n_tokens, log_weight FROM w ORDER BY 1") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      Corpus.dsirCompacted(docs.where(col("doc_id") % 10 =!= 3),
-          docs.where(col("doc_id") % 10 === 3), buckets = 128,
-          isTarget = col("doc_id") % 7 === 0)
+      Corpus.dsirCompacted(Tables.documents(s, d), buckets = 128,
+          isTarget = col("doc_id") % 7 === 0,
+          inBatch = col("doc_id") % 10 === 3)
         .orderBy(col("doc_id"))
     }
   )

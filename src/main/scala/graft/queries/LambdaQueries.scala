@@ -151,8 +151,13 @@ object LambdaQueries {
           .select(col("user_id").as("wallet_id"),
             expr("unix_micros(ts) DIV 1000000").as("tsec"),
             col("event_id").as("seq"), col("value").as("amount"))
+        // Fingerprint over EVERY column the artifact's content depends on
+        // (tsec orders the window, amount rides into the rows) — a
+        // regenerated fixture keeping (wallet_id, seq) but re-drawing
+        // values/timestamps must miss the cache, not serve stale sums.
         graft.operators.IndexCache.cachedFrame(s, "rec_anchor", "d10",
-            graft.operators.IndexCache.tableFp(ev, Seq("wallet_id", "seq"))) {
+            graft.operators.IndexCache.tableFp(ev,
+              Seq("wallet_id", "tsec", "seq", "amount"))) {
           ev.withColumn("rn", row_number().over(
               Window.partitionBy(col("wallet_id"))
                 .orderBy(col("tsec"), col("seq"))))

@@ -688,22 +688,7 @@ object SimilarityQueries {
     // whether each image found ITS OWN text in the IVF top-3.
     Q("mm_crossmodal_recall", crossModalRecallSql(nCells = 16, iters = 3,
       k = 3, nProbe = 2, nQueries = 10)) { (s, d) =>
-      val embT = emb(s, d)
-      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
-        .filter(col("vec_id") < 10)
-      val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = 2,
-          indexPath = ivfIndexFor(s, d))
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
-      val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
-        .select(col("qid"), col("nid"))
-      val rec = bf.join(ivf, Seq("qid", "nid"), "left")
-        .groupBy(col("qid"))
-        .agg(count(col("hit")).as("n_hit"),
-          round(count(col("hit")) / 3.0, 4).as("recall"))
-      val aligned = ivf.groupBy(col("qid"))
-        .agg(max(when(col("nid") === col("qid"), 1L).otherwise(0L))
-          .as("aligned_hit"))
-      rec.join(aligned, "qid").orderBy(col("qid"))
+      crossModalRecallDf(s, d, nProbe = 2)
     },
 
     // The cross-modal nProbe TUNING CURVE — the sim_probe_sweep repair
@@ -740,22 +725,7 @@ object SimilarityQueries {
     // quality-floor serve configuration.
     Q("mm_crossmodal_tuned", crossModalRecallSql(nCells = 16, iters = 3,
       k = 3, nProbe = 8, nQueries = 10)) { (s, d) =>
-      val embT = emb(s, d)
-      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
-        .filter(col("vec_id") < 10)
-      val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = 8,
-          indexPath = ivfIndexFor(s, d))
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
-      val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
-        .select(col("qid"), col("nid"))
-      val rec = bf.join(ivf, Seq("qid", "nid"), "left")
-        .groupBy(col("qid"))
-        .agg(count(col("hit")).as("n_hit"),
-          round(count(col("hit")) / 3.0, 4).as("recall"))
-      val aligned = ivf.groupBy(col("qid"))
-        .agg(max(when(col("nid") === col("qid"), 1L).otherwise(0L))
-          .as("aligned_hit"))
-      rec.join(aligned, "qid").orderBy(col("qid"))
+      crossModalRecallDf(s, d, nProbe = 8)
     },
 
     // CLUSTER-BALANCED subsampling — diversity-aware curation (the
@@ -774,16 +744,37 @@ object SimilarityQueries {
       quota = 4)) { (s, d) =>
       val a = Similarity.ivfAssignments(emb(s, d), ivfIndexFor(s, d))
       val wC = Window.partitionBy(col("cid"))
-      val wR = Window.partitionBy(col("cid"))
-        .orderBy(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 4),
-          col("vec_id"))
-      a.withColumn("n_members", count(lit(1)).over(wC))
-        .withColumn("rn", row_number().over(wR))
-        .where(col("rn") <= 4)
+      graft.operators.Sampling.groupSample(
+          a.withColumn("n_members", count(lit(1)).over(wC)),
+          group = col("cid"), key = col("vec_id"), n = 4)
         .select(col("cid"), col("vec_id"), col("n_members"))
         .orderBy(col("cid"), col("vec_id"))
     }
   )
+
+  /** Shared body of the cross-modal recall rows (baseline width 2,
+    * tuned width 8): recall@3 + aligned_hit census for the image->text
+    * probe at one width — ONE implementation so a fix to the hit join or
+    * the census can never make the baseline and tuned rows incomparable. */
+  private def crossModalRecallDf(s: SparkSession, d: String,
+                                 nProbe: Int): org.apache.spark.sql.DataFrame = {
+    val embT = emb(s, d)
+    val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
+      .filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = nProbe,
+        indexPath = ivfIndexFor(s, d))
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
+      .select(col("qid"), col("nid"))
+    val rec = bf.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("n_hit"),
+        round(count(col("hit")) / 3.0, 4).as("recall"))
+    val aligned = ivf.groupBy(col("qid"))
+      .agg(max(when(col("nid") === col("qid"), 1L).otherwise(0L))
+        .as("aligned_hit"))
+    rec.join(aligned, "qid").orderBy(col("qid"))
+  }
 
   /** Oracle for pipeline_cluster_balance: trained-cell assignment +
     * per-cluster census + the md5-reservoir quota pick. */

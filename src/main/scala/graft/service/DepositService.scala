@@ -75,11 +75,7 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
     }
     .start()
 
-  // TCP_NODELAY on the serving socket: headers and body go out as two
-  // small writes, and with Nagle on, a keep-alive client's next request
-  // waits out the peer's delayed ACK — measured 44 ms per GET (the
-  // classic 40 ms artifact) vs ~100 µs with it off.
-  System.setProperty("sun.net.httpserver.nodelay", "true")
+  DepositService.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/deposit", (ex: HttpExchange) => handleDeposit(ex))
   server.createContext("/check/", (ex: HttpExchange) => handleCheck(ex))
@@ -137,4 +133,23 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
     collectorQuery.stop()
     detectorQuery.stop()
   }
+}
+
+object DepositService {
+  // TCP_NODELAY on the serving socket: headers and body go out as two
+  // small writes, and with Nagle on, a keep-alive client's next request
+  // waits out the peer's delayed ACK — measured 44 ms per GET (the
+  // classic 40 ms artifact) vs ~100 µs with it off. CAVEAT: the JDK's
+  // ServerConfig reads this property ONCE in its static initializer, so
+  // this only takes effect if no com.sun.net.httpserver server was
+  // created earlier in the JVM — which is why it is set from a companion
+  // initializer (runs before the first DepositService constructs its
+  // server) rather than buried mid-constructor. A JVM that stood up an
+  // unrelated HttpServer first keeps Nagle on; the latency probe in
+  // ServeSmoke would surface that as ~44 ms lookups.
+  private lazy val noDelaySet: Boolean = {
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    true
+  }
+  private[service] def ensureNoDelay(): Unit = { val _ = noDelaySet }
 }

@@ -57,6 +57,7 @@ object ServeSmoke {
     // and again after all of them. (The pre-round-13 scan-per-request
     // path grew with the sink table; this pins the fix as data.)
     def lookupMicros(wallets: Seq[String], iters: Int): Double = {
+      if (wallets.isEmpty) return 0.0 // fixture had no accepted deposits
       wallets.take(5).foreach(check) // JIT/connection warmup
       val t0 = System.nanoTime()
       var i = 0

@@ -19,8 +19,8 @@ class DsirCompactionSpec extends AnyFunSuite with SparkSpec {
     val docs = Tables.documents(spark, dir)
     val served = Corpus.dsirServed(docs, buckets = 128, isTarget, inBatch)
       .orderBy(col("doc_id")).collect().toSeq
-    val compacted = Corpus.dsirCompacted(docs.where(!inBatch),
-        docs.where(inBatch), buckets = 128, isTarget)
+    val compacted = Corpus.dsirCompacted(docs, buckets = 128, isTarget,
+        inBatch)
       .orderBy(col("doc_id")).collect().toSeq
     assert(compacted.nonEmpty)
     assert(compacted == served)

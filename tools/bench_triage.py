@@ -144,8 +144,11 @@ def main():
     for k in new_qs:
         if k in budgets and budgets[k] > 0:
             r = dq[k] / budgets[k]
-            if (r > SPIKE_RATIO and budgets[k] > SPIKE_BASE
-                    and dq[k] - budgets[k] > SPIKE_DELTA):
+            # No SPIKE_BASE floor here: budgets are hand-pinned clean
+            # medians, not jittery draw values, so a small-budget query
+            # (e.g. a 0.15 s streaming probe) must still be able to fire;
+            # the absolute SPIKE_DELTA floor alone suppresses jitter.
+            if r > SPIKE_RATIO and dq[k] - budgets[k] > SPIKE_DELTA:
                 budget_spikes.append((k, r))
                 notes.append(
                     f"budget spike {k}: budget {budgets[k]:.2f} -> {dq[k]:.2f} s ({r:.2f}x)")
