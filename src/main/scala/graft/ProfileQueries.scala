@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.scheduler._
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Throwaway per-query cost profiler (not part of the driver contract; run
+  * by hand while optimizing). For each named query: two warm-up runs, then
+  * a measured run that decomposes wall time into scheduled-task time vs
+  * everything else (planning, job submission gaps, driver-side work).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... java ... graft.ProfileQueries q1 q2 ...
+  * (no args = the 40 slowest from bench_full.json if present, else all).
+  */
+object ProfileQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("profile-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskMs = new AtomicLong    // sum of executor task run time
+    val gcMs = new AtomicLong
+    val stageWallMs = new AtomicLong // sum of per-stage wall (submit->complete)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val si = e.stageInfo
+        for (s <- si.submissionTime; c <- si.completionTime)
+          stageWallMs.addAndGet(c - s)
+      }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (e.taskMetrics != null) {
+          taskMs.addAndGet(e.taskMetrics.executorRunTime)
+          gcMs.addAndGet(e.taskMetrics.jvmGCTime)
+        }
+      }
+    })
+
+    val names: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    println(f"${"query"}%-28s ${"wall"}%7s ${"jobs"}%5s ${"stage"}%6s ${"tasks"}%6s ${"taskS"}%7s ${"stgWall"}%8s ${"gcS"}%6s")
+    names.foreach { n =>
+      val q = SparkEntry.queries(n)
+      q(spark, sfDir).count(); q(spark, sfDir).count() // warm
+      Seq(jobs, stages, tasks).foreach(_.set(0))
+      Seq(taskMs, gcMs, stageWallMs).foreach(_.set(0))
+      val t0 = System.nanoTime()
+      q(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus is async — give it a beat before reading counters
+      Thread.sleep(150)
+      println(f"$n%-28s $wall%7.3f ${jobs.get}%5d ${stages.get}%6d ${tasks.get}%6d ${taskMs.get / 1e3}%7.2f ${stageWallMs.get / 1e3}%8.2f ${gcMs.get / 1e3}%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -363,11 +363,16 @@ object AnalyticsQueries {
         .select(col("l_orderkey"), col("p_brand"))
       val factFp = graft.operators.IndexCache.tableFp(lp,
         Seq("l_orderkey", "p_brand"))
+      // Re-widen the 1–2-file artifact scan before checkpointing: the
+      // in-row pair explode below (the live Apriori cost) otherwise runs
+      // in a single scan task (same pattern as edit_norm — at cluster
+      // scale the artifact is many files and this is a no-op by size).
+      val target = s.conf.get("spark.sql.shuffle.partitions").toInt
       val baskets = graft.operators.IndexCache.cachedFrame(s, "basket_sets",
           "brand", factFp) {
         lp.groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-      }.localCheckpoint() // read 2× below (N, pairs)
+      }.repartition(target).localCheckpoint() // read 2× below (N, pairs)
       val nDf = baskets.agg(count(lit(1)).as("n"))
       // L1 (single-item supports) persists beside the transaction table —
       // the Apriori lifecycle's other standing artifact: mined once per
