@@ -41,8 +41,18 @@ object Multimodal {
   /** Stand-in binary corpus: the documents' UTF-8 bytes tagged as a raw
     * (non-image) format. With real data this would be `spark.read.format(
     * "binaryFile")` or a parquet column of encoded frames. */
+
+  /** Codec synthesis/decode is the expensive per-row step in every
+    * pipeline below — spread the id stream across all executor threads
+    * regardless of how narrow the upstream scan arrived (the shuffled rows
+    * are bare ids/payload seeds; at real scale the media table is already
+    * many-way partitioned and this is a no-op by size). */
+  private def widened(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   def binaryDocs(docs: DataFrame): DataFrame =
-    docs.select(
+    widened(docs).select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       lit("fake/raw").as("format"))
@@ -60,7 +70,7 @@ object Multimodal {
     * real IHDR headers to recover the dimensions. */
   def pngDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       // ImageIO defaults to a FILE-backed stream cache — a temp file per
       // encode — which turns these small in-memory payloads into disk
       // I/O. Memory-cached streams are strictly better here (static
@@ -142,7 +152,7 @@ object Multimodal {
     * the original and the perturbed pixels. */
   def phashPngDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { id =>
         val src = if (id % 10 == 1) id - 1 else id
@@ -228,7 +238,7 @@ object Multimodal {
     * writer map-side — downstream must really decode. */
   def videoFrameDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.flatMap { id =>
         val nf = 4 + (id % 5).toInt
@@ -277,7 +287,7 @@ object Multimodal {
     * the oracle replays both renditions. */
   def videoDupFrameDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.flatMap { id =>
         val src = if (id % 10 == 1) id - 1 else id
@@ -389,7 +399,7 @@ object Multimodal {
     * downstream are the real, tested parts (the brief's stub contract). */
   def audioClipDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val n = 512 + (id % 7).toInt * 128
         val bytes = new Array[Byte](n)
@@ -412,7 +422,7 @@ object Multimodal {
     * slightly-requantized copy an audio dedup pipeline must catch. */
   def audioDupClipDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
         val src = if (id % 10 == 1) id - 1 else id
         val pert = id % 10 == 1

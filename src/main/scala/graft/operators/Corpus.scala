@@ -351,10 +351,19 @@ object Corpus {
     // Word-frequency table; letters-only lowercase words keep the symbol
     // alphabet closed under concatenation (and '/'-safe for the oracle's
     // string-accumulator fold).
+    // The per-type rewrite fold below is the expensive step (an
+    // interpreted array fold per word TYPE); AQE coalesces the tiny
+    // type-table shuffle to one partition, which would serialize every
+    // fold — re-widen before each checkpoint so the folds run across the
+    // executor threads (type tables are Heaps-bounded, so the width is
+    // free at any corpus scale).
+    val foldWidth = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     var words = docs
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))
+      .repartition(foldWidth)
       .localCheckpoint() // vocab-sized; iterations re-read it, and the
                          // rewrite folds would otherwise compound lazily
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -377,7 +386,8 @@ object Corpus {
             "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b " +
             "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))) " +
             "ELSE concat(acc, array(x)) END)").as("syms"), col("freq"))
-        .localCheckpoint()
+        .localCheckpoint() // stays foldWidth-wide: checkpoint preserves
+                           // the upstream partitioning
     }
     merges.reduce(_ unionAll _).orderBy(col("it"))
   }
@@ -519,7 +529,9 @@ object Corpus {
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = toks.select(count(lit(1)).as("total"))
+    // Σ type counts IS the token count — total derives from vocab rather
+    // than a third tokenize pass over the corpus.
+    val total = vocab.agg(sum(col("c")).as("total"))
     toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
@@ -780,9 +792,15 @@ object Corpus {
     // usage is populated by the EM loop; with rounds < 1 the final model
     // join would NPE on a null frame instead of explaining itself.
     require(rounds >= 1, s"unigramTrain needs at least 1 EM round (got $rounds)")
+    // Same re-widening as bpeTrain: the greedy segmentation fold runs
+    // per word TYPE and would otherwise serialize in the one
+    // AQE-coalesced partition.
+    val foldWidth = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val words = docs
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .repartition(foldWidth)
       .localCheckpoint() // type-bounded; every round re-reads it
     val chars = words
       .select(col("freq"), explode(split(col("w"), "")).as("piece"))

@@ -78,20 +78,24 @@ object GraphQueries {
         "JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY 1) " +
         "SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 100") { (s, d) =>
       val ed = coEdges(s, d, "1995-01-01", "1995-06-30")
+      // deg is read by every iteration (multi-consumer) — checkpoint it;
+      // each rank table has exactly ONE consumer (the next iteration), so
+      // the unrolled FIXED-depth loop stays a single linear plan — no
+      // per-iteration checkpoint jobs (that idiom is for convergence
+      // loops of unknown depth, where lineage really does nest without
+      // bound — see connectedComponents).
       val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      val nDf = deg.agg(count(lit(1)).as("n"))
-      var r = deg.crossJoin(broadcast(nDf))
-        .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
-        .localCheckpoint()
+      // |V| is a bounded scalar (node count) — collect it once like a
+      // model load instead of re-broadcasting a 1-row frame per round.
+      val n = deg.count().toDouble
+      var r = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
       for (_ <- 1 to 3) {
         r = ed.join(r, ed("src") === r("node")).join(deg, "src")
-          .crossJoin(broadcast(nDf))
           .groupBy(col("dst"))
-          .agg(round(lit(0.15) / max(col("n")) +
+          .agg(round(lit(0.15 / n) +
             lit(0.85) * sum(col("r") / col("deg")), 9).as("r"))
           .select(col("dst").as("node"), col("r"))
-          .localCheckpoint() // truncate lineage: one rank table per round
       }
       r.orderBy(col("r").desc, col("node")).limit(100)
     },
@@ -266,6 +270,9 @@ object GraphQueries {
         .select(col("node"), col("node").as("lab"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node")).orderBy(col("cnt").desc, col("lab"))
+      // Fixed 3 rounds, each label table consumed exactly once by the
+      // next round — a single linear plan, no per-round checkpoint jobs
+      // (ed itself is checkpointed above and fans out to all rounds).
       for (_ <- 1 to 3) {
         labels = ed.join(labels.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"), col("lab"))
@@ -273,7 +280,6 @@ object GraphQueries {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("node"), col("lab"))
-          .localCheckpoint() // synchronous rounds: fix each frontier
       }
       labels.groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_members"))

@@ -101,10 +101,12 @@ object Tables {
     * dominates the dedup and similarity pipelines. Spread rows across the
     * executor threads up front — at real scale the source is already
     * many-way partitioned and this is a no-op choice. */
+  private def spreadWidth(s: SparkSession): Int =
+    math.max(8, s.sparkContext.defaultParallelism / 4)
   def documents(s: SparkSession, d: String): DataFrame =
-    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+    load(s, d, "documents").repartition(spreadWidth(s))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    load(s, d, "embeddings").repartition(spreadWidth(s))
 
   /** Register every table as a temp view so `spark.sql` text queries work.
     * Goes through the specialized loaders (events needs its ts-type
