@@ -22,6 +22,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Local-scale coalesce target: sf0.1 shuffles are single-digit MBs,
+      // and the 64 MB default advisory collapses every reduce stage to ONE
+      // task — serializing joins/aggs behind one core. 8 MB keeps tiny
+      // shuffles at 1 task but lets the mid-size ones (token tables, span
+      // tables, lineitem aggs) spread across cores (measured −10% on the
+      // shuffle-heavy subset). A cluster deployment at real scale keeps
+      // the 64 MB default (GraftSession.builder does not set this).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       // Env-overridable for LOCAL measurement only (the driver never sets
       // it): quantifies how much of the small-query tail is AQE's

@@ -47,6 +47,10 @@ object GraftSession {
   def local(appName: String): SparkSession = {
     val cores = Runtime.getRuntime.availableProcessors()
     val spark = builder(appName, Some(s"local[$cores]"), Some(cores))
+      // Local data is MBs; the 64 MB advisory would coalesce every reduce
+      // stage to one task (see Bench.scala — measured −10% at 8 MB). The
+      // cluster builder above deliberately keeps the default.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     functions.GraftFunctions.register(spark)

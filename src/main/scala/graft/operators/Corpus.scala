@@ -888,7 +888,11 @@ object Corpus {
     * share the partitioning); partitions are bounded by document length,
     * never corpus size. */
   def cdcChunks(docs: DataFrame, w: Int = 4): DataFrame = {
-    val tp = docs
+    // One md5 per token position is the heavy step — spread the doc scan
+    // across the executor threads before the explode (same rule as the
+    // dedup signing paths; a no-op by size at real corpus scale).
+    val wide = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val tp = docs.repartition(wide)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("q"), col("tok"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("q"))
