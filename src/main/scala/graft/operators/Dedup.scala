@@ -131,6 +131,65 @@ object Dedup {
       minhashLshPairs(docs, k, bands, rows, threshold)
     }
 
+  /** MinHash signature table (doc_id, sh, sig) as a read-through artifact
+    * — the per-document model the band-width tuning sweep consumes.
+    * Signatures are pure per-document functions of the text (same reuse
+    * argument as the LSH index compaction), so the artifact is built once
+    * per (k, shingling, corpus fingerprint); the live from-scratch
+    * signing representative remains dedup_minhash_lsh. */
+  def minhashSigIndex(docs: DataFrame, k: Int = 12): DataFrame =
+    cachedDocIndex(docs, "minhash_sigs", s"k${k}w3")(
+      minhashed(docs, k, bands = k, rows = 1)
+        .select(col("doc_id"), col("sh"), col("sig")))
+
+  /** The LSH BANDING operating curve as data: for each (bands,
+    * rows-per-band) factorization of the k-row signature, the candidate
+    * pairs the banding would emit and how many survive the exact-Jaccard
+    * verify at `threshold`. This is the precision/cost knob a dedup owner
+    * tunes FIRST (more bands ⇒ more candidates ⇒ more verify cost for
+    * the same verified set; fewer bands ⇒ recall risk) — pinned as
+    * oracle-checked data next to the τ sweep (dedup_threshold_sweep) and
+    * the ANN probe sweep (sim_probe_sweep). ONE plan probes every
+    * configuration: the signature artifact explodes to (config, band,
+    * digest) rows, candidates come from one self-equi-join keyed by the
+    * config AND band digest, and the verify runs once per distinct
+    * (config, pair). Scale shape: the signature table is read from the
+    * persisted artifact (never re-signed), the join is an equi-join on
+    * computed keys (never all-pairs), and the per-config fanout is the
+    * |configs| constant. */
+  def bandSweep(docs: DataFrame, k: Int = 12,
+                configs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2)),
+                threshold: Double = 0.5): DataFrame = {
+    require(configs.forall { case (b, r) => b * r == k },
+      s"every (bands, rows) config must factor k=$k, got $configs")
+    val idx = minhashSigIndex(docs, k)
+    val withCfg = idx.select(col("doc_id"), col("sig"),
+        explode(array(configs.map { case (b, r) =>
+          struct(lit(b).as("nb"), lit(r).as("rw")) }: _*)).as("c"))
+      .select(col("doc_id"), col("c.nb").as("nb"), col("c.rw").as("rw"),
+        col("sig"))
+    val banded = withCfg.select(col("doc_id"), col("nb"), col("rw"),
+      posexplode(transform(sequence(lit(0), col("nb") - 1),
+        j => md5(concat_ws("|",
+          slice(col("sig"), j * col("rw") + 1, col("rw"))).cast("binary"))))
+        .as(Seq("j", "bh")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.nb") === col("y.nb") && col("x.j") === col("y.j") &&
+          col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.nb").as("bands"), col("x.rw").as("rows_per_band"),
+        col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sh = idx.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("bands"), col("rows_per_band"),
+        jaccard(col("sa"), col("sb")).as("jac"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= threshold, 1L).otherwise(0L)).as("n_verified"))
+  }
+
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       rows: Int = 3, threshold: Double = 0.5): DataFrame = {
     val mh = swapCached(minhashed(docs, k, bands, rows))

@@ -217,6 +217,39 @@ object DedupQueries {
         .orderBy(col("tau"))
     },
 
+    // The LSH BANDING operating curve (the third tuning curve next to the
+    // τ sweep and the ANN probe sweep): candidate volume vs verified
+    // yield for every (bands × rows) factorization of the 12-row MinHash
+    // signature. More bands = more candidates for the same verified set
+    // (verify-cost knob); fewer bands = recall risk. One plan probes all
+    // four configs against the persisted signature artifact
+    // (minhash_sigs; the live signing representative stays
+    // dedup_minhash_lsh).
+    Q("dedup_band_sweep",
+      s"WITH $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "cfg AS (SELECT unnest([2, 3, 4, 6]) AS nb, unnest([6, 4, 3, 2]) AS rw), " +
+        "br AS (SELECT doc_id, nb, rw, j, " +
+        "md5(array_to_string(sig[(j*rw+1):(j*rw+rw)], '|')) AS bh " +
+        "FROM sig, cfg, range(0, 6) r(j) WHERE j < nb), " +
+        "cand AS (SELECT DISTINCT a.nb, a.rw, a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM br a JOIN br b ON a.nb = b.nb AND a.j = b.j AND a.bh = b.bh " +
+        "AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT nb, rw, COALESCE(len(list_intersect(sa.s, sb.s))::DOUBLE / " +
+        "NULLIF(len(list_distinct(list_concat(sa.s, sb.s))), 0), 0) AS jac " +
+        "FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b) " +
+        "SELECT CAST(nb AS BIGINT) AS bands, CAST(rw AS BIGINT) AS rows_per_band, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_candidates, " +
+        "CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified " +
+        "FROM v GROUP BY 1, 2 ORDER BY 1") { (s, d) =>
+      Dedup.bandSweep(Tables.documents(s, d), k = 12)
+        .select(col("bands").cast("long").as("bands"),
+          col("rows_per_band").cast("long").as("rows_per_band"),
+          col("n_candidates"), col("n_verified"))
+        .orderBy(col("bands"))
+    },
+
     // Exact n-gram Jaccard over length-banded candidates (|n_chars diff| <=
     // 10). The Spark plan generates candidates with the explode-bucket trick
     // (equi join); the oracle's theta join yields the same pair set.
