@@ -163,7 +163,14 @@ object Dedup {
     require(configs.forall { case (b, r) => b * r == k },
       s"every (bands, rows) config must factor k=$k, got $configs")
     val idx = minhashSigIndex(docs, k)
-    val withCfg = idx.select(col("doc_id"), col("sig"),
+    // Shingle-less docs carry an all-null signature — every one of them
+    // band-collides with every other in every config (a |empties|² clique
+    // per band whose pairs can never verify). The live pair path keeps
+    // them and lets the verify reject (DedupEdgeSpec pins that); a
+    // CANDIDATE-VOLUME survey must exclude them or the curve reads clique
+    // noise instead of the banding trade.
+    val real = idx.where(size(col("sh")) > 0)
+    val withCfg = real.select(col("doc_id"), col("sig"),
         explode(array(configs.map { case (b, r) =>
           struct(lit(b).as("nb"), lit(r).as("rw")) }: _*)).as("c"))
       .select(col("doc_id"), col("c.nb").as("nb"), col("c.rw").as("rw"),
@@ -179,7 +186,7 @@ object Dedup {
       .select(col("x.nb").as("bands"), col("x.rw").as("rows_per_band"),
         col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sh = idx.select(col("doc_id"), col("sh"))
+    val sh = real.select(col("doc_id"), col("sh"))
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")

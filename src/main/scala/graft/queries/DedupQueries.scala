@@ -228,7 +228,8 @@ object DedupQueries {
     Q("dedup_band_sweep",
       s"WITH $shinglesCte, " +
         "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
-        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig " +
+        "FROM sh WHERE len(s) > 0), " +
         "cfg AS (SELECT unnest([2, 3, 4, 6]) AS nb, unnest([6, 4, 3, 2]) AS rw), " +
         "br AS (SELECT doc_id, nb, rw, j, " +
         "md5(array_to_string(sig[(j*rw+1):(j*rw+rw)], '|')) AS bh " +

@@ -1160,8 +1160,31 @@ object StreamQueries {
     Q("stream_dsir_score", CorpusQueries.dsirStreamSql) {
       (s, d) => materialized(s, "stream_dsir_score", docsBatchFeed(s, d))(
         streamDsirScore(s, d))(_.orderBy(col("doc_id")))
+    },
+
+    // Content-defined chunking AT INGEST — the chunker as the fourth
+    // member of the stateless-ingest family (near-dup probe, ANN serve,
+    // DSIR score): each arriving micro-batch of documents chunks inside
+    // foreachBatch. Chunk ids/digests are per-document functions, so the
+    // batch split is invisible and the batch chunker over the feed subset
+    // is the oracle (same composition argument as stream_dsir_score).
+    Q("stream_cdc_chunks", TextQueries.cdcStreamSql) {
+      (s, d) => materialized(s, "stream_cdc_chunks", docsBatchFeed(s, d))(
+        streamCdcChunks(s, d))(_.orderBy(col("doc_id"), col("chunk_id")))
     }
   )
+
+  /** See the stream_cdc_chunks registration: per-batch chunking,
+    * stateless, composes because chunks are per-doc. */
+  private def streamCdcChunks(s: SparkSession, dir: String): DataFrame =
+    foreachBatchReplay(s, docsBatchFeed(s, dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))) { batch =>
+      graft.operators.Corpus.cdcChunks(batch)
+    }.orderBy(col("doc_id"), col("chunk_id"))
 
   /** See the stream_dsir_score registration: per-batch artifact probe,
     * stateless, composes because scores are per-doc. */

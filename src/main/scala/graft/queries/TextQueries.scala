@@ -31,6 +31,16 @@ object TextQueries {
       "COUNT(*)::BIGINT AS n_tokens, md5(string_agg(tok, ' ' ORDER BY q)) AS chunk_md5 " +
       "FROM g GROUP BY doc_id, cid)"
 
+  /** [[cdcChunkCte]] restricted to the streaming feed subset (doc_id %
+    * 5 = 0) — the oracle for chunking AT INGEST: chunk ids and digests
+    * are per-document functions, so the micro-batch split must be
+    * invisible and the batch chunker over the subset IS the expected
+    * output. */
+  private[queries] val cdcStreamSql: String =
+    s"WITH ${cdcChunkCte.replace("FROM documents", "FROM documents WHERE doc_id % 5 = 0")} " +
+      "SELECT doc_id, cid AS chunk_id, start_tok, end_tok, n_tokens, chunk_md5 " +
+      "FROM ch ORDER BY doc_id, chunk_id"
+
   private val enPat = langMarkers.toMap.apply("en")
 
   val all: Seq[Q] = Seq(
