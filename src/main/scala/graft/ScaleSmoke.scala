@@ -438,7 +438,11 @@ object ScaleSmoke {
       // of sufficient statistics + one batch tokenize) — expected to
       // track the batch, not the corpus; the threshold sweep is one scan
       // of the verified-pairs artifact — expected ~flat.
-      "pipeline_dsir_compacted", "dedup_threshold_sweep")
+      "pipeline_dsir_compacted", "dedup_threshold_sweep",
+      // Late round 13: the banding survey is one self-equi-join over the
+      // persisted signature artifact — expected ~linear in the artifact
+      // scan with the |configs| constant.
+      "dedup_band_sweep")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
@@ -512,7 +516,8 @@ object ScaleSmoke {
       streamRow("stream_join") :+ streamRow("stream_session_agg") :+
       streamRow("stream_lsh_dedup") :+ // ingest-dedup: stateless artifact probe
       streamRow("stream_ann_serve") :+ // streaming retrieval: stateless IVF probe
-      streamRow("stream_dsir_score") // data selection at ingest: stateless ratio probe
+      streamRow("stream_dsir_score") :+ // data selection at ingest: stateless ratio probe
+      streamRow("stream_cdc_chunks") // chunking at ingest: stateless per-doc chunker
 
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
