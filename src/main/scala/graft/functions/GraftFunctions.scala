@@ -25,6 +25,9 @@ object GraftFunctions {
       // Morton code for multi-dimensional sort-clustering (data layout).
       registry.createOrReplaceTempFunction(
         "zorder2", exprs => graft.plans.ZOrderLong(exprs(0), exprs(1)), "built-in")
+      // Generator rung of the extension ladder: in-row pair expansion.
+      registry.createOrReplaceTempFunction(
+        "pair_combs", exprs => graft.plans.PairCombinations(exprs(0)), "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
       // O12 wire serde — the reference's five protobuf message types as

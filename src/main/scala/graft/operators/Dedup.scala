@@ -103,7 +103,15 @@ object Dedup {
     val prev = slot.getAndSet(cached)
     if (prev != null &&
         !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)) {
-      prev.unpersist(blocking = false)
+      // Best-effort release: the previous entry may belong to a session
+      // whose context has since been STOPPED (multi-session JVMs — e.g.
+      // a test run where an earlier suite tore its session down), and
+      // unpersist against a dead BlockManagerMaster throws. The dead
+      // context already dropped its blocks; swallowing is correct.
+      if (!prev.sparkSession.sparkContext.isStopped) {
+        try prev.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     cached
   }

@@ -363,16 +363,16 @@ object AnalyticsQueries {
         .select(col("l_orderkey"), col("p_brand"))
       val factFp = graft.operators.IndexCache.tableFp(lp,
         Seq("l_orderkey", "p_brand"))
-      // Re-widen the 1–2-file artifact scan before checkpointing: the
-      // in-row pair explode below (the live Apriori cost) otherwise runs
-      // in a single scan task (same pattern as edit_norm — at cluster
-      // scale the artifact is many files and this is a no-op by size).
       val target = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // Both consumers below re-read the ARTIFACT parquet directly: a
+      // columnar scan of the basket table is cheaper than materializing
+      // 150k array rows through the block manager (the earlier
+      // repartition+localCheckpoint here measured ~1s of serialize+GC).
       val baskets = graft.operators.IndexCache.cachedFrame(s, "basket_sets",
           "brand", factFp) {
         lp.groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-      }.repartition(target).localCheckpoint() // read 2× below (N, pairs)
+      }
       val nDf = baskets.agg(count(lit(1)).as("n"))
       // L1 (single-item supports) persists beside the transaction table —
       // the Apriori lifecycle's other standing artifact: mined once per
@@ -383,12 +383,15 @@ object AnalyticsQueries {
         baskets.select(explode(col("bs")).as("b"))
           .groupBy(col("b")).agg(count(lit(1)).as("nb"))
       }
-      val pr = baskets
-        .select(explode(expr(
-          "flatten(transform(bs, (x, i) -> " +
-            "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS ba, y AS bb))))"))
-          .as("p"))
-        .select(col("p.ba"), col("p.bb"))
+      // In-row Apriori candidate expansion through the native
+      // pair_combs GENERATOR (graft.plans.PairCombinations) — emits the
+      // (i < j) pairs of each sorted basket directly as rows instead of
+      // building a nested array-of-structs through two interpreted
+      // lambdas per basket. Same pair set, same integer counts.
+      // Re-widen the 1–2-file artifact scan for the expansion (same
+      // pattern as edit_norm; a no-op by size at cluster scale).
+      val pr = baskets.repartition(target)
+        .select(expr("pair_combs(bs)"))
         .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("nab"))
         .where(col("nab") >= 3)
       pr.join(it.select(col("b").as("ba"), col("nb").as("nba")), "ba")
