@@ -816,14 +816,19 @@ object Corpus {
       .groupBy(col("piece")).agg(sum(col("freq")).as("wcnt"))
       .orderBy(col("wcnt").desc, col("piece")).limit(nCandidates)
       .select(col("piece"))
-    var vocab = chars.unionAll(cand).localCheckpoint()
+    // usage is checkpointed (the segmentation fold is the expensive
+    // recompute); vocab is NOT — it is a cheap union over the
+    // checkpointed words/usage tables, and its two consumers (the
+    // broadcast vocab list, the final model join) re-derive it in one
+    // narrow pass each, which costs less than a checkpoint job per round.
+    var vocab = chars.unionAll(cand)
     var usage: DataFrame = null
     for (_ <- 1 to rounds) {
       usage = segmentUsage(words, vocab, maxPieceLen).localCheckpoint()
       val multi = usage.where(length(col("piece")) >= 2)
         .orderBy(col("cnt").desc, col("piece")).limit(keepPieces)
         .select(col("piece"))
-      vocab = chars.unionAll(multi).localCheckpoint()
+      vocab = chars.unionAll(multi)
     }
     // Final model = surviving vocab with the LAST round's usage (pieces
     // pruned this round are gone; chars unseen in the segmentation keep
