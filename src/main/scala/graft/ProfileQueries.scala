@@ -10,7 +10,7 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
   * everything else (planning, job submission gaps, driver-side work).
   *
   * Usage: SPARK_GRAFT_SF_DIR=... java ... graft.ProfileQueries q1 q2 ...
-  * (no args = the 40 slowest from bench_full.json if present, else all).
+  * (no args = every registered query, sorted by name).
   */
 object ProfileQueries {
   def main(args: Array[String]): Unit = {

@@ -102,17 +102,24 @@ object TextFunctions {
       .otherwise(lit(0L))
 
   /** Hamming distance between two equal-length bit strings ('0'/'1').
-    * 32-char windows convert to integer words (`conv` base 2) and XOR
-    * under `bit_count` — all codegen'd builtins, vs the 1-char-at-a-time
-    * interpreted fold this replaces (per-PAIR cost on verify hot paths).
-    * 32-bit windows keep every word unambiguous in a signed long. */
-  def hammingDistance(a: Column, b: Column, bits: Int): Column =
-    (0 until (bits + 31) / 32).map { w =>
+    * HARD PRECONDITION: both inputs must be exactly `bits` chars — the
+    * explicit length guard returns NULL otherwise (so a malformed input
+    * drops out of downstream distance filters instead of contributing a
+    * silently-truncated count; simhash always emits full-width strings,
+    * which is the only producer today). 32-char windows convert to
+    * integer words (`conv` base 2) and XOR under `bit_count` — all
+    * codegen'd builtins, vs the 1-char-at-a-time interpreted fold this
+    * replaces (per-PAIR cost on verify hot paths). 32-bit windows keep
+    * every word unambiguous in a signed long. */
+  def hammingDistance(a: Column, b: Column, bits: Int): Column = {
+    val dist = (0 until (bits + 31) / 32).map { w =>
       val off = w * 32 + 1
       val len = math.min(32, bits - w * 32)
       bit_count(conv(a.substr(lit(off), lit(len)), 2, 10).cast("long")
         .bitwiseXOR(conv(b.substr(lit(off), lit(len)), 2, 10).cast("long")))
     }.reduce(_ + _)
+    when(length(a) === bits && length(b) === bits, dist)
+  }
 
   /** Language marker-word sets for the n-gram-heuristic language ID.
     * Priority order = tie-break order. */

@@ -63,6 +63,14 @@ object Dedup {
     * .shinglesFromTokens]]'s hot-path rule. */
   def minhashed(docs: DataFrame, k: Int, bands: Int, rows: Int): DataFrame = {
     require(bands * rows == k, s"bands*rows must equal k ($bands*$rows != $k)")
+    signed(docs, k).withColumn("bands", lshBands(col("sig"), bands, rows))
+  }
+
+  /** The bands-free signing projection (doc_id, sh, sig) — the shared
+    * expensive step under [[minhashed]] and the [[minhashSigIndex]]
+    * artifact build (which derives its own banding downstream and would
+    * otherwise pay k discarded band digests per document). */
+  def signed(docs: DataFrame, k: Int): DataFrame = {
     // Signing is the expensive per-document step (k keyed md5s per
     // shingle) — spread it across every executor thread regardless of how
     // narrow the source scan arrived (at real scale the source is already
@@ -72,7 +80,6 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), 3).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("bands", lshBands(col("sig"), bands, rows))
   }
 
   /** MinHash+LSH near-dup pairs: band-digest bucket join for candidates,
@@ -146,9 +153,7 @@ object Dedup {
     * per (k, shingling, corpus fingerprint); the live from-scratch
     * signing representative remains dedup_minhash_lsh. */
   def minhashSigIndex(docs: DataFrame, k: Int = 12): DataFrame =
-    cachedDocIndex(docs, "minhash_sigs", s"k${k}w3")(
-      minhashed(docs, k, bands = k, rows = 1)
-        .select(col("doc_id"), col("sh"), col("sig")))
+    cachedDocIndex(docs, "minhash_sigs", s"k${k}w3")(signed(docs, k))
 
   /** The LSH BANDING operating curve as data: for each (bands,
     * rows-per-band) factorization of the k-row signature, the candidate

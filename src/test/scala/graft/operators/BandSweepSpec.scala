@@ -6,11 +6,12 @@ import graft.SparkSpec
 
 /** The banding tuning curve must be CONSISTENT with the live pair path:
   * its (4, 3) row surveys the same banding dedup_minhash_lsh runs, so the
-  * verified count there equals the verified pair count, and candidate
-  * volume must be monotone in the band count (more, narrower bands can
-  * only add collisions — each config's candidate set at fixed k grows as
-  * rows-per-band shrinks on THIS corpus shape; the sweep exists to show
-  * that trade as data). */
+  * verified count there equals the verified pair count. Candidate volume
+  * growing with the band count is guaranteed only between NESTED
+  * factorizations (a collision on a wide band implies one on a contained
+  * narrow band; non-nested boundaries like 3x4 vs 4x3 can in principle
+  * cross) — asserted here as an empirical property of this corpus and
+  * config set, which is the trade the sweep exists to show as data. */
 class BandSweepSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
@@ -36,6 +37,16 @@ class BandSweepSpec extends AnyFunSuite with SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_candidates"))
       assert(r.getAs[Long]("n_verified") >= 0L)
+    }
+  }
+
+  test("candidate volume is monotone non-decreasing in the band count") {
+    val byBands = Dedup.bandSweep(corpus, k = 12).collect()
+      .sortBy(_.getAs[Int]("bands"))
+    byBands.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_candidates") <= hi.getAs[Long]("n_candidates"),
+        s"candidates must not shrink as bands grow: " +
+          s"bands=${lo.getAs[Int]("bands")} -> ${hi.getAs[Int]("bands")}")
     }
   }
 
