@@ -816,6 +816,34 @@ object Similarity {
         round(count(col("hit")) / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** Read-through artifact for a derived cross-modal QUERY table (the
+    * synthetic image-side embeddings): the queries are a pure per-row
+    * function of the corpus (md5-grid perturbation, no RNG), so — the
+    * minhash_sigs argument — they are built once per (derivation params,
+    * corpus fingerprint) and every consumer (serve top-k, recall census,
+    * probe sweep, tuned operating point) reads the same tiny parquet
+    * instead of re-deriving through a fresh corpus scan. */
+  def crossModalQueryIndex(emb: DataFrame, params: String)
+                          (build: => DataFrame): DataFrame =
+    IndexCache.cachedFrame(emb.sparkSession, "xmodal_queries", params,
+      contentFp(emb))(build)
+
+  /** Read-through artifact for the exact cross-modal GROUND TRUTH — the
+    * brute-force (qid, rank, nid, cosine) top-k that recall/sweep/tuned
+    * all compare against. The truth is a pure function of (corpus,
+    * queries, k); computing it inside each consumer repeated the one
+    * genuinely corpus-wide scan of the family three times per draw. The
+    * build widens the corpus side first: at any scale the scoring scan is
+    * embarrassingly parallel, and the source artifact arrives as a
+    * single-file scan that would otherwise serialize it on one task. */
+  def crossModalGroundTruth(emb: DataFrame, k: Int, params: String)
+                           (queries: => DataFrame): DataFrame = {
+    val wide = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    IndexCache.cachedFrame(emb.sparkSession, "xmodal_gt", s"$params-k$k",
+      contentFp(emb))(
+      crossModalExactTopK(emb.repartition(wide), queries, k))
+  }
+
   /** Exact cross-modal top-k (brute force, no self-exclusion) — the
     * recall denominator for [[ivfCrossModalTopK]]. */
   def crossModalExactTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {

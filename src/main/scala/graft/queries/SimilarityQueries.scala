@@ -82,6 +82,23 @@ object SimilarityQueries {
     * many-way partitioned and the two loaders are identical. */
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
+  /** The cross-modal family's shared inputs as read-through artifacts
+    * (keyed by corpus fingerprint): the synthetic image-side query table
+    * and the brute-force ground truth. All four mm_crossmodal_* rows read
+    * these instead of re-deriving the perturbation and re-scoring the
+    * exact scan per query — same sharing the ivf_cells artifact already
+    * gives the probe side (forensics shows xmodal_*.disk on warm draws). */
+  private def xmodalQueries(s: SparkSession, d: String) = {
+    val embT = emb(s, d)
+    Similarity.crossModalQueryIndex(embT, "md5grid-n10")(
+      graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
+        .filter(col("vec_id") < 10))
+  }
+
+  private def xmodalGroundTruth(s: SparkSession, d: String) =
+    Similarity.crossModalGroundTruth(emb(s, d), k = 3,
+      params = "md5grid-n10")(xmodalQueries(s, d))
+
   private val normsCte =
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, len(v) + 1), " +
@@ -675,10 +692,8 @@ object SimilarityQueries {
     Q("mm_crossmodal_topk", crossModalTopkSql(nCells = 16, iters = 3,
       k = 3, nProbe = 2, nQueries = 10)) { (s, d) =>
       val embT = emb(s, d)
-      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
-        .filter(col("vec_id") < 10)
-      Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = 2,
-          indexPath = ivfIndexFor(s, d))
+      Similarity.ivfCrossModalTopK(embT, xmodalQueries(s, d), k = 3,
+          nProbe = 2, indexPath = ivfIndexFor(s, d))
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -703,14 +718,10 @@ object SimilarityQueries {
     // (forensics: ivf_cells.disk only).
     Q("mm_crossmodal_sweep", crossModalSweepSql(nCells = 16, iters = 3,
       k = 3, probes = Seq(1, 2, 4, 8), nQueries = 10)) { (s, d) =>
-      val embT = emb(s, d)
-      val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
-        .filter(col("vec_id") < 10)
-      val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
-        .select(col("qid"), col("nid"))
-      Similarity.ivfRecallSweep(embT, img, bf, k = 3, probes = Seq(1, 2, 4, 8),
-          indexPath = ivfIndexFor(s, d), selfExclude = false,
-          queriesInCorpus = false)
+      val bf = xmodalGroundTruth(s, d).select(col("qid"), col("nid"))
+      Similarity.ivfRecallSweep(emb(s, d), xmodalQueries(s, d), bf, k = 3,
+          probes = Seq(1, 2, 4, 8), indexPath = ivfIndexFor(s, d),
+          selfExclude = false, queriesInCorpus = false)
         .orderBy(col("n_probe"), col("qid"))
     },
 
@@ -758,14 +769,10 @@ object SimilarityQueries {
     * the census can never make the baseline and tuned rows incomparable. */
   private def crossModalRecallDf(s: SparkSession, d: String,
                                  nProbe: Int): org.apache.spark.sql.DataFrame = {
-    val embT = emb(s, d)
-    val img = graft.multimodal.Multimodal.alignedImageEmbeddings(embT)
-      .filter(col("vec_id") < 10)
-    val ivf = Similarity.ivfCrossModalTopK(embT, img, k = 3, nProbe = nProbe,
-        indexPath = ivfIndexFor(s, d))
+    val ivf = Similarity.ivfCrossModalTopK(emb(s, d), xmodalQueries(s, d),
+        k = 3, nProbe = nProbe, indexPath = ivfIndexFor(s, d))
       .select(col("qid"), col("nid"), lit(1).as("hit"))
-    val bf = Similarity.crossModalExactTopK(embT, img, k = 3)
-      .select(col("qid"), col("nid"))
+    val bf = xmodalGroundTruth(s, d).select(col("qid"), col("nid"))
     val rec = bf.join(ivf, Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
       .agg(count(col("hit")).as("n_hit"),
