@@ -38,12 +38,31 @@ import graft.streaming.DepositStreams.BalanceRow
   * the map implementation changes. A JDK HttpServer stands in for the
   * reference's chi router.
   */
-final class DepositService(spark: SparkSession, port: Int = 0) {
+final class DepositService(spark: SparkSession, port: Int = 0,
+                           changelogDir: Option[String] = None) {
   import spark.implicits._
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val mapper = new ObjectMapper()
   private val seq = new AtomicLong(0L)
+
+  // The retained input log (the deposits TOPIC analog): every ACKed
+  // deposit appends one JSON line before the engine absorbs it. At boot
+  // the log replays through the fresh topology BEFORE the HTTP port
+  // opens, so a restarted service re-materializes its serving views the
+  // way the reference's do from the changelog topics
+  // (/root/reference/service/service.go:43-53) — and, stronger, restores
+  // the group-table STATE too (running balances, detector windows), so
+  // post-restart writes keep accumulating instead of LWW-losing to
+  // resurrected view rows. Scale posture: a production restart bootstraps
+  // views from the COMPACTED changelog (cost O(live keys)) and operator
+  // state from checkpoints; the in-process deterministic replay subsumes
+  // both at O(retained log), which is the right trade for a single-JVM
+  // serving cell.
+  private val logFile = changelogDir.map { dir =>
+    val d = new java.io.File(dir); d.mkdirs()
+    new java.io.File(d, "deposits.jsonl")
+  }
 
   // The serving views (view.Get analog). ConcurrentHashMap.merge makes the
   // LWW upsert atomic per key — the HTTP executor reads concurrently with
@@ -75,6 +94,40 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
     }
     .start()
 
+  // Rebuild-on-start: replay the retained log (seq order) through the
+  // running queries and only then open the port — the first GET a client
+  // can issue already sees the pre-restart state (zero-mismatch contract,
+  // asserted by DepositServiceSpec's restart scenario).
+  logFile.filter(_.isFile).foreach { f =>
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val replayed =
+      try src.getLines().filter(_.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        TimedDeposit(n.get("wallet_id").asText(), n.get("amount").asDouble(),
+          n.get("ts_unix").asLong(), n.get("seq").asLong())
+      }.toVector.sortBy(_.seq)
+      finally src.close()
+    if (replayed.nonEmpty) {
+      input.addData(replayed)
+      collectorQuery.processAllAvailable()
+      detectorQuery.processAllAvailable()
+      seq.set(replayed.map(_.seq).max) // LWW ordering survives the restart
+    }
+  }
+
+  private val logWriter = logFile.map(f =>
+    new java.io.FileWriter(f, StandardCharsets.UTF_8, /*append=*/ true))
+
+  private def appendToLog(d: TimedDeposit): Unit = logWriter.foreach { w =>
+    val n = mapper.createObjectNode()
+    n.put("wallet_id", d.walletId); n.put("amount", d.amount)
+    n.put("ts_unix", d.tsUnix); n.put("seq", d.seq)
+    // The dispatcher serializes requests (no executor), but keep the
+    // append atomic anyway; flush is the EmitSync-adjacent durability
+    // point — the ACK below it implies the log holds the event.
+    w.synchronized { w.write(mapper.writeValueAsString(n)); w.write("\n"); w.flush() }
+  }
+
   DepositService.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/deposit", (ex: HttpExchange) => handleDeposit(ex))
@@ -104,7 +157,9 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
       }
       val ts = Option(node.get("ts_unix")).map(_.asLong())
         .getOrElse(System.currentTimeMillis() / 1000L)
-      input.addData(TimedDeposit(wallet, amount, ts, seq.incrementAndGet()))
+      val event = TimedDeposit(wallet, amount, ts, seq.incrementAndGet())
+      appendToLog(event) // log-then-absorb: a crash after this replays it
+      input.addData(event)
       // EmitSync analog: ack only once the engine has absorbed the event —
       // and, since the views update inside foreachBatch, once the serving
       // maps reflect it (read-your-writes for the ACKed deposit).
@@ -132,6 +187,7 @@ final class DepositService(spark: SparkSession, port: Int = 0) {
     server.stop(0)
     collectorQuery.stop()
     detectorQuery.stop()
+    logWriter.foreach(_.close())
   }
 }
 

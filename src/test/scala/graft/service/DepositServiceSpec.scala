@@ -58,6 +58,40 @@ class DepositServiceSpec extends AnyFunSuite with SparkSpec {
     assert(resp.statusCode() == 405)
   }
 
+  test("restart rebuilds the serving views from the retained log " +
+    "with zero mismatches (service.go:43-53)") {
+    val dir = java.nio.file.Files.createTempDirectory("svc_changelog").toString
+    def checkOn(s: DepositService, wallet: String): String =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/check/$wallet")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    def postOn(s: DepositService, body: String): Int =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/deposit"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+
+    val a = new DepositService(spark, changelogDir = Some(dir))
+    assert(postOn(a, """{"wallet_id":"dave","amount":6000,"ts_unix":1000}""") == 200)
+    assert(postOn(a, """{"wallet_id":"dave","amount":5000,"ts_unix":1060}""") == 200)
+    assert(postOn(a, """{"wallet_id":"erin","amount":42.5,"ts_unix":2000}""") == 200)
+    val before = Seq("dave", "erin").map(w => w -> checkOn(a, w))
+    assert(before.toMap.apply("dave").contains("\"above_threshold\":true"))
+    a.stop()
+
+    // A fresh process over the same changelog: every pre-restart answer
+    // must be served identically before any new write arrives.
+    val b = new DepositService(spark, changelogDir = Some(dir))
+    try {
+      before.foreach { case (w, expected) => assert(checkOn(b, w) == expected) }
+      // And the restored STATE keeps accumulating: a post-restart deposit
+      // adds to the replayed balance instead of restarting from zero.
+      assert(postOn(b, """{"wallet_id":"erin","amount":1.5,"ts_unix":2050}""") == 200)
+      assert(checkOn(b, "erin") ==
+        """{"wallet_id":"erin","balance":44.0,"above_threshold":false}""")
+    } finally b.stop()
+  }
+
   override def withFixture(test: NoArgTest) =
     try super.withFixture(test)
     finally if (test.name.contains("malformed")) svc.stop()
