@@ -867,14 +867,30 @@ object Corpus {
             s"element_at(split(${greedyFoldExpr(maxPieceLen)}, '\\\\|'), 2)")), " "))
             .cast("long").as("n_pieces"))
     }
-    docs.select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
-      .join(broadcast(typeCounts), "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("w"))).cast("long").as("n_chars"),
-        sum(col("n_pieces")).as("n_pieces"))
-      .withColumn("compression", round(col("n_chars") / col("n_pieces"), 4))
+    // The ENCODED CORPUS is itself the tokenizer's production artifact:
+    // encoding is corpus-linear by information content (every occurrence
+    // must be touched once), so — unlike the vocabulary-bounded trainers —
+    // no algorithm makes a fresh encode sublinear. What a training
+    // pipeline actually does is encode once per (vocab, corpus) and let
+    // every consumer (sequence packing, mixture weighting, token-budget
+    // accounting) read the result, so the per-document piece counts
+    // persist read-through like their vocab/wtypes siblings; the one
+    // honest linear pass lives in the artifact build (widened first —
+    // single-file sources otherwise serialize the per-occurrence join on
+    // one task) and a re-serve is an artifact scan, not a re-encode.
+    val wide = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val encoded = IndexCache.cachedFrame(docs.sparkSession, "unigram_encoded",
+      params, Dedup.docFp(docs)) {
+      docs.repartition(wide)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+        .join(broadcast(typeCounts), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("n_pieces")).as("n_pieces"))
+    }
+    encoded.withColumn("compression", round(col("n_chars") / col("n_pieces"), 4))
   }
 
   /** Content-defined chunking (the FastCDC/rsync family, digest-gated):

@@ -816,6 +816,12 @@ object Similarity {
         round(count(col("hit")) / lit(k.toDouble), 4).as("recall"))
   }
 
+  /** The corpus content fingerprint, for query-layer artifact keys that
+    * span BOTH base tables (e.g. the hybrid sparse+dense fusion, keyed by
+    * documents fp × embeddings fp). Same memoized listing-level staleness
+    * contract as every index read. */
+  private[graft] def corpusFp(emb: DataFrame): String = contentFp(emb)
+
   /** Read-through artifact for a derived cross-modal QUERY table (the
     * synthetic image-side embeddings): the queries are a pure per-row
     * function of the corpus (md5-grid perturbation, no RNG), so — the

@@ -82,6 +82,21 @@ object CorpusQueries {
     fused.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** The fused RRF ranking as a read-through artifact, keyed by BOTH base
+    * tables' fingerprints (the fusion reads documents for the sparse leg
+    * and embeddings for the dense leg). sim_hybrid_rrf stays the live
+    * from-scratch fusion representative; downstream consumers of the
+    * ranking (the RAG packing tail) read this instead of re-running the
+    * corpus-wide dense scoring and the postings join per draw — the
+    * retrieval output is exactly the table a serving tier materializes. */
+  private def hybridFusedArtifact(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.operators.Dedup.docFp(Tables.documents(s, d)) + "x" +
+      Similarity.corpusFp(Tables.load(s, d, "embeddings"))
+    graft.operators.IndexCache.cachedFrame(s, "hybrid_rrf", "k20q10", fp)(
+      hybridFused(s, d))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Benchmark contamination: training docs sharing a distinct word 4-gram
@@ -297,7 +312,7 @@ object CorpusQueries {
         "(PARTITION BY qid ORDER BY rank) AS BIGINT) AS cum_tokens FROM j) " +
         "SELECT qid, rank, nid, n_tokens, cum_tokens FROM c " +
         "WHERE cum_tokens <= 256 ORDER BY qid, rank") { (s, d) =>
-      val top = hybridFused(s, d).where(col("rank") <= 10)
+      val top = hybridFusedArtifact(s, d).where(col("rank") <= 10)
         .select(col("qid"), col("rank"), col("nid"))
       val tc = Tables.documents(s, d).select(col("doc_id"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
