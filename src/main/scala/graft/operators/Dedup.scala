@@ -494,13 +494,13 @@ object Dedup {
     val candIds = candS
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
-    // Stage the pruned table: BOTH verify joins consume it, and without
-    // staging each re-runs the artifact scan — deserializing the full
-    // corpus's shingle arrays from parquet is the measured dominant cost
-    // (~1.3 s CPU per pass at sf0.1), paid twice. The checkpoint holds
-    // only the survivors.
+    // NOT checkpointed: both verify joins re-derive the pruned table, but
+    // the derivation is a scan + semi-join the optimizer overlaps with
+    // the rest of the plan — an eager checkpoint here measured NEUTRAL
+    // on ngram3 (+0.08 s) and a 2× in-sweep regression on char8 (its
+    // arrays are large; materializing them stalls the pipeline), so the
+    // lazy form wins on the family.
     val arrsNeeded = arrs.join(candIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
     candS
       .join(arrsNeeded.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
         col("sh64").as("sh_a")), "id_a")
