@@ -463,12 +463,22 @@ object DedupQueries {
       // the digest table persists read-through for file-backed corpora
       // (Dedup.spanDigests).
       val spans = Dedup.spanDigests(Tables.documents(s, d), n = 8)
-      val spread = spans.groupBy(col("span"))
+      // Only spans seen in >= 2 docs carry signal, and they are the small
+      // survivor set (duplication is the exception, not the rule) — so
+      // the per-doc census joins against THAT set instead of the full
+      // per-span spread: the spread agg stays a skew-safe partial
+      // aggregation, but the join side shrinks from every distinct span
+      // to the duplicated ones, which AQE broadcasts here (and falls back
+      // to the old shuffled join on a pathologically duplicated corpus —
+      // the lossless worst case, not a wrong answer).
+      val dupSpans = spans.groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
-      spans.join(spread, "span")
+        .where(col("ndocs") > 1)
+        .select(col("span"), lit(1L).as("isdup"))
+      spans.join(dupSpans, Seq("span"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           round(col("n_dup") / col("n_spans").cast("double"), 4).as("dup_frac"))
         .orderBy(col("doc_id"))
