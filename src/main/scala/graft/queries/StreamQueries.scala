@@ -1171,6 +1171,20 @@ object StreamQueries {
     Q("stream_cdc_chunks", TextQueries.cdcStreamSql) {
       (s, d) => materialized(s, "stream_cdc_chunks", docsBatchFeed(s, d))(
         streamCdcChunks(s, d))(_.orderBy(col("doc_id"), col("chunk_id")))
+    },
+
+    // Quality GATE at ingest — the fifth member of the stateless-ingest
+    // family (near-dup probe, ANN serve, DSIR score, CDC chunker): each
+    // arriving micro-batch scores the text_quality composite inside
+    // foreachBatch and only passing documents continue downstream — the
+    // standard production placement for Gopher-style corpus filters
+    // (score once at the door, never re-scan the lake). The scorer is
+    // the SAME shared implementation the batch census audits, and scores
+    // are per-document functions, so the batch split is invisible and
+    // the batch scorer over the feed subset is the oracle.
+    Q("stream_quality_gate", TextQueries.qualityGateStreamSql(0.5)) {
+      (s, d) => materialized(s, "stream_quality_gate", docsBatchFeed(s, d))(
+        streamQualityGate(s, d, tau = 0.5))(_.orderBy(col("doc_id")))
     }
   )
 
@@ -1185,6 +1199,21 @@ object StreamQueries {
           org.apache.spark.sql.types.StringType, nullable = true)))) { batch =>
       graft.operators.Corpus.cdcChunks(batch)
     }.orderBy(col("doc_id"), col("chunk_id"))
+
+  /** See the stream_quality_gate registration: per-batch scoring + gate,
+    * stateless, composes because the score is per-doc. */
+  private def streamQualityGate(s: SparkSession, dir: String,
+                                tau: Double): DataFrame =
+    foreachBatchReplay(s, docsBatchFeed(s, dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))) { batch =>
+      TextQueries.qualityScored(batch)
+        .where(col("quality") >= tau)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+    }.orderBy(col("doc_id"))
 
   /** See the stream_dsir_score registration: per-batch artifact probe,
     * stateless, composes because scores are per-doc. */

@@ -43,6 +43,56 @@ object TextQueries {
 
   private val enPat = langMarkers.toMap.apply("en")
 
+  /** Per-doc quality features + weighted composite — ONE implementation
+    * shared by text_quality (the batch census) and stream_quality_gate
+    * (the same scorer applied at ingest), so the gate can never drift
+    * from the audited score. No rounding: per-row scalar math over
+    * identical inputs is bit-identical across engines, while round() at
+    * a decimal boundary (e.g. a composite landing exactly on .xxxx5) is
+    * NOT portable. Zero-length text divides by zero (ANSI throws);
+    * mirror DuckDB's NULL for that degenerate row. (n_tokens is never 0:
+    * splitting an empty string still yields one empty token in both
+    * engines.) */
+  private[queries] def qualityScored(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
+      langScore(col("text"), enPat).as("stop_hits"),
+      regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("n_len"))
+    def overLen(e: org.apache.spark.sql.Column) =
+      when(col("n_len") === 0, lit(null)).otherwise(e)
+    t.select(col("doc_id"), col("n_tokens"),
+      (col("n_nonspace") / col("n_tokens").cast("double")).as("avg_token_len"),
+      (col("stop_hits") / col("n_tokens").cast("double")).as("stopword_ratio"),
+      overLen(col("n_punct") / col("n_len").cast("double")).as("punct_ratio"),
+      overLen(lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
+        + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0))
+        + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_len").cast("double")))
+        .as("quality"))
+  }
+
+  /** Oracle for the quality GATE at ingest: the text_quality composite
+    * over the streaming feed subset (doc_id % 5 = 0), kept rows only
+    * (quality >= tau; a NULL composite — zero-length text — fails the
+    * gate in both engines). Scores are per-document functions, so the
+    * micro-batch split is invisible and the batch scorer over the subset
+    * IS the expected output — the stream_dsir_score composition argument. */
+  private[queries] def qualityGateStreamSql(tau: Double): String =
+    "WITH f AS (SELECT doc_id, " +
+      "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens, " +
+      s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
+      "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct, " +
+      "length(text)::BIGINT AS n_len FROM documents WHERE doc_id % 5 = 0), " +
+      "q AS (SELECT doc_id, n_tokens, " +
+      "0.4 * (stop_hits / n_tokens::DOUBLE) " +
+      "+ 0.3 * LEAST(1.0, n_tokens / 100.0) " +
+      "+ 0.3 * (1.0 - n_punct / n_len::DOUBLE) AS quality FROM f) " +
+      s"SELECT doc_id, n_tokens, quality FROM q WHERE quality >= $tau " +
+      "ORDER BY doc_id"
+
   val all: Seq[Q] = Seq(
 
     // Language ID: marker-word hit counts per language, argmax with a fixed
@@ -91,30 +141,7 @@ object TextQueries {
         "+ 0.3 * LEAST(1.0, n_tokens / 100.0) " +
         "+ 0.3 * (1.0 - n_punct / n_len::DOUBLE) AS quality " +
         "FROM f ORDER BY doc_id") { (s, d) =>
-      val t = Tables.documents(s, d).select(
-        col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
-        langScore(col("text"), enPat).as("stop_hits"),
-        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
-        length(col("text")).cast("long").as("n_len"))
-      // No rounding: per-row scalar math over identical inputs is
-      // bit-identical across engines, while round() at a decimal boundary
-      // (e.g. a composite landing exactly on .xxxx5) is NOT portable.
-      // Zero-length text divides by zero (ANSI throws); mirror DuckDB's
-      // NULL for that degenerate row. (n_tokens is never 0: splitting an
-      // empty string still yields one empty token in both engines.)
-      def overLen(e: org.apache.spark.sql.Column) =
-        when(col("n_len") === 0, lit(null)).otherwise(e)
-      t.select(col("doc_id"), col("n_tokens"),
-          (col("n_nonspace") / col("n_tokens").cast("double")).as("avg_token_len"),
-          (col("stop_hits") / col("n_tokens").cast("double")).as("stopword_ratio"),
-          overLen(col("n_punct") / col("n_len").cast("double")).as("punct_ratio"),
-          overLen(lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
-            + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0))
-            + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_len").cast("double")))
-            .as("quality"))
-        .orderBy(col("doc_id"))
+      qualityScored(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
     // Token counting: whitespace tokens vs a BPE-ish regex segmentation.
