@@ -153,7 +153,11 @@ object Dedup {
     * per (k, shingling, corpus fingerprint); the live from-scratch
     * signing representative remains dedup_minhash_lsh. */
   def minhashSigIndex(docs: DataFrame, k: Int = 12): DataFrame =
-    cachedDocIndex(docs, "minhash_sigs", s"k${k}w3")(signed(docs, k))
+    // params carry a layout tag: the round-14 signing refactor dropped
+    // the never-read lshBands column from this artifact, and a re-keyed
+    // params string retires the old-layout artifacts for THIS kind only
+    // (a global FormatVersion bump would cold-rebuild every artifact).
+    cachedDocIndex(docs, "minhash_sigs", s"k${k}w3sig")(signed(docs, k))
 
   /** The LSH BANDING operating curve as data: for each (bands,
     * rows-per-band) factorization of the k-row signature, the candidate
