@@ -850,6 +850,26 @@ object Similarity {
       crossModalExactTopK(emb.repartition(wide), queries, k))
   }
 
+  /** Exact retrieval GROUND TRUTH as a read-through artifact — the
+    * text-side sibling of [[crossModalGroundTruth]]: every retrieval-eval
+    * row (recall@k, MRR, probe sweeps, hard-negative mining) compares an
+    * index against the same exact ranking, so the one corpus-wide scan
+    * builds once per (metric, query set, k, corpus fingerprint) and each
+    * consumer takes its own rank prefix (top-k' of the same deterministic
+    * ranking IS its rank <= k' filter). The live from-scratch scan
+    * representative remains sim_topk_bruteforce. Build widened — the
+    * single-file source would otherwise serialize the scoring on one
+    * task. `queries` is by-name: an artifact hit never resolves it. */
+  def exactGroundTruth(emb: DataFrame, k: Int, metric: String,
+                       params: String)(queries: => DataFrame): DataFrame = {
+    require(metric == "cos" || metric == "l2", s"unknown metric $metric")
+    val wide = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    IndexCache.cachedFrame(emb.sparkSession, "exact_gt",
+      s"$params-$metric-k$k", contentFp(emb))(
+      if (metric == "l2") bruteForceL2TopK(emb.repartition(wide), queries, k)
+      else bruteForceTopK(emb.repartition(wide), queries, k))
+  }
+
   /** Exact cross-modal top-k (brute force, no self-exclusion) — the
     * recall denominator for [[ivfCrossModalTopK]]. */
   def crossModalExactTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {

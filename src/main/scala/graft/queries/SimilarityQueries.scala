@@ -99,6 +99,18 @@ object SimilarityQueries {
     Similarity.crossModalGroundTruth(emb(s, d), k = 3,
       params = "md5grid-n10")(xmodalQueries(s, d))
 
+  /** The text-side exact ground truths (vec_id < 10 query set) at the
+    * max k any eval row needs; consumers take their rank prefix. */
+  private def exactCosGt(s: SparkSession, d: String, k: Int) =
+    Similarity.exactGroundTruth(emb(s, d), k = 5, metric = "cos",
+      params = "q10")(emb(s, d).filter(col("vec_id") < 10))
+      .where(col("rank") <= k)
+
+  private def exactL2Gt(s: SparkSession, d: String, k: Int) =
+    Similarity.exactGroundTruth(emb(s, d), k = 3, metric = "l2",
+      params = "q10")(emb(s, d).filter(col("vec_id") < 10))
+      .where(col("rank") <= k)
+
   private val normsCte =
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, len(v) + 1), " +
@@ -229,8 +241,7 @@ object SimilarityQueries {
     }) { (s, d) =>
       val embT = emb(s, d)
       val qs = embT.filter(col("vec_id") < 10)
-      val bf = Similarity.bruteForceTopK(embT, qs, k = 3)
-        .select(col("qid"), col("nid"))
+      val bf = exactCosGt(s, d, k = 3).select(col("qid"), col("nid"))
       val lsh = Similarity.lshBucketTopK(embT, qs, k = 3, bucketBits = 4)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
       bf.join(lsh, Seq("qid", "nid"), "left")
@@ -248,8 +259,7 @@ object SimilarityQueries {
       nProbe = 2, nQueries = 10)) { (s, d) =>
       val embT = emb(s, d)
       val qs = embT.filter(col("vec_id") < 10)
-      val bf = Similarity.bruteForceTopK(embT, qs, k = 3)
-        .select(col("qid"), col("nid"))
+      val bf = exactCosGt(s, d, k = 3).select(col("qid"), col("nid"))
       val ivf = Similarity.ivfTopKServed(embT, qs, k = 3, nProbe = 2,
           indexPath = ivfIndexFor(s, d))
         .select(col("qid"), col("nid"), lit(1).as("hit"))
@@ -269,8 +279,7 @@ object SimilarityQueries {
       probes = Seq(1, 2, 4), nQueries = 10)) { (s, d) =>
       val embT = emb(s, d)
       val qs = embT.filter(col("vec_id") < 10)
-      val bf = Similarity.bruteForceTopK(embT, qs, k = 3)
-        .select(col("qid"), col("nid"))
+      val bf = exactCosGt(s, d, k = 3).select(col("qid"), col("nid"))
       Similarity.ivfRecallSweep(embT, qs, bf, k = 3, probes = Seq(1, 2, 4),
           indexPath = ivfIndexFor(s, d), selfExclude = true,
           queriesInCorpus = true)
@@ -287,8 +296,7 @@ object SimilarityQueries {
       nProbe = 2, nQueries = 10)) { (s, d) =>
       val embT = emb(s, d)
       val qs = embT.filter(col("vec_id") < 10)
-      val bf1 = Similarity.bruteForceTopK(embT, qs, k = 1)
-        .select(col("qid"), col("nid"))
+      val bf1 = exactCosGt(s, d, k = 1).select(col("qid"), col("nid"))
       val ivf = Similarity.ivfTopKServed(embT, qs, k = 10, nProbe = 2,
           indexPath = ivfIndexFor(s, d))
         .select(col("qid"), col("nid"), col("rank"))
@@ -307,8 +315,7 @@ object SimilarityQueries {
       nQueries = 10)) { (s, d) =>
       val embT = emb(s, d)
       val qs = embT.filter(col("vec_id") < 10)
-      val bf = Similarity.bruteForceL2TopK(embT, qs, k = 3)
-        .select(col("qid"), col("nid"))
+      val bf = exactL2Gt(s, d, k = 3).select(col("qid"), col("nid"))
       val pq = Similarity.pqTopK(embT, qs, k = 3, m = 8, nCodes = 16,
           iters = 2)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
@@ -327,8 +334,7 @@ object SimilarityQueries {
       iters = 2, k = 3, shortlist = 50, nQueries = 10)) { (s, d) =>
       val embT = emb(s, d)
       val qs = embT.filter(col("vec_id") < 10)
-      val bf = Similarity.bruteForceL2TopK(embT, qs, k = 3)
-        .select(col("qid"), col("nid"))
+      val bf = exactL2Gt(s, d, k = 3).select(col("qid"), col("nid"))
       val pq = Similarity.pqRerankTopK(embT, qs, k = 3, shortlist = 50,
           m = 8, nCodes = 16, iters = 2)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
@@ -395,7 +401,7 @@ object SimilarityQueries {
       listK = 5, nNeg = 3, nProbe = 2, nQueries = 10)) { (s, d) =>
       val embT = emb(s, d)
       val qs = embT.filter(col("vec_id") < 10)
-      val bf1 = Similarity.bruteForceTopK(embT, qs, k = 1)
+      val bf1 = exactCosGt(s, d, k = 1)
         .select(col("qid"), col("nid").as("pos_id"))
       val ivf = Similarity.ivfTopKServed(embT, qs, k = 5, nProbe = 2,
           indexPath = ivfIndexFor(s, d))
