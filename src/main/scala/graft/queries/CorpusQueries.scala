@@ -75,10 +75,13 @@ object CorpusQueries {
     val dn = Similarity.bruteForceTopK(embT, embT.filter(col("vec_id") < 10), k = 20)
       .select(col("qid"), col("nid"), col("rank").as("dr"))
     val fused = sp.join(dn, Seq("qid", "nid"), "full_outer")
-      .select(col("qid"), col("nid"),
+      .select(col("qid"), col("nid"), col("sr"), col("dr"),
         round(coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6).as("rrf"))
     val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    // The per-leg ranks (sr/dr, null where the leg missed) ride along so
+    // fusion DIAGNOSTICS (sim_fusion_lift) read the same artifact the
+    // serving tail does instead of re-running either leg.
     fused.withColumn("rank", row_number().over(w).cast("long"))
   }
 
@@ -93,7 +96,8 @@ object CorpusQueries {
                                   d: String): org.apache.spark.sql.DataFrame = {
     val fp = graft.operators.Dedup.docFp(Tables.documents(s, d)) + "x" +
       Similarity.corpusFp(Tables.load(s, d, "embeddings"))
-    graft.operators.IndexCache.cachedFrame(s, "hybrid_rrf", "k20q10", fp)(
+    // params layout tag v2: round 14 added the per-leg sr/dr columns.
+    graft.operators.IndexCache.cachedFrame(s, "hybrid_rrf", "k20q10v2", fp)(
       hybridFused(s, d))
   }
 
@@ -323,6 +327,40 @@ object CorpusQueries {
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .where(col("cum_tokens") <= 256)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // FUSION DIAGNOSTICS — what RRF costs and buys, pinned as oracle
+    // data next to the tuning-curve family: for each query, where the
+    // exact semantic top-1 (the dense leg's rank-1 item by construction)
+    // lands in the SPARSE ranking (does lexical retrieval alone find it?)
+    // and in the FUSED ranking (fusion re-ranks by vote, so it can bury
+    // the true top-1 below lexical-only hits — the fidelity/robustness
+    // trade a hybrid-search owner reads before shipping RRF). Served
+    // entirely from the persisted artifacts: the fused table carries the
+    // per-leg ranks, the relevant item comes from the shared exact
+    // ground truth. 1/rank stays on the 4-dp grid (ranks ≤ 40).
+    Q("sim_fusion_lift",
+      s"WITH $hybridRrfCtes, " +
+        "rel AS (SELECT qid, nid FROM dr_ WHERE rank = 1) " +
+        "SELECT rel.qid, COALESCE(s.sr, 0) AS sparse_rank, " +
+        "CASE WHEN s.sr IS NOT NULL THEN ROUND(1.0 / s.sr, 4) ELSE 0.0 END AS rr_sparse, " +
+        "f.rank AS fused_rank, ROUND(1.0 / f.rank, 4) AS rr_fused " +
+        "FROM rel LEFT JOIN sp s ON s.qid = rel.qid AND s.nid = rel.nid " +
+        "JOIN rr f ON f.qid = rel.qid AND f.nid = rel.nid " +
+        "ORDER BY rel.qid") { (s, d) =>
+      val rel = SimilarityQueries.exactCosGt(s, d, k = 1)
+        .select(col("qid"), col("nid"))
+      val art = hybridFusedArtifact(s, d)
+      rel.join(art.select(col("qid"), col("nid"), col("sr")), Seq("qid", "nid"), "left")
+        .join(art.select(col("qid"), col("nid"), col("rank").as("fused_rank")),
+          Seq("qid", "nid"))
+        .select(col("qid"),
+          coalesce(col("sr"), lit(0L)).as("sparse_rank"),
+          when(col("sr").isNotNull, round(lit(1.0) / col("sr"), 4))
+            .otherwise(lit(0.0)).as("rr_sparse"),
+          col("fused_rank"),
+          round(lit(1.0) / col("fused_rank"), 4).as("rr_fused"))
+        .orderBy(col("qid"))
     },
 
     // DSIR importance weights for target-matched data selection

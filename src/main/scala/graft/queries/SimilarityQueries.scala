@@ -101,7 +101,7 @@ object SimilarityQueries {
 
   /** The text-side exact ground truths (vec_id < 10 query set) at the
     * max k any eval row needs; consumers take their rank prefix. */
-  private def exactCosGt(s: SparkSession, d: String, k: Int) =
+  private[queries] def exactCosGt(s: SparkSession, d: String, k: Int) =
     Similarity.exactGroundTruth(emb(s, d), k = 5, metric = "cos",
       params = "q10")(emb(s, d).filter(col("vec_id") < 10))
       .where(col("rank") <= k)
