@@ -146,6 +146,20 @@ object Dedup {
       minhashLshPairs(docs, k, bands, rows, threshold)
     }
 
+  /** Exact word-3-gram verified PAIR TABLE as a read-through artifact —
+    * the exact-Jaccard sibling of [[lshVerifiedPairs]]: the length-banded
+    * exact pair set is a pure function of (shingling, band, τ, corpus),
+    * so downstream consumers (the banding-recall eval, canonical-set
+    * audits) read it instead of re-running the verify. The live
+    * from-scratch exact-verify representative remains dedup_char_jaccard
+    * (the SAME jaccardPairsBanded path over char-8 shingles, which also
+    * exercises the candidate build each draw). */
+  def ngramVerifiedPairs(docs: DataFrame, maxDiff: Int = 10,
+                         threshold: Double = 0.3): DataFrame =
+    cachedDocIndex(docs, "ngram3_pairs", s"d${maxDiff}_t$threshold") {
+      ngramJaccardPairs(docs, maxDiff, threshold)
+    }
+
   /** MinHash signature table (doc_id, sh, sig) as a read-through artifact
     * — the per-document model the band-width tuning sweep consumes.
     * Signatures are pure per-document functions of the text (same reuse

@@ -266,9 +266,57 @@ object DedupQueries {
         "FROM dd a JOIN dd b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10) " +
         "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3 ORDER BY id_a, id_b") {
       (s, d) =>
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), maxDiff = 10,
+        // Served from the persisted pair artifact (built once per corpus
+        // snapshot); dedup_char_jaccard keeps the same verify path live.
+        Dedup.ngramVerifiedPairs(Tables.documents(s, d), maxDiff = 10,
             threshold = 0.3)
           .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // LSH banding RECALL — the third leg of the banding tuning family
+    // (dedup_band_sweep = candidate COST, dedup_threshold_sweep = τ
+    // RETENTION, this row = QUALITY): of the exact length-banded pairs at
+    // Jaccard >= 0.5, how many does the (4x3)-banded MinHash pipeline
+    // surface? Both sides are the persisted pair artifacts, so the row is
+    // two scans + one join; a banding change that silently loses recall
+    // now fails an oracle row instead of shipping. (The exact side is
+    // itself length-banded — recall is measured against the pairs the
+    // exact pipeline can see, the honest denominator at any scale.)
+    Q("dedup_lsh_recall",
+      s"WITH $shinglesCte, " +
+        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+        "bandrows AS (SELECT doc_id, j, " +
+        "md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh FROM sig, range(0, 4) r(j)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+        "lshv AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, " +
+        "len(list_intersect(sa.s, sb.s))::DOUBLE / " +
+        "len(list_distinct(list_concat(sa.s, sb.s))) AS j " +
+        "FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b) " +
+        "WHERE j >= 0.5), " +
+        "hsh AS (SELECT doc_id, list_transform(s, x -> substr(md5(x), 1, 16)) AS s FROM sh), " +
+        "dd AS (SELECT hsh.doc_id, hsh.s, documents.n_chars FROM hsh JOIN documents USING (doc_id)), " +
+        "ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM dd a JOIN dd b " +
+        "ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 10 " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.s, b.s))) >= 0.5) " +
+        "SELECT COUNT(*) AS n_exact, CAST(COUNT(l.id_a) AS BIGINT) AS n_caught, " +
+        "ROUND(COUNT(l.id_a) / COUNT(*)::DOUBLE, 4) AS recall " +
+        "FROM ex LEFT JOIN lshv l ON l.id_a = ex.id_a AND l.id_b = ex.id_b") {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val exact = Dedup.ngramVerifiedPairs(docs, maxDiff = 10, threshold = 0.3)
+          .where(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val lsh = Dedup.lshVerifiedPairs(docs, k = 12, bands = 4, rows = 3,
+            threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+        exact.join(lsh, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("hit")).as("n_caught"),
+            round(count(col("hit")) / count(lit(1)).cast("double"), 4)
+              .as("recall"))
     },
 
     // Character 8-gram Jaccard over normalized text (reorder/punctuation
