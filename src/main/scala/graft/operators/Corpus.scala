@@ -173,12 +173,23 @@ object Corpus {
     * than divide-by-zero diverge. */
   def sparseTopK(docs: DataFrame, k: Int, nQueries: Int,
                  maxDfFrac: Double = 0.1, postingCap: Int = 64): DataFrame = {
-    // The weighted postings table (doc, tok, w, nrm) IS the inverted
-    // index: built once per (corpus fingerprint, df cut) and persisted
-    // read-through (IndexCache) — serving probes the artifact, it does
-    // not re-tokenize the corpus per query. Same build/serve lifecycle
-    // as the IVF index; at 100 TB this is the maintained index table.
-    val wn = IndexCache.cachedFrame(docs.sparkSession, "sparse_postings",
+    val wn = sparsePostings(docs, maxDfFrac)
+    // Query postings stay un-pruned: the query side is |q|-bounded by
+    // construction, and pruning it would only lose terms the corpus side
+    // already bounds.
+    val q = wn.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"), col("w").as("wq"),
+        col("nrm").as("nq"))
+    sparseScore(wn, q, k, postingCap)
+  }
+
+  /** The weighted postings table (doc, tok, w, nrm) — the inverted
+    * index: built once per (corpus fingerprint, df cut) and persisted
+    * read-through (IndexCache); serving probes the artifact, it does
+    * not re-tokenize the corpus per query. Same build/serve lifecycle
+    * as the IVF index; at 100 TB this is the maintained index table. */
+  def sparsePostings(docs: DataFrame, maxDfFrac: Double): DataFrame =
+    IndexCache.cachedFrame(docs.sparkSession, "sparse_postings",
         s"$maxDfFrac", Dedup.docFp(docs)) {
       val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -194,12 +205,26 @@ object Corpus {
         .where(col("nrm") > 0)
       w.join(nrm, "doc_id")
     }
-    // Query postings stay un-pruned: the query side is |q|-bounded by
-    // construction, and pruning it would only lose terms the corpus side
-    // already bounds.
-    val q = wn.where(col("doc_id") < nQueries)
+
+  /** [[sparseTopK]] for an ARBITRARY arriving query set (a DataFrame of
+    * doc_id rows — e.g. one streaming micro-batch): same persisted
+    * postings artifact, query rows selected by semi-join instead of the
+    * static id predicate. Per-serve cost tracks the batch; the corpus is
+    * only touched through the capped posting lists. */
+  def sparseTopKFor(docs: DataFrame, qids: DataFrame, k: Int,
+                    maxDfFrac: Double = 0.1, postingCap: Int = 64): DataFrame = {
+    val wn = sparsePostings(docs, maxDfFrac)
+    val q = wn.join(broadcast(qids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("qid"), col("tok"), col("w").as("wq"),
         col("nrm").as("nq"))
+    sparseScore(wn, q, k, postingCap)
+  }
+
+  /** The shared posting-probe scoring: capped inverted lists × the
+    * bounded query postings, cosine on the 6-dp grid, deterministic
+    * per-query rank. */
+  private def sparseScore(wn: DataFrame, q: DataFrame, k: Int,
+                          postingCap: Int): DataFrame = {
     val iw = Window.partitionBy(col("tok"))
       .orderBy(col("w").desc, col("doc_id"))
     val scored = wn

@@ -74,14 +74,24 @@ object CorpusQueries {
     val embT = Tables.load(s, d, "embeddings")
     val dn = Similarity.bruteForceTopK(embT, embT.filter(col("vec_id") < 10), k = 20)
       .select(col("qid"), col("nid"), col("rank").as("dr"))
+    // The per-leg ranks (sr/dr, null where the leg missed) ride along so
+    // fusion DIAGNOSTICS (sim_fusion_lift) read the same artifact the
+    // serving tail does instead of re-running either leg.
+    rrfFuse(sp, dn)
+  }
+
+  /** ONE RRF implementation — shared by the batch fusion above and the
+    * streaming hybrid serve, so the fused score/tie-break can never
+    * drift between the two. Inputs: (qid, nid, sr) and (qid, nid, dr)
+    * k-bounded rank lists; output carries the per-leg ranks. */
+  private[queries] def rrfFuse(sp: org.apache.spark.sql.DataFrame,
+                               dn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val fused = sp.join(dn, Seq("qid", "nid"), "full_outer")
       .select(col("qid"), col("nid"), col("sr"), col("dr"),
         round(coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 6).as("rrf"))
     val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
-    // The per-leg ranks (sr/dr, null where the leg missed) ride along so
-    // fusion DIAGNOSTICS (sim_fusion_lift) read the same artifact the
-    // serving tail does instead of re-running either leg.
     fused.withColumn("rank", row_number().over(w).cast("long"))
   }
 
@@ -452,6 +462,28 @@ object CorpusQueries {
       "w AS (SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens, " +
       "ROUND(SUM(cnt * lw), 6) AS log_weight " +
       "FROM dc JOIN lr USING (bk) GROUP BY 1)"
+
+  /** Oracle for HYBRID retrieval at ingest (stream_hybrid_serve): the
+    * sparse tf-idf probe chain (df cut 1.0, posting cap 64 — the exact
+    * sparseTopK replay) RRF-fused with the SERVED IVF probe chain
+    * (trained 16-cell index, nProbe 2) for the stream feed's query set
+    * (vec_id < 10, which is also the sparse chain's doc_id < 10 query
+    * convention). Rankings and fusion are per-query functions, so the
+    * micro-batch split is invisible and this single-statement batch
+    * fusion IS the expected streaming output. */
+  private[queries] def hybridServeStreamSql: String =
+    SimilarityQueries.ivfKmeansCoreSql(nCells = 16, iters = 3, nProbe = 2,
+      nQueries = 10) +
+      s", $tokCte, $sparseRankChain, " +
+      "hsp AS (SELECT qid, nid, rank AS sr FROM t WHERE rank <= 20), " +
+      "hdn AS (SELECT qid, nid, rank AS dr FROM r2 WHERE rank <= 20), " +
+      "hf AS (SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.nid, d.nid) AS nid, " +
+      "ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + s.sr), 0) " +
+      "+ COALESCE(CAST(1 AS DOUBLE) / (60 + d.dr), 0), 6) AS rrf " +
+      "FROM hsp s FULL OUTER JOIN hdn d ON s.qid = d.qid AND s.nid = d.nid), " +
+      "hr AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER " +
+      "(PARTITION BY qid ORDER BY rrf DESC, nid) AS rank FROM hf) " +
+      "SELECT qid, rank, nid, rrf FROM hr WHERE rank <= 10 ORDER BY qid, rank"
 
   /** Oracle for the STREAMING ingest scorer: the served chain over the
     * stream feed's batch convention (doc_id ≡ 0 mod 5). */

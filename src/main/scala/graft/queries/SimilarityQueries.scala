@@ -1159,7 +1159,7 @@ object SimilarityQueries {
   /** [[ivfKmeansSql]] up to the ranked CTE `r2` — reused by the recall
     * evaluation, which joins the IVF ranking against an exact
     * brute-force top-k computed in the same statement. */
-  private def ivfKmeansCoreSql(nCells: Int, iters: Int, nProbe: Int,
+  private[queries] def ivfKmeansCoreSql(nCells: Int, iters: Int, nProbe: Int,
                                nQueries: Int): String =
     ivfTrainedCellSql(nCells, iters) + ", " +
       "probe AS (SELECT r.vec_id AS qid, r.cid, n.v AS qv, n.nrm AS qn " +

@@ -237,6 +237,34 @@ object StreamQueries {
     }
   }
 
+  /** See the stream_hybrid_serve registration: per-batch probe of BOTH
+    * maintained index artifacts + the shared RRF fusion; stateless,
+    * composes because rankings are per-query. */
+  private def streamHybridServe(s: SparkSession, dir: String): DataFrame = {
+    val docsT = Tables.documents(s, dir)
+    val embT = Tables.embeddings(s, dir)
+    val indexPath = SimilarityQueries.servedIndexPath(s, dir)
+    foreachBatchReplay(s, embBatchFeed(s, dir),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true),
+        StructField("label",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))) { batch =>
+      val sp = graft.operators.Corpus.sparseTopKFor(docsT,
+          batch.select(col("vec_id").as("doc_id")), k = 20,
+          maxDfFrac = 1.0, postingCap = 64)
+        .select(col("qid"), col("nid"), col("rank").as("sr"))
+      val dn = graft.operators.Similarity.ivfTopKServed(embT, batch, k = 20,
+          nProbe = 2, indexPath = indexPath)
+        .select(col("qid"), col("nid"), col("rank").as("dr"))
+      CorpusQueries.rrfFuse(sp, dn)
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("nid"), col("rrf"))
+    }.orderBy(col("qid"), col("rank"))
+  }
+
   /** Streaming ANN serving against the PERSISTED IVF index — retrieval at
     * ingest, the vector analog of [[streamLshDedup]]: each micro-batch of
     * arriving query vectors is assigned to its probe cells and served
@@ -1185,6 +1213,21 @@ object StreamQueries {
     Q("stream_quality_gate", TextQueries.qualityGateStreamSql(0.5)) {
       (s, d) => materialized(s, "stream_quality_gate", docsBatchFeed(s, d))(
         streamQualityGate(s, d, tau = 0.5))(_.orderBy(col("doc_id")))
+    },
+
+    // HYBRID retrieval at ingest — the RAG serving edge as a streaming
+    // topology: each arriving micro-batch of query vectors probes BOTH
+    // maintained index artifacts (the sparse tf-idf postings and the
+    // trained IVF inverted file) inside foreachBatch and fuses the two
+    // k-bounded rankings by RRF (the SAME shared fusion implementation
+    // the batch path uses). Stateless — corpus knowledge lives entirely
+    // in the artifacts, per-batch cost tracks the batch — and rankings
+    // are per-query functions, so the batch split is invisible: the
+    // oracle is the single-statement batch fusion of both serve chains
+    // over the feed's query set.
+    Q("stream_hybrid_serve", CorpusQueries.hybridServeStreamSql) {
+      (s, d) => materialized(s, "stream_hybrid_serve", embBatchFeed(s, d))(
+        streamHybridServe(s, d))(_.orderBy(col("qid"), col("rank")))
     }
   )
 
