@@ -575,7 +575,12 @@ object Dedup {
           i => norm.substr(i, lit(k))))
         .otherwise(array().cast("array<string>"))
     val key = docCacheKey(docs, s"char$k", s"k$k", s"d${maxDiff}_t$threshold")
-    val raw = jaccardPairsBanded(
+    // LAZY: jaccardPairsBanded runs an ACTION at construction (the
+    // adaptive-strategy corpus count) plus the full layered plan build —
+    // ~0.5 s of driver work that a pairs-artifact HIT must never pay
+    // (cachedFrame's build parameter is by-name, so this body only runs
+    // on a miss).
+    lazy val raw = jaccardPairsBanded(
       docs.select(col("doc_id"), col("n_chars"), normText(col("text")).as("norm"))
         .select(col("doc_id"), col("n_chars"),
           hashedShingleSet(rawShingles).as("sh64")),
