@@ -102,15 +102,16 @@ object TextFunctions {
       .otherwise(lit(0L))
 
   /** Hamming distance between two equal-length bit strings ('0'/'1').
-    * HARD PRECONDITION: both inputs must be exactly `bits` chars — the
-    * explicit length guard returns NULL otherwise (so a malformed input
-    * drops out of downstream distance filters instead of contributing a
-    * silently-truncated count; simhash always emits full-width strings,
-    * which is the only producer today). 32-char windows convert to
-    * integer words (`conv` base 2) and XOR under `bit_count` — all
-    * codegen'd builtins, vs the 1-char-at-a-time interpreted fold this
-    * replaces (per-PAIR cost on verify hot paths). 32-bit windows keep
-    * every word unambiguous in a signed long. */
+    * HARD PRECONDITION: both inputs must be exactly `bits` chars — a
+    * shorter input would otherwise produce a silently-truncated count
+    * (or, NULLed, silent row loss through downstream distance filters),
+    * so the guard FAILS THE QUERY via `raise_error` instead. Simhash
+    * always emits full-width strings, which is the only producer today;
+    * the error branch is dead code there and costs nothing. 32-char
+    * windows convert to integer words (`conv` base 2) and XOR under
+    * `bit_count` — all codegen'd builtins, vs the 1-char-at-a-time
+    * interpreted fold this replaces (per-PAIR cost on verify hot paths).
+    * 32-bit windows keep every word unambiguous in a signed long. */
   def hammingDistance(a: Column, b: Column, bits: Int): Column = {
     val dist = (0 until (bits + 31) / 32).map { w =>
       val off = w * 32 + 1
@@ -119,6 +120,10 @@ object TextFunctions {
         .bitwiseXOR(conv(b.substr(lit(off), lit(len)), 2, 10).cast("long")))
     }.reduce(_ + _)
     when(length(a) === bits && length(b) === bits, dist)
+      .otherwise(raise_error(concat(
+        lit(s"hammingDistance: inputs must be exactly $bits bits, got ("),
+        coalesce(length(a).cast("string"), lit("null")), lit(", "),
+        coalesce(length(b).cast("string"), lit("null")), lit(")"))))
   }
 
   /** Language marker-word sets for the n-gram-heuristic language ID.

@@ -100,16 +100,27 @@ object SimilarityQueries {
       params = "md5grid-n10")(xmodalQueries(s, d))
 
   /** The text-side exact ground truths (vec_id < 10 query set) at the
-    * max k any eval row needs; consumers take their rank prefix. */
-  private[queries] def exactCosGt(s: SparkSession, d: String, k: Int) =
+    * max k any eval row needs; consumers take their rank prefix. The
+    * artifact is built at a FIXED k (the max below), so a larger request
+    * would silently receive a truncated prefix labeled as the exact
+    * top-k — the requires enforce the rank-prefix contract at the call
+    * site instead of assuming it. Raising the cap means raising the
+    * artifact k AND re-keying its params (see the artifact playbook). */
+  private[queries] def exactCosGt(s: SparkSession, d: String, k: Int) = {
+    require(k <= 5, s"exactCosGt artifact is built at k=5; requested k=$k " +
+      "would be a truncated prefix mislabeled as exact top-k")
     Similarity.exactGroundTruth(emb(s, d), k = 5, metric = "cos",
       params = "q10")(emb(s, d).filter(col("vec_id") < 10))
       .where(col("rank") <= k)
+  }
 
-  private def exactL2Gt(s: SparkSession, d: String, k: Int) =
+  private def exactL2Gt(s: SparkSession, d: String, k: Int) = {
+    require(k <= 3, s"exactL2Gt artifact is built at k=3; requested k=$k " +
+      "would be a truncated prefix mislabeled as exact top-k")
     Similarity.exactGroundTruth(emb(s, d), k = 3, metric = "l2",
       params = "q10")(emb(s, d).filter(col("vec_id") < 10))
       .where(col("rank") <= k)
+  }
 
   private val normsCte =
     "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +

@@ -94,19 +94,61 @@ final class DepositService(spark: SparkSession, port: Int = 0,
     }
     .start()
 
+  // Client-supplied idempotency keys already absorbed (rebuilt from the
+  // log at boot): a retried POST whose key is present ACKs without
+  // re-logging or re-ingesting, closing the retry-after-500 double-count
+  // (appendToLog runs before the engine absorbs the event, so a failed
+  // absorb leaves a logged deposit that WILL replay on restart — the
+  // retry must not add a second copy). Deposits WITHOUT a key keep
+  // at-least-once semantics. Memory is O(ACKed deposits) in this
+  // single-JVM cell; a production serving fleet keeps the same key set
+  // in its KV store alongside the views, compacted with the changelog.
+  private val seenIdem = ConcurrentHashMap.newKeySet[String]()
+
   // Rebuild-on-start: replay the retained log (seq order) through the
   // running queries and only then open the port — the first GET a client
   // can issue already sees the pre-restart state (zero-mismatch contract,
-  // asserted by DepositServiceSpec's restart scenario).
+  // asserted by DepositServiceSpec's restart scenario). A crash mid-append
+  // leaves a torn FINAL line; since the ACK follows the flush, a final
+  // unparseable record is by definition un-ACKed — skip it with a warning
+  // (it is also truncated from the log so the next boot starts clean).
+  // Corruption ANYWHERE ELSE still fails the boot loudly: mid-file damage
+  // means ACKed history is gone, and serving a silently-shortened ledger
+  // would be worse than refusing to start. Replay also dedupes by
+  // idempotency key (first occurrence wins — the occurrence the client
+  // was ACKed for, or will be on retry).
   logFile.filter(_.isFile).foreach { f =>
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    val replayed =
-      try src.getLines().filter(_.nonEmpty).map { line =>
+    val lines = try src.getLines().toVector finally src.close()
+    val nonEmpty = lines.zipWithIndex.filter(_._1.nonEmpty)
+    val parsed = nonEmpty.map { case (line, i) =>
+      try {
         val n = mapper.readTree(line)
-        TimedDeposit(n.get("wallet_id").asText(), n.get("amount").asDouble(),
-          n.get("ts_unix").asLong(), n.get("seq").asLong())
-      }.toVector.sortBy(_.seq)
-      finally src.close()
+        Some((TimedDeposit(n.get("wallet_id").asText(), n.get("amount").asDouble(),
+          n.get("ts_unix").asLong(), n.get("seq").asLong()),
+          Option(n.get("idem")).map(_.asText()).filter(_.nonEmpty)))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (i == lines.length - 1) {
+            System.err.println(
+              s"DepositService: dropping torn trailing log line ${i + 1} " +
+                s"of ${f.getPath} (un-ACKed by construction): ${e.getMessage}")
+            None
+          } else throw new IllegalStateException(
+            s"DepositService: corrupt changelog ${f.getPath} at line ${i + 1} " +
+              "(mid-file, ACKed history) — refusing to boot on a damaged ledger", e)
+      }
+    }
+    if (parsed.lastOption.contains(None) && nonEmpty.nonEmpty) {
+      // Truncate the torn tail so the appended log stays line-parseable.
+      val keep = lines.take(nonEmpty.last._2)
+      val w = new java.io.FileWriter(f, StandardCharsets.UTF_8, /*append=*/ false)
+      try { keep.foreach { l => w.write(l); w.write("\n") } } finally w.close()
+    }
+    val fresh = parsed.flatten.filter { case (_, idem) =>
+      idem.forall(seenIdem.add) // first occurrence per key wins
+    }
+    val replayed = fresh.map(_._1).sortBy(_.seq)
     if (replayed.nonEmpty) {
       input.addData(replayed)
       collectorQuery.processAllAvailable()
@@ -115,18 +157,29 @@ final class DepositService(spark: SparkSession, port: Int = 0,
     }
   }
 
-  private val logWriter = logFile.map(f =>
-    new java.io.FileWriter(f, StandardCharsets.UTF_8, /*append=*/ true))
+  // Keep the raw FileOutputStream: the durability point below needs its
+  // file descriptor for a real fsync, which a bare FileWriter hides.
+  private val logStream = logFile.map(f =>
+    new java.io.FileOutputStream(f, /*append=*/ true))
+  private val logWriter = logStream.map(s =>
+    new java.io.OutputStreamWriter(s, StandardCharsets.UTF_8))
 
-  private def appendToLog(d: TimedDeposit): Unit = logWriter.foreach { w =>
-    val n = mapper.createObjectNode()
-    n.put("wallet_id", d.walletId); n.put("amount", d.amount)
-    n.put("ts_unix", d.tsUnix); n.put("seq", d.seq)
-    // The dispatcher serializes requests (no executor), but keep the
-    // append atomic anyway; flush is the EmitSync-adjacent durability
-    // point — the ACK below it implies the log holds the event.
-    w.synchronized { w.write(mapper.writeValueAsString(n)); w.write("\n"); w.flush() }
-  }
+  private def appendToLog(d: TimedDeposit, idem: Option[String]): Unit =
+    logWriter.zip(logStream).foreach { case (w, s) =>
+      val n = mapper.createObjectNode()
+      n.put("wallet_id", d.walletId); n.put("amount", d.amount)
+      n.put("ts_unix", d.tsUnix); n.put("seq", d.seq)
+      idem.foreach(n.put("idem", _))
+      // The dispatcher serializes requests (no executor), but keep the
+      // append atomic anyway. flush() pushes to OS buffers and
+      // getFD.sync() forces the page to stable storage — the ACK below
+      // this point holds across process AND OS/power failure (the full
+      // EmitSync contract, not just the process-crash half).
+      w.synchronized {
+        w.write(mapper.writeValueAsString(n)); w.write("\n"); w.flush()
+        s.getFD.sync()
+      }
+    }
 
   DepositService.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -157,8 +210,22 @@ final class DepositService(spark: SparkSession, port: Int = 0,
       }
       val ts = Option(node.get("ts_unix")).map(_.asLong())
         .getOrElse(System.currentTimeMillis() / 1000L)
+      // Idempotent retry: a key we already logged means the deposit is
+      // durable and will reach the views (this boot or the next replay) —
+      // ACK without a second log record or ingest, so a client that
+      // retries on 500/timeout cannot double-count. Keyless POSTs are
+      // documented at-least-once.
+      val idem = Option(node.get("idem")).map(_.asText()).filter(_.nonEmpty)
+      if (idem.exists(seenIdem.contains)) {
+        respond(ex, 200, s"""{"wallet_id":"$wallet","status":"duplicate"}""")
+        return
+      }
       val event = TimedDeposit(wallet, amount, ts, seq.incrementAndGet())
-      appendToLog(event) // log-then-absorb: a crash after this replays it
+      appendToLog(event, idem) // log-then-absorb: a crash after this replays it
+      // Mark the key seen only now: "seen" must mean "durably logged",
+      // or a retry after a FAILED append would be refused as duplicate
+      // and the deposit lost. (Single dispatcher thread — no TOCTOU.)
+      idem.foreach(seenIdem.add)
       input.addData(event)
       // EmitSync analog: ack only once the engine has absorbed the event —
       // and, since the views update inside foreachBatch, once the serving

@@ -92,6 +92,75 @@ class DepositServiceSpec extends AnyFunSuite with SparkSpec {
     } finally b.stop()
   }
 
+  test("a torn trailing log line (crash mid-append) is skipped at boot, " +
+    "truncated, and mid-file corruption still fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("svc_torn").toString
+    val a = new DepositService(spark, changelogDir = Some(dir))
+    def postOn(s: DepositService, body: String): Int =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/deposit"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+    def checkOn(s: DepositService, wallet: String): String =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/check/$wallet")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    assert(postOn(a, """{"wallet_id":"fred","amount":70,"ts_unix":1000}""") == 200)
+    a.stop()
+    val log = new java.io.File(dir, "deposits.jsonl")
+    // Simulate the crash: a partial record with no newline at the tail.
+    val w = new java.io.FileWriter(log, true)
+    w.write("""{"wallet_id":"fred","amou"""); w.close()
+    // Boot must succeed, serve the ACKed prefix, and truncate the tear.
+    val b = new DepositService(spark, changelogDir = Some(dir))
+    try {
+      assert(checkOn(b, "fred") ==
+        """{"wallet_id":"fred","balance":70.0,"above_threshold":false}""")
+      val lines = scala.io.Source.fromFile(log).getLines().toVector
+      assert(lines.forall(_.contains("\"seq\"")), s"tear not truncated: $lines")
+    } finally b.stop()
+    // Mid-file damage is ACKed history: the boot must refuse.
+    val src = scala.io.Source.fromFile(log)
+    val kept = try src.getLines().toVector finally src.close()
+    val w2 = new java.io.FileWriter(log, false)
+    w2.write("CORRUPT\n"); kept.foreach { l => w2.write(l); w2.write("\n") }
+    w2.close()
+    val e = intercept[IllegalStateException] {
+      new DepositService(spark, changelogDir = Some(dir))
+    }
+    assert(e.getMessage.contains("refusing to boot"))
+  }
+
+  test("idempotency key: a retried POST neither double-logs nor " +
+    "double-counts, in-process and across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("svc_idem").toString
+    def postOn(s: DepositService, body: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/deposit"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def checkOn(s: DepositService, wallet: String): String =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/check/$wallet")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    val a = new DepositService(spark, changelogDir = Some(dir))
+    val dep = """{"wallet_id":"gail","amount":30,"ts_unix":1000,"idem":"k-1"}"""
+    assert(postOn(a, dep).statusCode() == 200)
+    val retry = postOn(a, dep)
+    assert(retry.statusCode() == 200 && retry.body().contains("duplicate"))
+    assert(checkOn(a, "gail") ==
+      """{"wallet_id":"gail","balance":30.0,"above_threshold":false}""")
+    a.stop()
+    // The key set survives the restart (rebuilt from the log): the same
+    // retry against the fresh process is still refused as a duplicate.
+    val b = new DepositService(spark, changelogDir = Some(dir))
+    try {
+      assert(postOn(b, dep).body().contains("duplicate"))
+      assert(checkOn(b, "gail") ==
+        """{"wallet_id":"gail","balance":30.0,"above_threshold":false}""")
+    } finally b.stop()
+  }
+
   override def withFixture(test: NoArgTest) =
     try super.withFixture(test)
     finally if (test.name.contains("malformed")) svc.stop()
