@@ -878,11 +878,19 @@ object Dedup {
   def lshIndexFresh(spark: SparkSession, path: String, hist: DataFrame): Boolean =
     new java.io.File(path).exists() && {
       try {
-        val recorded = spark.read.parquet(path)
-          .select(col("fingerprint")).limit(1).collect()
-          .headOption.map(_.getString(0)).getOrElse("")
+        val recorded = recordedLshFp(spark, path)
         recorded.nonEmpty && recorded == docFp(hist)
       } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  /** The fingerprint recorded in a persisted LSH index, memoized on the
+    * directory's listing signature — the probe is a fixed-cost collect
+    * job that every serve/compact call would otherwise repeat. */
+  private def recordedLshFp(spark: SparkSession, path: String): String =
+    IndexCache.memoByListing("lsh_index_fp", path) {
+      IndexCache.resolvedFrame(spark, path)
+        .select(col("fingerprint")).limit(1).collect()
+        .headOption.map(_.getString(0)).getOrElse("")
     }
 
   /** Incremental near-dup pairs served from a PERSISTED index
@@ -895,9 +903,8 @@ object Dedup {
   def lshServedPairs(hist: DataFrame, batch: DataFrame, indexPath: String,
                      k: Int = 12, bands: Int = 4, rows: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
-    val index = batch.sparkSession.read.parquet(indexPath)
-    val recordedFp = index.select(col("fingerprint")).limit(1).collect()
-      .headOption.map(_.getString(0)).getOrElse("")
+    val index = IndexCache.resolvedFrame(batch.sparkSession, indexPath)
+    val recordedFp = recordedLshFp(batch.sparkSession, indexPath)
     val liveFp = docFp(hist)
     if (recordedFp != liveFp)
       throw new IllegalStateException(
@@ -925,9 +932,8 @@ object Dedup {
     require(newPath != oldPath,
       s"compactLshIndex cannot compact in place ($oldPath); write to a sibling path")
     val spark = batch.sparkSession
-    val index = spark.read.parquet(oldPath)
-    val recordedFp = index.select(col("fingerprint")).limit(1).collect()
-      .headOption.map(_.getString(0)).getOrElse("")
+    val index = IndexCache.resolvedFrame(spark, oldPath)
+    val recordedFp = recordedLshFp(spark, oldPath)
     val liveFp = docFp(hist)
     if (recordedFp != liveFp)
       throw new IllegalStateException(

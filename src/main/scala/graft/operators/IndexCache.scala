@@ -174,6 +174,56 @@ object IndexCache {
     else tableFpCache.computeIfAbsent(listingKey, _ => compute)
   }
 
+  // ------------------- driver-side artifact-read memos -------------------
+  //
+  // Every spark.read.parquet costs a fresh file listing plus a one-task
+  // footer-read job for schema inference, and a fingerprint probe costs a
+  // collect job — ~30-60 ms each of pure fixed cost. A bench sweep (or any
+  // serve fleet worker) resolves the same artifacts hundreds of times, so
+  // those jobs dominate artifact-served queries whose actual task time is
+  // milliseconds. The memos below collapse the repeats to driver-side
+  // metadata checks: entries are keyed by the directory's LISTING
+  // SIGNATURE, so an in-place rewrite (named index paths published with
+  // overwrite mode) is picked up on the next call and stale entries age
+  // out of the bounded LRU. This is exactly the footer/metadata cache a
+  // production table format (Delta/Iceberg snapshot pinning) gives reads.
+
+  /** Listing signature of a local artifact directory: sorted
+    * name:length:mtime over its files. Pure driver-side metadata — the
+    * staleness anchor for the memos (same contract as [[tableFp]]'s
+    * listing check). */
+  def dirSig(path: String): String = {
+    val kids = new java.io.File(path).listFiles()
+    if (kids == null) "missing"
+    else kids.iterator.filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .toArray.sorted.mkString(",")
+  }
+
+  private def boundedLru[K, V](max: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > max
+      })
+
+  /** Resolved-scan memo: `spark.read.parquet(path)` reused per (session,
+    * path, listing signature). The returned DataFrame is an immutable
+    * logical plan over a pinned file index, safe to share across queries
+    * of the same session. */
+  private val frameMemo = boundedLru[(SparkSession, String, String), DataFrame](512)
+  def resolvedFrame(spark: SparkSession, path: String): DataFrame =
+    frameMemo.computeIfAbsent((spark, path, dirSig(path)),
+      _ => spark.read.parquet(path))
+
+  /** Memo of a small driver-side value derived from an artifact directory
+    * (a recorded fingerprint, a k-row centroid table): recomputes only
+    * when the directory's files change. */
+  private val valueMemo = boundedLru[(String, String, String), AnyRef](512)
+  def memoByListing[T <: AnyRef](tag: String, path: String)(compute: => T): T =
+    valueMemo.computeIfAbsent((tag, path, dirSig(path)),
+      _ => compute).asInstanceOf[T]
+
   /** Kill-switch: `SPARK_GRAFT_INDEX_DISABLE=1` bypasses the artifact
     * layer entirely — build plans run inline, nothing is persisted or
     * read. For measuring the from-scratch path (scale smokes of index
@@ -201,7 +251,9 @@ object IndexCache {
         record(s"$kind.build")
       }
     }
-    spark.read.parquet(p)
+    // Published artifacts are immutable (fingerprint in the path), but the
+    // listing-keyed memo also covers a deleted-and-rebuilt dir correctly.
+    resolvedFrame(spark, p)
   }
 
   /** Read-through resolve of a small driver-resident model artifact

@@ -530,15 +530,20 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Read a persisted IVF index; returns (centroids, fingerprint). */
+  /** Read a persisted IVF index; returns (centroids, fingerprint).
+    * Memoized on the directory's listing signature: the k-row read is two
+    * fixed-cost jobs (schema + collect) that every serve call would
+    * otherwise repeat; an in-place index rewrite changes the listing and
+    * re-reads. */
   def readIvfIndex(spark: SparkSession,
-                   path: String): (Array[Centroid], String) = {
-    val rows = spark.read.parquet(path)
-      .select(col("cid"), col("cv"), col("fingerprint")).collect()
-    (rows.map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_.cid),
-      rows.headOption.map(_.getString(2)).getOrElse(""))
-  }
+                   path: String): (Array[Centroid], String) =
+    IndexCache.memoByListing("ivf_index_read", path) {
+      val rows = spark.read.parquet(path)
+        .select(col("cid"), col("cv"), col("fingerprint")).collect()
+      (rows.map(r => Centroid(r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_.cid),
+        rows.headOption.map(_.getString(2)).getOrElse(""))
+    }
 
   /** Serve IVF top-k from an already-built centroid model: map-side
     * assignment pass over the corpus ([[assignNearest]]), probe expansion

@@ -33,6 +33,26 @@ object ExtrasQueries {
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Replay log per (JVM, sf dir) — the build step of the `graft-replay`
+    * connector's query: the accepted-deposit projection of events framed
+    * into 4 offset-ranged segments (see [[graft.sources.replay.ReplayLog]]).
+    * Built once, served by every run, like the stream feeds. */
+  private val replayLogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def replayLogFor(s: org.apache.spark.sql.SparkSession,
+                           d: String): String =
+    replayLogCache.computeIfAbsent(d, { _ =>
+      val path = s"$scratchRoot/replaylog_" + UUID.randomUUID().toString.replace("-", "")
+      graft.sources.replay.ReplayLog.writeSegments(
+        Tables.events(s, d).filter(col("value") > 0).select(
+          col("event_id").as("offset"),
+          expr("unix_micros(ts) div 1000000").as("ts_unix"),
+          col("user_id").cast("string").as("wallet_id"),
+          col("value").as("amount")),
+        path, nSegments = 4)
+      path
+    })
+
   val all: Seq[Q] = Seq(
 
     // Table maintenance exercised INSIDE a registered query (round-7
@@ -350,6 +370,35 @@ object ExtrasQueries {
         .option("rowTag", "region").format("xml").load(path)
         .select(col("r_regionkey"), col("r_name"))
         .orderBy(col("r_regionkey"))
+    },
+
+    // The engine's own DataSource V2 connector (`graft-replay`,
+    // sources/replay/ReplaySource.scala) under the correctness contract:
+    // the accepted-deposit projection of events is written ONCE per (JVM,
+    // sf dir) as a 4-segment framed replay log — Kafka-envelope frames
+    // carrying the reference's proto3 Deposit bytes — and the query is a
+    // pure connector read: an offset-range predicate that the source
+    // PRUNES SEGMENTS with at plan time (from name-carried bounds, no
+    // I/O) and applies per-frame, then the per-wallet aggregate. The
+    // pruning threshold comes from the log's own metadata
+    // (ReplayLog.maxOffset reads segment names, no job); the oracle
+    // replays the identical formula as a scalar subquery over events.
+    // ReplaySourceSpec pins that the filter and the pruned read schema
+    // actually reach the custom scan.
+    Q("q_replay_source",
+      "SELECT CAST(user_id AS VARCHAR) AS wallet_id, COUNT(*) AS n_deposits, " +
+        "ROUND(SUM(value), 2) AS total_amount FROM events " +
+        "WHERE value > 0 AND event_id >= " +
+        "(SELECT MAX(event_id) // 2 FROM events WHERE value > 0) " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dir = replayLogFor(s, d)
+      val thr = graft.sources.replay.ReplayLog.maxOffset(dir) / 2
+      s.read.format("graft-replay").load(dir)
+        .where(col("offset") >= thr)
+        .groupBy(col("wallet_id"))
+        .agg(count(lit(1)).as("n_deposits"),
+          round(sum(col("amount")), 2).as("total_amount"))
+        .orderBy(col("wallet_id"))
     },
 
     // SQL-text layer: the same engine through spark.sql over registered

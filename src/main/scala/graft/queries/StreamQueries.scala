@@ -400,7 +400,7 @@ object StreamQueries {
     if (hit != null && hit.feedFp == fp) {
       if (forensics)
         System.err.println(s"""{"forensics":"$name","serve":"materialized"}""")
-      return reorder(s.read.parquet(hit.path))
+      return reorder(graft.operators.IndexCache.resolvedFrame(s, hit.path))
     }
     val t0 = System.nanoTime()
     val df = compute
@@ -410,7 +410,7 @@ object StreamQueries {
     if (forensics)
       System.err.println(
         f"""{"forensics":"$name","serve":"topology","standup_s":${(System.nanoTime() - t0) / 1e9}%.3f}""")
-    reorder(s.read.parquet(path))
+    reorder(graft.operators.IndexCache.resolvedFrame(s, path))
   }
 
   private def streamCheck(s: SparkSession, dir: String, windowSec: Long,

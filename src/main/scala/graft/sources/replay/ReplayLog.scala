@@ -1,0 +1,193 @@
+package graft.sources.replay
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The replay-log SEGMENT format — the engine's file-backed stand-in for
+  * a Kafka topic partition's on-disk log (the reference's deposit topic,
+  * /root/reference/depositaja.go:11), and the storage the `graft-replay`
+  * DataSource V2 connector ([[ReplaySource]]) reads.
+  *
+  * A log directory holds segment files named
+  *
+  *   `seg-<baseOffset>-<lastOffset>-<minTs>-<maxTs>.rlog`
+  *
+  * (offsets zero-padded to 20 digits so lexicographic = numeric order).
+  * The name carries the segment's offset and event-time bounds — the
+  * analog of Kafka's base-offset segment naming plus its time index, and
+  * the hook [[ReplaySource]] uses for SEGMENT PRUNING: a pushed
+  * offset/ts range predicate eliminates whole files at planning time
+  * without opening them, exactly like parquet row-group stats or an
+  * Iceberg manifest's partition ranges. At 100 TB the directory is a
+  * topic's archived log and pruning is the difference between "scan the
+  * retention window" and "scan three segments".
+  *
+  * Each segment is a stream of FRAMES, one per record, mirroring a Kafka
+  * message envelope (all integers big-endian):
+  * {{{
+  *   [4B frameLen][8B offset][8B tsUnixSeconds][2B keyLen][key][value]
+  * }}}
+  * `frameLen` counts the bytes after itself; `key` is the wallet id
+  * (UTF-8, the reference keys its topic by wallet); `value` is the
+  * proto3-marshaled `Deposit` message exactly as the reference's Go
+  * producer emits it (wallet.proto:14-17), encoded by
+  * [[graft.serde.ProtoWire]] — so a consumer of the reference's topics
+  * could replay its archive through this connector byte-for-byte.
+  */
+object ReplayLog {
+
+  val Extension = ".rlog"
+
+  /** Parsed segment-name metadata (the prune index). */
+  final case class SegmentMeta(path: String, baseOffset: Long,
+                               lastOffset: Long, minTs: Long, maxTs: Long)
+
+  private val SegName =
+    """seg-(\d{20})-(\d{20})-(-?\d+)-(-?\d+)\.rlog""".r
+
+  def segmentName(baseOffset: Long, lastOffset: Long,
+                  minTs: Long, maxTs: Long): String =
+    f"seg-$baseOffset%020d-$lastOffset%020d-$minTs%d-$maxTs%d$Extension"
+
+  /** List a log directory's segments with their name-carried bounds.
+    * Unparseable files are a broken log — fail loudly, not silently
+    * partial (a skipped segment would read as missing data). */
+  def segments(dir: String): Seq[SegmentMeta] = {
+    val kids = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+    kids.iterator.filter(f => f.isFile && f.getName.endsWith(Extension))
+      .map { f =>
+        f.getName match {
+          case SegName(base, last, minTs, maxTs) =>
+            SegmentMeta(f.getPath, base.toLong, last.toLong,
+              minTs.toLong, maxTs.toLong)
+          case other => throw new IllegalStateException(
+            s"replay log $dir: unparseable segment name $other")
+        }
+      }.toSeq.sortBy(_.baseOffset)
+  }
+
+  /** Highest offset recorded in the log — read from segment NAMES only
+    * (driver-side metadata, no job; the same listing a Kafka admin call
+    * answers from the log's index). */
+  def maxOffset(dir: String): Long = {
+    val segs = segments(dir)
+    require(segs.nonEmpty, s"replay log $dir has no segments")
+    segs.map(_.lastOffset).max
+  }
+
+  /** Write `df` — columns (offset LONG, ts_unix LONG, wallet_id STRING,
+    * amount DOUBLE) — as an `nSegments`-file replay log under `dir`.
+    * Range-partitioned by offset so segment offset ranges are disjoint
+    * (maximal pruning power), sorted within each segment (a log is
+    * offset-ordered by construction). Frames are written EXECUTOR-SIDE,
+    * one segment per partition: each task streams its rows through the
+    * proto encoder into a temp file, tracking the bounds, and renames to
+    * the final name on close — no driver materialization, so the write
+    * scales with the cluster exactly like any other sink. (Local
+    * java.io here; an object-store deployment swaps in the FileSystem
+    * API with the same stream-then-rename shape.) */
+  def writeSegments(df: DataFrame, dir: String, nSegments: Int): Unit = {
+    new File(dir).mkdirs()
+    df.select(col("offset").cast("long"), col("ts_unix").cast("long"),
+        col("wallet_id").cast("string"), col("amount").cast("double"))
+      .repartitionByRange(nSegments, col("offset"))
+      .sortWithinPartitions(col("offset"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val tmp = File.createTempFile("seg-tmp-", Extension, new File(dir))
+          val out = new DataOutputStream(
+            new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+          var base = Long.MaxValue; var last = Long.MinValue
+          var minTs = Long.MaxValue; var maxTs = Long.MinValue
+          try {
+            rows.foreach { r =>
+              val offset = r.getLong(0); val ts = r.getLong(1)
+              val key = r.getString(2).getBytes("UTF-8")
+              val value = graft.serde.ProtoWire.encodeDepositBytes(
+                key, r.getDouble(3))
+              out.writeInt(8 + 8 + 2 + key.length + value.length)
+              out.writeLong(offset); out.writeLong(ts)
+              out.writeShort(key.length)
+              out.write(key); out.write(value)
+              if (offset < base) base = offset
+              if (offset > last) last = offset
+              if (ts < minTs) minTs = ts
+              if (ts > maxTs) maxTs = ts
+            }
+          } finally out.close()
+          val dest = new File(dir, segmentName(base, last, minTs, maxTs))
+          if (!tmp.renameTo(dest) && !dest.isFile)
+            throw new IllegalStateException(s"cannot publish segment $dest")
+        }
+      }
+  }
+
+  /** One decoded frame. `wallet`/`amount` come from the proto value —
+    * decoding them is skipped by the reader when neither column is
+    * required (column pruning reaching past the envelope into the
+    * payload). */
+  final case class Frame(offset: Long, tsUnix: Long,
+                         wallet: Array[Byte], amount: Double)
+
+  /** Frame iterator owning its stream: `close()` is idempotent and safe
+    * mid-iteration (a LIMIT that stops a reader early must not leak the
+    * file handle). */
+  trait FrameIterator extends Iterator[Frame] with java.io.Closeable
+
+  /** Iterate a segment's frames. `decodeValue=false` skips the proto
+    * parse and key copy (envelope-only reads). */
+  def readSegment(path: String, decodeValue: Boolean): FrameIterator = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    new FrameIterator {
+      private var nextFrame: Frame = _
+      private var done = false
+      // DataInputStream.skipBytes may skip fewer bytes than asked at a
+      // buffer boundary — loop to the full count (EOF inside = torn).
+      private def skipFully(n: Int): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = in.skipBytes(left)
+          if (s <= 0) throw new EOFException()
+          left -= s
+        }
+      }
+      // EOF at a frame BOUNDARY is the clean end of the segment; EOF
+      // inside a frame is a torn tail from an interrupted write — the
+      // log-recovery rule (Kafka's) is to truncate to the last complete
+      // frame, so both stop the iterator.
+      private def advance(): Unit = {
+        try {
+          val len = in.readInt()
+          val offset = in.readLong(); val ts = in.readLong()
+          val keyLen = in.readUnsignedShort()
+          val valueLen = len - 8 - 8 - 2 - keyLen
+          if (valueLen < 0) throw new IllegalStateException(
+            s"replay segment $path: corrupt frame (len=$len keyLen=$keyLen)")
+          if (decodeValue) {
+            skipFully(keyLen) // wallet also rides in the proto value
+            val value = new Array[Byte](valueLen)
+            in.readFully(value)
+            val (wallet, amount) =
+              graft.serde.ProtoWire.decodeDepositBytes(value)
+            nextFrame = Frame(offset, ts, wallet, amount)
+          } else {
+            skipFully(keyLen + valueLen)
+            nextFrame = Frame(offset, ts, null, 0.0)
+          }
+        } catch {
+          case _: EOFException => done = true; close()
+        }
+      }
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): Frame = {
+        val f = nextFrame; advance(); f
+      }
+      override def close(): Unit =
+        try in.close() catch { case _: java.io.IOException => () }
+    }
+  }
+}

@@ -1,0 +1,239 @@
+package graft.sources.replay
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+/** `graft-replay` — the engine's DataSource V2 connector, reading the
+  * framed replay-log segments of [[ReplayLog]] (the file-backed analog of
+  * the reference's Kafka deposit topic; format doc there).
+  *
+  * The V2 surface it implements, and why each matters at 100 TB:
+  *
+  *  - '''Segment pruning from pushed filters''' ([[SupportsPushDownFilters]]):
+  *    offset/ts range predicates are evaluated against the bounds carried
+  *    in segment NAMES at planning time, so whole files drop out of
+  *    [[Batch.planInputPartitions]] before any I/O — the same move as
+  *    parquet row-group stats or an Iceberg manifest scan, and on an
+  *    archived topic it turns "read the retention window" into "read the
+  *    three segments the predicate touches". Surviving filters are ALSO
+  *    applied per-record in the reader (the pushdown contract: a filter
+  *    this source accepts is guaranteed applied).
+  *  - '''Column pruning''' ([[SupportsPushDownRequiredColumns]]): the
+  *    required schema reaches the frame reader, which skips the proto
+  *    decode of the value payload entirely when neither `wallet_id` nor
+  *    `amount` is needed — pruning that reaches past the envelope into
+  *    the serialized message, which a generic binary-file read cannot do.
+  *  - '''One InputPartition per segment''': scan parallelism tracks the
+  *    log's own layout (Kafka's unit of parallel consumption), and each
+  *    reader is a single sequential stream — no seeks.
+  *
+  * Registered under the short name `graft-replay` via
+  * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`:
+  * {{{ spark.read.format("graft-replay").load(dir) }}}
+  */
+class ReplaySource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-replay"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplaySource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-replay requires a path: spark.read.format(\"graft-replay\").load(dir)"))
+    new ReplayTable(path)
+  }
+}
+
+object ReplaySource {
+  /** The Kafka message envelope (offset, broker-time analog) plus the
+    * decoded proto `Deposit` payload. */
+  val Schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("ts_unix", LongType, nullable = false),
+    StructField("wallet_id", StringType, nullable = false),
+    StructField("amount", DoubleType, nullable = false)))
+}
+
+final class ReplayTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-replay:$path"
+  override def schema(): StructType = ReplaySource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ReplayScanBuilder(path)
+}
+
+final class ReplayScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ReplaySource.Schema
+
+  /** Accept exactly the filters the reader evaluates natively: offset /
+    * ts_unix comparisons (which also prune segments) and wallet_id
+    * equality/IN. Everything else stays Spark-side (returned unsupported). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(ReplayFilters.supported)
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ReplayScan(path, pushed, required)
+}
+
+/** Filter subset the source handles, compiled to per-frame predicates. */
+private[replay] object ReplayFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _: java.lang.Long) if a == "offset" || a == "ts_unix" => true
+    case EqualTo(a, _: java.lang.Integer) if a == "offset" || a == "ts_unix" => true
+    case GreaterThan(a, _) if isLongCol(a) => true
+    case GreaterThanOrEqual(a, _) if isLongCol(a) => true
+    case LessThan(a, _) if isLongCol(a) => true
+    case LessThanOrEqual(a, _) if isLongCol(a) => true
+    case EqualTo("wallet_id", _: String) => true
+    case In("wallet_id", vs) => vs.forall(_.isInstanceOf[String])
+    case _ => false
+  }
+  private def isLongCol(a: String) = a == "offset" || a == "ts_unix"
+
+  private def lv(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case other => throw new IllegalStateException(s"non-integral bound $other")
+  }
+
+  /** Segment-level test: can `seg` contain a frame passing `f`?
+    * Conservative (unknown shapes keep the segment). */
+  def segmentMayMatch(f: Filter, seg: ReplayLog.SegmentMeta): Boolean = f match {
+    case EqualTo("offset", v) => lv(v) >= seg.baseOffset && lv(v) <= seg.lastOffset
+    case GreaterThan("offset", v) => seg.lastOffset > lv(v)
+    case GreaterThanOrEqual("offset", v) => seg.lastOffset >= lv(v)
+    case LessThan("offset", v) => seg.baseOffset < lv(v)
+    case LessThanOrEqual("offset", v) => seg.baseOffset <= lv(v)
+    case EqualTo("ts_unix", v) => lv(v) >= seg.minTs && lv(v) <= seg.maxTs
+    case GreaterThan("ts_unix", v) => seg.maxTs > lv(v)
+    case GreaterThanOrEqual("ts_unix", v) => seg.maxTs >= lv(v)
+    case LessThan("ts_unix", v) => seg.minTs < lv(v)
+    case LessThanOrEqual("ts_unix", v) => seg.minTs <= lv(v)
+    case _ => true
+  }
+
+  /** Record-level test (guaranteed application of every pushed filter). */
+  def frameMatches(f: Filter, fr: ReplayLog.Frame,
+                   wallet: () => String): Boolean = f match {
+    case EqualTo("offset", v) => fr.offset == lv(v)
+    case GreaterThan("offset", v) => fr.offset > lv(v)
+    case GreaterThanOrEqual("offset", v) => fr.offset >= lv(v)
+    case LessThan("offset", v) => fr.offset < lv(v)
+    case LessThanOrEqual("offset", v) => fr.offset <= lv(v)
+    case EqualTo("ts_unix", v) => fr.tsUnix == lv(v)
+    case GreaterThan("ts_unix", v) => fr.tsUnix > lv(v)
+    case GreaterThanOrEqual("ts_unix", v) => fr.tsUnix >= lv(v)
+    case LessThan("ts_unix", v) => fr.tsUnix < lv(v)
+    case LessThanOrEqual("ts_unix", v) => fr.tsUnix <= lv(v)
+    case EqualTo("wallet_id", v: String) => wallet() == v
+    case In("wallet_id", vs) => vs.exists(_ == wallet())
+    case _ => true
+  }
+}
+
+final class ReplayScan(path: String, filters: Array[Filter],
+                       required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Segments surviving name-bound pruning (computed at plan time). */
+  lazy val plannedSegments: Seq[ReplayLog.SegmentMeta] =
+    ReplayLog.segments(path).filter(seg =>
+      filters.forall(f => ReplayFilters.segmentMayMatch(f, seg)))
+
+  /** Total segments on disk (spec hook: prunedSegments = total - planned). */
+  lazy val totalSegments: Int = ReplayLog.segments(path).size
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedSegments.map(s =>
+      ReplaySegmentPartition(s.path): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayReaderFactory(filters, required.fieldNames)
+
+  override def description(): String = {
+    val planned = plannedSegments.size
+    s"graft-replay $path, segments $planned/$totalSegments after pruning, " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+  }
+}
+
+final case class ReplaySegmentPartition(segPath: String) extends InputPartition
+
+final class ReplayReaderFactory(filters: Array[Filter],
+                                columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ReplayPartitionReader(
+      p.asInstanceOf[ReplaySegmentPartition].segPath, filters, columns)
+}
+
+/** Streams one segment, applying the pushed filters per frame and
+  * emitting only the required columns. The proto value is decoded only
+  * if some required column or filter needs it. */
+final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
+                                  columns: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val needsValue =
+    columns.exists(c => c == "wallet_id" || c == "amount") ||
+      filters.exists {
+        case EqualTo("wallet_id", _) | In("wallet_id", _) => true
+        case _ => false
+      }
+  private val frames = ReplayLog.readSegment(segPath, needsValue)
+  private var current: ReplayLog.Frame = _
+
+  override def next(): Boolean = {
+    while (frames.hasNext) {
+      val f = frames.next()
+      lazy val wallet = new String(f.wallet, "UTF-8")
+      if (filters.forall(fl => ReplayFilters.frameMatches(fl, f, () => wallet))) {
+        current = f
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(columns.length)
+    var i = 0
+    while (i < columns.length) {
+      columns(i) match {
+        case "offset"    => row.setLong(i, current.offset)
+        case "ts_unix"   => row.setLong(i, current.tsUnix)
+        case "wallet_id" => row.update(i, UTF8String.fromBytes(current.wallet))
+        case "amount"    => row.setDouble(i, current.amount)
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = frames.close()
+}

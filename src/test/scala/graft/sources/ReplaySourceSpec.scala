@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.sources.replay.{ReplayLog, ReplayScan}
+
+/** The `graft-replay` DataSource V2 connector: frame round trip,
+  * filter pushdown REACHING the custom scan (not just accepted by the
+  * builder), segment pruning from name-carried bounds, column pruning
+  * down to the envelope, and log-recovery behavior on a torn tail. */
+class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("replay_spec").toString
+
+  // 40 deposits, offsets 1..40, ts 1000..1390, wallets w0..w3.
+  private def sample = (1L to 40L).map { i =>
+    (i, 1000L + (i - 1) * 10, s"w${i % 4}", i * 1.5)
+  }.toDF("offset", "ts_unix", "wallet_id", "amount")
+
+  private def writeLog(dir: String, nSegments: Int = 4): Unit =
+    ReplayLog.writeSegments(sample, dir, nSegments)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): ReplayScan =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.get.asInstanceOf[ReplayScan]
+
+  test("full read round-trips every frame through the proto value") {
+    val dir = freshDir(); writeLog(dir)
+    val back = spark.read.format("graft-replay").load(dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("offset", "ts_unix", "wallet_id", "amount"))
+    val got = back.as[(Long, Long, String, Double)].collect().toSet
+    val want = sample.as[(Long, Long, String, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("offset range filter is pushed to the scan AND prunes segments") {
+    val dir = freshDir(); writeLog(dir)
+    val df = spark.read.format("graft-replay").load(dir)
+      .where(col("offset") >= 31L)
+    val scan = scanOf(df)
+    assert(scan.description().contains("GreaterThanOrEqual(offset,31)"),
+      s"filter not pushed: ${scan.description()}")
+    // 4 range-partitioned segments over offsets 1..40: >= 31 keeps 1.
+    assert(scan.totalSegments == 4)
+    assert(scan.plannedSegments.size < scan.totalSegments,
+      s"no segments pruned: ${scan.description()}")
+    // And the pushed filter is APPLIED (pushdown contract), rows exact.
+    assert(df.agg(count(lit(1)), min(col("offset"))).head() ==
+      org.apache.spark.sql.Row(10L, 31L))
+  }
+
+  test("ts_unix bounds prune by the name-carried time index") {
+    val dir = freshDir(); writeLog(dir)
+    val df = spark.read.format("graft-replay").load(dir)
+      .where(col("ts_unix") < 1100L) // first 10 frames
+    val scan = scanOf(df)
+    assert(scan.plannedSegments.size < scan.totalSegments)
+    assert(df.count() == 10L)
+  }
+
+  test("wallet_id equality is pushed and applied per frame") {
+    val dir = freshDir(); writeLog(dir)
+    val df = spark.read.format("graft-replay").load(dir)
+      .where(col("wallet_id") === "w1")
+    val scan = scanOf(df)
+    assert(scan.description().contains("EqualTo(wallet_id,w1)"))
+    assert(df.count() == 10L)
+  }
+
+  test("column pruning reaches the reader schema (envelope-only read)") {
+    val dir = freshDir(); writeLog(dir)
+    val df = spark.read.format("graft-replay").load(dir).select(col("offset"))
+    val scan = scanOf(df)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("offset"),
+      s"read schema not pruned: ${scan.readSchema()}")
+    assert(df.as[Long].collect().sorted.toSeq == (1L to 40L))
+  }
+
+  test("unsupported filters stay Spark-side and results are exact") {
+    val dir = freshDir(); writeLog(dir)
+    val df = spark.read.format("graft-replay").load(dir)
+      .where(col("amount") > 30.0) // amount predicates are not pushed
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedFilters: []"),
+      s"amount predicate must not be pushed: ${scan.description()}")
+    assert(df.count() == sample.where(col("amount") > 30.0).count())
+  }
+
+  test("a torn trailing frame truncates to the last complete record") {
+    val dir = freshDir(); writeLog(dir, nSegments = 1)
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ReplayLog.Extension)).head
+    val full = seg.length()
+    val ch = new java.io.RandomAccessFile(seg, "rw")
+    ch.setLength(full - 5) // cut into the final frame
+    ch.close()
+    val frames = ReplayLog.readSegment(seg.getPath, decodeValue = true).toVector
+    assert(frames.size == 39, s"expected 39 complete frames, got ${frames.size}")
+    assert(frames.map(_.offset) == (1L to 39L).toVector)
+  }
+
+  test("segment names are unparseable -> loud failure, not partial read") {
+    val dir = freshDir(); writeLog(dir, nSegments = 1)
+    val seg = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ReplayLog.Extension)).head
+    assert(seg.renameTo(new java.io.File(dir, "garbage.rlog")))
+    intercept[IllegalStateException] { ReplayLog.segments(dir) }
+  }
+}

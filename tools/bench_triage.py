@@ -47,6 +47,15 @@ SPIKE_BASE = 0.2
 # bases; require the draw to actually lose meaningful time.
 SPIKE_DELTA = 0.3
 MEDIAN_BAND = (0.8, 1.2)
+# Per-query budget gate (round-15 verdict item 3): EVERY query carries a
+# pinned clean median in tools/bench_budgets.json (pin_budgets.py
+# regenerates the table from a committed clean draw), and a draw fails
+# when any query exceeds 2x its pin by more than the absolute floor —
+# even if the total passes. 2x (vs the 1.5x baseline-ratio rule) because
+# pins age across rounds while the baseline is re-committed per round;
+# the budget is the backstop against creep hiding under total weather,
+# not the primary per-draw comparison.
+BUDGET_RATIO = 2.0
 
 
 def load(p):
@@ -139,21 +148,28 @@ def main():
 
     new_qs = [k for k in dq if k not in bq]
     gone_qs = [k for k in bq if k not in dq]
+    # Budget gate over EVERY query (not just new surface): 2x the pinned
+    # clean median + the absolute SPIKE_DELTA floor fails the draw even
+    # when the total and the median ratio pass. No SPIKE_BASE floor:
+    # budgets are hand-pinned/committed clean medians, not jittery draw
+    # values, so a small-budget query (e.g. a 0.15 s streaming probe)
+    # must still be able to fire; the absolute floor suppresses jitter.
     budget_spikes = []
     unbudgeted = []
-    for k in new_qs:
+    for k in sorted(dq):
+        if not isinstance(dq[k], (int, float)):
+            continue
         if k in budgets and budgets[k] > 0:
             r = dq[k] / budgets[k]
-            # No SPIKE_BASE floor here: budgets are hand-pinned clean
-            # medians, not jittery draw values, so a small-budget query
-            # (e.g. a 0.15 s streaming probe) must still be able to fire;
-            # the absolute SPIKE_DELTA floor alone suppresses jitter.
-            if r > SPIKE_RATIO and dq[k] - budgets[k] > SPIKE_DELTA:
+            if r > BUDGET_RATIO and dq[k] - budgets[k] > SPIKE_DELTA:
                 budget_spikes.append((k, r))
                 notes.append(
-                    f"budget spike {k}: budget {budgets[k]:.2f} -> {dq[k]:.2f} s ({r:.2f}x)")
-        else:
+                    f"budget breach {k}: pin {budgets[k]:.2f} -> {dq[k]:.2f} s ({r:.2f}x)")
+        elif k in new_qs:
             unbudgeted.append(k)
+    if dq and budgets:
+        covered = sum(1 for k in dq if k in budgets)
+        notes.append(f"budget coverage: {covered}/{len(dq)} queries pinned")
     spikes = spikes + budget_spikes
     if new_qs:
         notes.append(f"{len(new_qs)} queries not in baseline (new surface; "
