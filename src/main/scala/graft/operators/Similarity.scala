@@ -169,6 +169,59 @@ object Similarity {
     *
     * Output: (qid, it, nid, mmr) — `it` is the selection order, which IS
     * the diversified ranking. */
+  /** Cross-encoder-style reranker SKELETON over a fused candidate list —
+    * the reranker slot in the retrieval chain (retrieve wide with
+    * bi-encoder/lexical legs, re-score the top-k candidate PAIRS with a
+    * model that sees query and candidate together). The scorer here is a
+    * deterministic stand-in for the learned cross-encoder: per (query,
+    * candidate) pair it computes the features a pairwise model consumes
+    * — distinct-token overlap fraction (the "cross" feature: it needs
+    * BOTH texts, which is exactly what a bi-encoder cannot see) plus the
+    * two legs' reciprocal ranks — and scores them against a broadcast
+    * 1-row weight table (the model slot; a trained replacement swaps the
+    * weights, the plan is unchanged). Scores round to 6 dp BEFORE
+    * ranking so the (score desc, nid) order replays identically in any
+    * engine.
+    *
+    * Cost shape (the production property): |queries| × k pair scorings.
+    * The corpus is touched only to fetch the ≤ |queries|·(k+1) candidate
+    * texts by id (semi-join against a broadcast id set) — a reranker
+    * never rescans the lake, which is why the expensive model fits at
+    * serve time.
+    *
+    * `cands`: (qid, nid, sr, dr) — the fused top-k with per-leg ranks
+    * (nulls where a leg missed), e.g. the persisted hybrid-RRF artifact.
+    * Returns (qid, nid, ce_score, ce_rank). */
+  def crossEncoderRerank(docs: DataFrame, cands: DataFrame,
+                         wOv: Double = 1.0, wS: Double = 30.0,
+                         wD: Double = 30.0): DataFrame = {
+    import graft.functions.TextFunctions
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = Seq((wOv, wS, wD)).toDF("w_ov", "w_s", "w_d")
+    val ids = cands.select(col("qid").as("doc_id"))
+      .union(cands.select(col("nid").as("doc_id"))).distinct()
+    val toks = docs.join(broadcast(ids), "doc_id")
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("t"))
+    val feat = cands
+      .join(toks.select(col("doc_id").as("qid"), col("t").as("qt")), "qid")
+      .join(toks.select(col("doc_id").as("nid"), col("t").as("nt")), "nid")
+      .select(col("qid"), col("nid"),
+        when(size(col("qt")) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("qt"), col("nt"))).cast("double")
+            / size(col("qt"))).as("ov"),
+        coalesce(lit(1.0) / (lit(60) + col("sr")), lit(0.0)).as("rrs"),
+        coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)).as("rrd"))
+    val scored = feat.crossJoin(broadcast(weights))
+      .select(col("qid"), col("nid"),
+        round(col("w_ov") * col("ov") + col("w_s") * col("rrs")
+          + col("w_d") * col("rrd"), 6).as("ce_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ce_score").desc, col("nid"))
+    scored.withColumn("ce_rank", row_number().over(w).cast("long"))
+  }
+
   def mmrRerank(emb: DataFrame, queries: DataFrame, shortlist: Int, k: Int,
                 lamTenths: Int, muTenths: Int): DataFrame = {
     val sl = bruteForceTopK(emb, queries, shortlist)

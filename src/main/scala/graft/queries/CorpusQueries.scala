@@ -373,6 +373,64 @@ object CorpusQueries {
         .orderBy(col("qid"))
     },
 
+    // CROSS-ENCODER RERANK over the hybrid top-20 — the reranker slot
+    // between the RRF fusion and the RAG packing tail
+    // (Similarity.crossEncoderRerank): per fused (query, candidate) pair,
+    // a deterministic pairwise scorer (distinct-token overlap fraction +
+    // the two legs' reciprocal ranks against a broadcast 1-row weight
+    // table — the slot a learned cross-encoder fills) re-orders the
+    // candidates. Pinned like sim_fusion_lift as RECALL-LIFT data: where
+    // the exact semantic top-1 lands in the fused ranking vs after the
+    // rerank (0 = fell outside the rerank window). Inputs are all
+    // artifact-served (hybrid_rrf + exact_gt) plus a candidate-id-bounded
+    // text fetch — the |queries|×k pair-scoring cost shape a production
+    // reranker has.
+    Q("sim_ce_rerank",
+      s"WITH $hybridRrfCtes, " +
+        "rel AS (SELECT qid, nid FROM dr_ WHERE rank = 1), " +
+        "c AS (SELECT rr.qid, rr.nid, s.sr, d.dr FROM rr " +
+        "LEFT JOIN sp s ON s.qid = rr.qid AND s.nid = rr.nid " +
+        "LEFT JOIN dn d ON d.qid = rr.qid AND d.nid = rr.nid " +
+        "WHERE rr.rank <= 20), " +
+        "qt AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents), " +
+        "feat AS (SELECT c.qid, c.nid, " +
+        "CASE WHEN len(q.t) = 0 THEN 0.0 ELSE " +
+        "len(list_intersect(q.t, n.t))::DOUBLE / len(q.t) END AS ov, " +
+        "COALESCE(CAST(1 AS DOUBLE) / (60 + c.sr), 0) AS rrs, " +
+        "COALESCE(CAST(1 AS DOUBLE) / (60 + c.dr), 0) AS rrd " +
+        "FROM c JOIN qt q ON q.doc_id = c.qid JOIN qt n ON n.doc_id = c.nid), " +
+        "scs AS (SELECT qid, nid, ROUND(1.0 * ov + 30.0 * rrs + 30.0 * rrd, 6) " +
+        "AS ce_score FROM feat), " +
+        "cr AS (SELECT qid, nid, ROW_NUMBER() OVER " +
+        "(PARTITION BY qid ORDER BY ce_score DESC, nid) AS ce_rank FROM scs) " +
+        "SELECT rel.qid, f.rank AS fused_rank, ROUND(1.0 / f.rank, 4) AS rr_fused, " +
+        "COALESCE(cr.ce_rank, 0) AS ce_rank, " +
+        "CASE WHEN cr.ce_rank IS NOT NULL THEN ROUND(1.0 / cr.ce_rank, 4) " +
+        "ELSE 0.0 END AS rr_ce " +
+        "FROM rel JOIN rr f ON f.qid = rel.qid AND f.nid = rel.nid " +
+        "LEFT JOIN cr ON cr.qid = rel.qid AND cr.nid = rel.nid " +
+        "ORDER BY rel.qid") { (s, d) =>
+      val art = hybridFusedArtifact(s, d)
+      val cands = art.where(col("rank") <= 20)
+        .select(col("qid"), col("nid"), col("sr"), col("dr"))
+      val reranked = Similarity.crossEncoderRerank(
+        Tables.documents(s, d), cands)
+      val rel = SimilarityQueries.exactCosGt(s, d, k = 1)
+        .select(col("qid"), col("nid"))
+      rel
+        .join(art.select(col("qid"), col("nid"),
+          col("rank").as("fused_rank")), Seq("qid", "nid"))
+        .join(reranked.select(col("qid"), col("nid"),
+          col("ce_rank")), Seq("qid", "nid"), "left")
+        .select(col("qid"), col("fused_rank"),
+          round(lit(1.0) / col("fused_rank"), 4).as("rr_fused"),
+          coalesce(col("ce_rank"), lit(0L)).as("ce_rank"),
+          when(col("ce_rank").isNotNull, round(lit(1.0) / col("ce_rank"), 4))
+            .otherwise(lit(0.0)).as("rr_ce"))
+        .orderBy(col("qid"))
+    },
+
     // DSIR importance weights for target-matched data selection
     // (Corpus.dsirLogWeights): target = doc_id % 7 = 0 (the in-domain
     // exemplar set), raw pool = everything else, 128 hashed-unigram
