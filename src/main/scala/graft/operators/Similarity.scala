@@ -199,14 +199,21 @@ object Similarity {
     val spark = docs.sparkSession
     import spark.implicits._
     val weights = Seq((wOv, wS, wD)).toDF("w_ov", "w_s", "w_d")
-    val ids = cands.select(col("qid").as("doc_id"))
-      .union(cands.select(col("nid").as("doc_id"))).distinct()
-    val toks = docs.join(broadcast(ids), "doc_id")
+    // Candidate-id narrowing WITHOUT a distinct: a broadcast LEFT SEMI
+    // join tolerates duplicate ids on the build side, so the corpus is
+    // filtered to the ≤ |q|·(k+1) touched documents in one map-side pass
+    // and only then tokenized. The resulting token table is itself
+    // k-bounded, so ONE broadcast of it serves both the query and the
+    // candidate side of the pair join — the whole feature build runs
+    // shuffle-free.
+    val ids = cands.select(explode(array(col("qid"), col("nid"))).as("doc_id"))
+    val toks = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(TextFunctions.tokens(col("text"))).as("t"))
+    val toksB = broadcast(toks)
     val feat = cands
-      .join(toks.select(col("doc_id").as("qid"), col("t").as("qt")), "qid")
-      .join(toks.select(col("doc_id").as("nid"), col("t").as("nt")), "nid")
+      .join(toksB.select(col("doc_id").as("qid"), col("t").as("qt")), "qid")
+      .join(toksB.select(col("doc_id").as("nid"), col("t").as("nt")), "nid")
       .select(col("qid"), col("nid"),
         when(size(col("qt")) === 0, lit(0.0))
           .otherwise(size(array_intersect(col("qt"), col("nt"))).cast("double")
