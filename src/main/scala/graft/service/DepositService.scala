@@ -185,8 +185,22 @@ final class DepositService(spark: SparkSession, port: Int = 0,
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/deposit", (ex: HttpExchange) => handleDeposit(ex))
   server.createContext("/check/", (ex: HttpExchange) => handleCheck(ex))
-  server.setExecutor(null)
+  // Reads must not queue behind the write path: GET /check is two
+  // lock-free ConcurrentHashMap reads, so a small pool serves them in
+  // parallel while POSTs serialize on [[writeLock]] below (one writer at
+  // a time = the reference topic's per-partition ordering; parallel
+  // lock-free reads = its local view). Measured under concurrent load
+  // (DepositServiceLoadSpec): with the single-dispatcher default, GET
+  // p99 sat BEHIND in-flight micro-batch commits at ~10 s; with the
+  // pool it is decoupled from write latency entirely.
+  private val httpPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(httpPool)
   server.start()
+
+  /** Serializes the deposit write path end-to-end (idempotency check →
+    * fsynced append → ingest → commit → ACK). The check-then-add on
+    * [[seenIdem]] is only race-free under this lock. */
+  private val writeLock = new Object
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -214,25 +228,31 @@ final class DepositService(spark: SparkSession, port: Int = 0,
       // durable and will reach the views (this boot or the next replay) —
       // ACK without a second log record or ingest, so a client that
       // retries on 500/timeout cannot double-count. Keyless POSTs are
-      // documented at-least-once.
+      // documented at-least-once. The whole check→append→ingest→commit
+      // sequence runs under [[writeLock]] (one writer at a time; reads
+      // never take it), which also makes the check-then-add race-free
+      // under the parallel HTTP pool.
       val idem = Option(node.get("idem")).map(_.asText()).filter(_.nonEmpty)
-      if (idem.exists(seenIdem.contains)) {
-        respond(ex, 200, s"""{"wallet_id":"$wallet","status":"duplicate"}""")
-        return
+      val body = writeLock.synchronized {
+        if (idem.exists(seenIdem.contains))
+          s"""{"wallet_id":"$wallet","status":"duplicate"}"""
+        else {
+          val event = TimedDeposit(wallet, amount, ts, seq.incrementAndGet())
+          appendToLog(event, idem) // log-then-absorb: a crash after this replays it
+          // Mark the key seen only now: "seen" must mean "durably
+          // logged", or a retry after a FAILED append would be refused
+          // as duplicate and the deposit lost.
+          idem.foreach(seenIdem.add)
+          input.addData(event)
+          // EmitSync analog: ack only once the engine has absorbed the
+          // event — and, since the views update inside foreachBatch, once
+          // the serving maps reflect it (read-your-writes for the ACK).
+          collectorQuery.processAllAvailable()
+          detectorQuery.processAllAvailable()
+          s"""{"wallet_id":"$wallet","status":"ok"}"""
+        }
       }
-      val event = TimedDeposit(wallet, amount, ts, seq.incrementAndGet())
-      appendToLog(event, idem) // log-then-absorb: a crash after this replays it
-      // Mark the key seen only now: "seen" must mean "durably logged",
-      // or a retry after a FAILED append would be refused as duplicate
-      // and the deposit lost. (Single dispatcher thread — no TOCTOU.)
-      idem.foreach(seenIdem.add)
-      input.addData(event)
-      // EmitSync analog: ack only once the engine has absorbed the event —
-      // and, since the views update inside foreachBatch, once the serving
-      // maps reflect it (read-your-writes for the ACKed deposit).
-      collectorQuery.processAllAvailable()
-      detectorQuery.processAllAvailable()
-      respond(ex, 200, s"""{"wallet_id":"$wallet","status":"ok"}""")
+      respond(ex, 200, body)
     } catch {
       case _: Throwable => respond(ex, 500, """{"error":"internal"}""")
     }
@@ -252,6 +272,7 @@ final class DepositService(spark: SparkSession, port: Int = 0,
 
   def stop(): Unit = {
     server.stop(0)
+    httpPool.shutdownNow()
     collectorQuery.stop()
     detectorQuery.stop()
     logWriter.foreach(_.close())
