@@ -442,7 +442,15 @@ object ScaleSmoke {
       // Late round 13: the banding survey is one self-equi-join over the
       // persisted signature artifact — expected ~linear in the artifact
       // scan with the |configs| constant.
-      "dedup_band_sweep")
+      "dedup_band_sweep",
+      // Round 15: the cross-encoder rerank scores |queries|×k candidate
+      // pairs from the persisted fusion artifact, with the corpus touched
+      // only by the broadcast-semi-join text fetch — expected ~flat
+      // beyond that narrowing scan. The DSv2 replay-source read frames
+      // mult× deposits once (first run; min-of-runs then measures the
+      // serve path) and scans the offset-pruned segment tail — segment
+      // pruning keeps the read at the predicate's share of the log.
+      "sim_ce_rerank", "q_replay_source")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

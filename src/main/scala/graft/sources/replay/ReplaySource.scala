@@ -1,11 +1,13 @@
 package graft.sources.replay
 
 import java.util
+import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +54,8 @@ class ReplaySource extends TableProvider
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-replay requires a path: spark.read.format(\"graft-replay\").load(dir)"))
-    new ReplayTable(path)
+    val maxSegs = Option(properties.get("maxSegmentsPerTrigger")).map(_.toInt)
+    new ReplayTable(path, maxSegs)
   }
 }
 
@@ -66,16 +69,18 @@ object ReplaySource {
     StructField("amount", DoubleType, nullable = false)))
 }
 
-final class ReplayTable(path: String) extends Table with SupportsRead {
+final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
+    extends Table with SupportsRead {
   override def name(): String = s"graft-replay:$path"
   override def schema(): StructType = ReplaySource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ReplayScanBuilder(path)
+    new ReplayScanBuilder(path, maxSegmentsPerTrigger)
 }
 
-final class ReplayScanBuilder(path: String) extends ScanBuilder
+final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -94,7 +99,7 @@ final class ReplayScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ReplayScan(path, pushed, required)
+  override def build(): Scan = new ReplayScan(path, pushed, required, maxSegs)
 }
 
 /** Filter subset the source handles, compiled to per-frame predicates. */
@@ -154,7 +159,8 @@ private[replay] object ReplayFilters {
 }
 
 final class ReplayScan(path: String, filters: Array[Filter],
-                       required: StructType) extends Scan with Batch {
+                       required: StructType, maxSegs: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -173,12 +179,91 @@ final class ReplayScan(path: String, filters: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new ReplayReaderFactory(filters, required.fieldNames)
 
+  /** Post-pruning size (file bytes of the surviving segments) — so the
+    * optimizer's join-side sizing sees the PRUNED read, not the whole
+    * log: a predicate that cuts an archive to three segments makes the
+    * scan broadcast-eligible, exactly like file-source pruning does. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes =
+      plannedSegments.map(s => new java.io.File(s.path).length()).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  /** Streaming read: the log consumed by OFFSET RANGE per micro-batch —
+    * Kafka's consumption model over the same segments the batch scan
+    * reads. `maxSegmentsPerTrigger` bounds each batch's admission at
+    * whole-segment granularity (the Kafka-source maxOffsetsPerTrigger
+    * analog); offsets checkpoint as the last consumed frame offset, so
+    * restart resumes exactly after the last committed batch. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ReplayMicroBatchStream(path, filters, required.fieldNames, maxSegs)
+
   override def description(): String = {
     val planned = plannedSegments.size
     s"graft-replay $path, segments $planned/$totalSegments after pruning, " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
   }
+}
+
+/** Stream offset = the last frame offset admitted (checkpoint-friendly:
+  * a single long round-trips through JSON). */
+final case class ReplayOffset(last: Long) extends Offset {
+  override def json(): String = last.toString
+}
+
+final class ReplayMicroBatchStream(path: String, filters: Array[Filter],
+                                   columns: Array[String],
+                                   maxSegs: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def segs: Seq[ReplayLog.SegmentMeta] = ReplayLog.segments(path)
+
+  override def initialOffset(): Offset = ReplayOffset(Long.MinValue)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** All available by default; with `maxSegmentsPerTrigger` the end
+    * offset advances at most that many whole segments past `start`. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ReplayOffset].last
+    val remaining = segs.filter(_.lastOffset > from).sortBy(_.baseOffset)
+    if (remaining.isEmpty) ReplayOffset(from)
+    else maxSegs match {
+      case Some(n) => ReplayOffset(remaining.take(n).map(_.lastOffset).max)
+      case None    => ReplayOffset(remaining.map(_.lastOffset).max)
+    }
+  }
+
+  // Legacy entry (not used once SupportsAdmissionControl is present, but
+  // required by the interface): everything available.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ReplayOffset].last
+    val to = end.asInstanceOf[ReplayOffset].last
+    segs.filter(s => s.lastOffset > from && s.baseOffset <= to)
+      .map(s => ReplaySegmentPartition(s.path): InputPartition).toArray
+  }
+
+  /** Readers re-apply the batch's (start, end] range per frame (a
+    * segment can straddle the range ends), on top of any pushed
+    * filters. */
+  override def createReaderFactory(start: Offset, end: Offset): PartitionReaderFactory = {
+    val from = start.asInstanceOf[ReplayOffset].last
+    val to = end.asInstanceOf[ReplayOffset].last
+    val range: Array[Filter] =
+      Array(GreaterThan("offset", from), LessThanOrEqual("offset", to))
+    new ReplayReaderFactory(filters ++ range, columns)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ReplayOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class ReplaySegmentPartition(segPath: String) extends InputPartition
