@@ -242,23 +242,19 @@ final class ReplayMicroBatchStream(path: String, filters: Array[Filter],
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-control entry")
 
+  /** Each partition carries the batch's (start, end] offset range — the
+    * reader re-applies it per frame (a segment can straddle the range
+    * ends), on top of any pushed filters. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[ReplayOffset].last
     val to = end.asInstanceOf[ReplayOffset].last
     segs.filter(s => s.lastOffset > from && s.baseOffset <= to)
-      .map(s => ReplaySegmentPartition(s.path): InputPartition).toArray
+      .map(s => ReplaySegmentPartition(s.path, from, to): InputPartition)
+      .toArray
   }
 
-  /** Readers re-apply the batch's (start, end] range per frame (a
-    * segment can straddle the range ends), on top of any pushed
-    * filters. */
-  override def createReaderFactory(start: Offset, end: Offset): PartitionReaderFactory = {
-    val from = start.asInstanceOf[ReplayOffset].last
-    val to = end.asInstanceOf[ReplayOffset].last
-    val range: Array[Filter] =
-      Array(GreaterThan("offset", from), LessThanOrEqual("offset", to))
-    new ReplayReaderFactory(filters ++ range, columns)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayReaderFactory(filters, columns)
 
   override def deserializeOffset(json: String): Offset =
     ReplayOffset(json.toLong)
@@ -266,14 +262,26 @@ final class ReplayMicroBatchStream(path: String, filters: Array[Filter],
   override def stop(): Unit = ()
 }
 
-final case class ReplaySegmentPartition(segPath: String) extends InputPartition
+/** `(from, to]` is the micro-batch admission range (full range for a
+  * batch scan — the reader skips the bound checks when they are the
+  * sentinels). */
+final case class ReplaySegmentPartition(segPath: String,
+                                        from: Long = Long.MinValue,
+                                        to: Long = Long.MaxValue)
+    extends InputPartition
 
 final class ReplayReaderFactory(filters: Array[Filter],
                                 columns: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ReplayPartitionReader(
-      p.asInstanceOf[ReplaySegmentPartition].segPath, filters, columns)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ReplaySegmentPartition]
+    val range: Array[Filter] =
+      (if (part.from != Long.MinValue)
+        Array[Filter](GreaterThan("offset", part.from)) else Array.empty[Filter]) ++
+      (if (part.to != Long.MaxValue)
+        Array[Filter](LessThanOrEqual("offset", part.to)) else Array.empty[Filter])
+    new ReplayPartitionReader(part.segPath, filters ++ range, columns)
+  }
 }
 
 /** Streams one segment, applying the pushed filters per frame and

@@ -105,6 +105,50 @@ class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
     assert(frames.map(_.offset) == (1L to 39L).toVector)
   }
 
+  test("streaming read: one segment per trigger, content equals the batch read") {
+    val dir = freshDir(); writeLog(dir, nSegments = 4)
+    val cp = java.nio.file.Files.createTempDirectory("replay_cp").toString
+    val q = spark.readStream.format("graft-replay")
+      .option("maxSegmentsPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("replay_stream")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4,
+        s"expected 4 one-segment micro-batches, got $dataBatches")
+      val got = spark.table("replay_stream")
+        .as[(Long, Long, String, Double)].collect().toSet
+      assert(got == sample.as[(Long, Long, String, Double)].collect().toSet)
+    } finally {
+      q.stop(); spark.catalog.dropTempView("replay_stream")
+    }
+  }
+
+  test("streaming restart resumes after the committed offset (no reprocessing)") {
+    val dir = freshDir(); writeLog(dir, nSegments = 4)
+    val cp = java.nio.file.Files.createTempDirectory("replay_cp2").toString
+    val out = java.nio.file.Files.createTempDirectory("replay_out").toString
+    // File sink (memory sink cannot recover from a checkpoint): rows land
+    // exactly once across the two incarnations of the query.
+    def start() = spark.readStream.format("graft-replay")
+      .option("maxSegmentsPerTrigger", "1").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 40L)
+    // Fresh query over the same checkpoint: the log is fully committed,
+    // so the restarted stream admits NOTHING new and the sink count is
+    // unchanged — resume-after-commit, not reprocess.
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 40L,
+        "restart reprocessed committed offsets")
+    } finally q2.stop()
+  }
+
   test("segment names are unparseable -> loud failure, not partial read") {
     val dir = freshDir(); writeLog(dir, nSegments = 1)
     val seg = new java.io.File(dir).listFiles()
