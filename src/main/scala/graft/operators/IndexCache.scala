@@ -207,22 +207,44 @@ object IndexCache {
           size() > max
       })
 
+  /** Memo computes (a parquet resolution, a collect job) must NOT run
+    * under the shared map mutex — a slow compute on one key would block
+    * every other thread's memo access process-wide. Pattern: lock-free
+    * get; on miss, compute under a PER-KEY lock (double-checked), then a
+    * brief put. Same discipline as [[buildLocks]]. */
+  private val memoLocks = new ConcurrentHashMap[Any, Object]()
+  private def memoized[K, V <: AnyRef](map: java.util.Map[K, V], key: K)
+                                      (compute: => V): V = {
+    val hit = map.get(key)
+    if (hit != null) return hit
+    memoLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val again = map.get(key)
+      if (again != null) again
+      else { val v = compute; map.put(key, v); v }
+    }
+  }
+
   /** Resolved-scan memo: `spark.read.parquet(path)` reused per (session,
     * path, listing signature). The returned DataFrame is an immutable
     * logical plan over a pinned file index, safe to share across queries
-    * of the same session. */
+    * of the same session. A hit whose session has since been STOPPED is
+    * evicted and re-resolved against the caller's live session (the LRU
+    * bound also keeps dead-session retention finite). */
   private val frameMemo = boundedLru[(SparkSession, String, String), DataFrame](512)
-  def resolvedFrame(spark: SparkSession, path: String): DataFrame =
-    frameMemo.computeIfAbsent((spark, path, dirSig(path)),
-      _ => spark.read.parquet(path))
+  def resolvedFrame(spark: SparkSession, path: String): DataFrame = {
+    val key = (spark, path, dirSig(path))
+    val hit = frameMemo.get(key)
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) return hit
+    if (hit != null) frameMemo.remove(key)
+    memoized(frameMemo, key)(spark.read.parquet(path))
+  }
 
   /** Memo of a small driver-side value derived from an artifact directory
     * (a recorded fingerprint, a k-row centroid table): recomputes only
     * when the directory's files change. */
   private val valueMemo = boundedLru[(String, String, String), AnyRef](512)
   def memoByListing[T <: AnyRef](tag: String, path: String)(compute: => T): T =
-    valueMemo.computeIfAbsent((tag, path, dirSig(path)),
-      _ => compute).asInstanceOf[T]
+    memoized(valueMemo, (tag, path, dirSig(path)))(compute).asInstanceOf[T]
 
   /** Kill-switch: `SPARK_GRAFT_INDEX_DISABLE=1` bypasses the artifact
     * layer entirely — build plans run inline, nothing is persisted or

@@ -145,30 +145,6 @@ object Similarity {
         col("top_nid"), col("top_cosine"))
   }
 
-  /** Maximal-marginal-relevance diversified rerank (Carbonell &
-    * Goldstein 1998): from each query's `shortlist`-deep relevance list,
-    * greedily select `k` results maximizing
-    * `lambda·rel(q,d) − mu·max_{s∈selected} sim(d,s)` — the standard
-    * serving-side diversification pass after any ANN retrieval stage.
-    * `lamTenths`/`muTenths` are the weights in tenths (7/3 = the classic
-    * λ 0.7). The score is computed in EXACT INTEGER space — rel and sim
-    * sit on the 1e-6 grid, so `(lamTenths·R − muTenths·S) / 1e7` with
-    * R = round(rel·1e6) needs no engine-side rounding at all. (A double
-    * `round(0.7·rel, 6)` systematically lands on 7-dp half boundaries —
-    * 0.7 × a grid value — where Spark's shortest-decimal BigDecimal round
-    * and DuckDB's binary round disagree; observed on the first draw.)
-    *
-    * Scale shape: everything downstream of the retrieval stage is
-    * k-bounded per query — the shortlist is Nq·shortlist rows and the
-    * intra-shortlist pairwise-sim table Nq·shortlist² rows. The greedy
-    * selection itself runs as ONE per-query in-row fold (a codegen'd
-    * higher-order `aggregate` over the grouped shortlist + sim arrays,
-    * ≤ k·shortlist·shortlist² integer ops per query) — no k
-    * driver-synchronized rounds, one qid-keyed shuffle total. The corpus
-    * is touched only by the retrieval stage.
-    *
-    * Output: (qid, it, nid, mmr) — `it` is the selection order, which IS
-    * the diversified ranking. */
   /** Cross-encoder-style reranker SKELETON over a fused candidate list —
     * the reranker slot in the retrieval chain (retrieve wide with
     * bi-encoder/lexical legs, re-score the top-k candidate PAIRS with a
@@ -229,6 +205,30 @@ object Similarity {
     scored.withColumn("ce_rank", row_number().over(w).cast("long"))
   }
 
+  /** Maximal-marginal-relevance diversified rerank (Carbonell &
+    * Goldstein 1998): from each query's `shortlist`-deep relevance list,
+    * greedily select `k` results maximizing
+    * `lambda·rel(q,d) − mu·max_{s∈selected} sim(d,s)` — the standard
+    * serving-side diversification pass after any ANN retrieval stage.
+    * `lamTenths`/`muTenths` are the weights in tenths (7/3 = the classic
+    * λ 0.7). The score is computed in EXACT INTEGER space — rel and sim
+    * sit on the 1e-6 grid, so `(lamTenths·R − muTenths·S) / 1e7` with
+    * R = round(rel·1e6) needs no engine-side rounding at all. (A double
+    * `round(0.7·rel, 6)` systematically lands on 7-dp half boundaries —
+    * 0.7 × a grid value — where Spark's shortest-decimal BigDecimal round
+    * and DuckDB's binary round disagree; observed on the first draw.)
+    *
+    * Scale shape: everything downstream of the retrieval stage is
+    * k-bounded per query — the shortlist is Nq·shortlist rows and the
+    * intra-shortlist pairwise-sim table Nq·shortlist² rows. The greedy
+    * selection itself runs as ONE per-query in-row fold (a codegen'd
+    * higher-order `aggregate` over the grouped shortlist + sim arrays,
+    * ≤ k·shortlist·shortlist² integer ops per query) — no k
+    * driver-synchronized rounds, one qid-keyed shuffle total. The corpus
+    * is touched only by the retrieval stage.
+    *
+    * Output: (qid, it, nid, mmr) — `it` is the selection order, which IS
+    * the diversified ranking. */
   def mmrRerank(emb: DataFrame, queries: DataFrame, shortlist: Int, k: Int,
                 lamTenths: Int, muTenths: Int): DataFrame = {
     val sl = bruteForceTopK(emb, queries, shortlist)

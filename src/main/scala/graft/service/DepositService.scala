@@ -116,9 +116,20 @@ final class DepositService(spark: SparkSession, port: Int = 0,
   // means ACKed history is gone, and serving a silently-shortened ledger
   // would be worse than refusing to start. Replay also dedupes by
   // idempotency key (first occurrence wins — the occurrence the client
-  // was ACKed for, or will be on retry).
-  logFile.filter(_.isFile).foreach { f =>
-    val src = scala.io.Source.fromFile(f, "UTF-8")
+  // was ACKed for, or will be on retry). The whole block stops the
+  // already-started queries before rethrowing a refusal — a constructor
+  // failure must not leak two running streams into the host JVM.
+  try logFile.filter(_.isFile).foreach { f =>
+    // REPLACE (not the default REPORT) on malformed bytes: a tear inside
+    // a multi-byte UTF-8 character must reach the per-LINE torn-tail
+    // handler as a garbled final line, not crash the read itself. Whole
+    // mid-file lines are complete (one flush per append), so REPLACE can
+    // only fire on the torn tail — or on real corruption, which then
+    // fails the JSON parse loudly below.
+    val codec = scala.io.Codec.UTF8
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val src = scala.io.Source.fromFile(f)(codec)
     val lines = try src.getLines().toVector finally src.close()
     val nonEmpty = lines.zipWithIndex.filter(_._1.nonEmpty)
     val parsed = nonEmpty.map { case (line, i) =>
@@ -126,7 +137,8 @@ final class DepositService(spark: SparkSession, port: Int = 0,
         val n = mapper.readTree(line)
         Some((TimedDeposit(n.get("wallet_id").asText(), n.get("amount").asDouble(),
           n.get("ts_unix").asLong(), n.get("seq").asLong()),
-          Option(n.get("idem")).map(_.asText()).filter(_.nonEmpty)))
+          Option(n.get("idem")).filterNot(_.isNull).map(_.asText())
+            .filter(_.nonEmpty)))
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (i == lines.length - 1) {
@@ -155,6 +167,11 @@ final class DepositService(spark: SparkSession, port: Int = 0,
       detectorQuery.processAllAvailable()
       seq.set(replayed.map(_.seq).max) // LWW ordering survives the restart
     }
+  } catch {
+    case t: Throwable =>
+      try collectorQuery.stop() catch { case scala.util.control.NonFatal(_) => () }
+      try detectorQuery.stop() catch { case scala.util.control.NonFatal(_) => () }
+      throw t
   }
 
   // Keep the raw FileOutputStream: the durability point below needs its
@@ -181,26 +198,40 @@ final class DepositService(spark: SparkSession, port: Int = 0,
       }
     }
 
+  /** Serializes the deposit write path end-to-end (idempotency check →
+    * fsynced append → ingest → commit → ACK). The check-then-add on
+    * [[seenIdem]] is only race-free under this lock. Declared (like
+    * every field the handlers touch) BEFORE `server.start()` below — a
+    * request racing the constructor tail must never observe a null
+    * field through the already-open port. */
+  private val writeLock = new Object
+
+  /** Write-admission bound: at most this many pool threads may be inside
+    * (or queued on) the write path at once; excess POSTs are REJECTED
+    * with 503 instead of consuming a thread. Without it, 8 concurrent
+    * writers would occupy the whole pool holding/waiting on [[writeLock]]
+    * through multi-hundred-ms commits and GETs would queue behind write
+    * latency again — the regression the pool exists to prevent. 503 +
+    * retry is safe for keyed clients (idempotency) and honest
+    * backpressure for keyless ones (the deposit was NOT accepted). */
+  private val writePermits = new java.util.concurrent.Semaphore(4)
+
   DepositService.ensureNoDelay()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/deposit", (ex: HttpExchange) => handleDeposit(ex))
   server.createContext("/check/", (ex: HttpExchange) => handleCheck(ex))
   // Reads must not queue behind the write path: GET /check is two
   // lock-free ConcurrentHashMap reads, so a small pool serves them in
-  // parallel while POSTs serialize on [[writeLock]] below (one writer at
+  // parallel while POSTs serialize on [[writeLock]] (one writer at
   // a time = the reference topic's per-partition ordering; parallel
-  // lock-free reads = its local view). Measured under concurrent load
-  // (DepositServiceLoadSpec): with the single-dispatcher default, GET
-  // p99 sat BEHIND in-flight micro-batch commits at ~10 s; with the
-  // pool it is decoupled from write latency entirely.
+  // lock-free reads = its local view), with [[writePermits]] keeping
+  // half the pool free for reads under any write load. Measured under
+  // concurrent load (DepositServiceLoadSpec): with the single-dispatcher
+  // default, GET p99 sat BEHIND in-flight micro-batch commits at ~10 s;
+  // with the pool it is decoupled from write latency entirely.
   private val httpPool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(httpPool)
   server.start()
-
-  /** Serializes the deposit write path end-to-end (idempotency check →
-    * fsynced append → ingest → commit → ACK). The check-then-add on
-    * [[seenIdem]] is only race-free under this lock. */
-  private val writeLock = new Object
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -215,6 +246,18 @@ final class DepositService(spark: SparkSession, port: Int = 0,
   private def handleDeposit(ex: HttpExchange): Unit =
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"error":"POST only"}"""); return }
+      if (!writePermits.tryAcquire()) {
+        ex.getResponseHeaders.set("Retry-After", "1")
+        respond(ex, 503, """{"error":"write path saturated, retry"}""")
+        return
+      }
+      try handleDepositAdmitted(ex) finally writePermits.release()
+    } catch {
+      case _: Throwable => respond(ex, 500, """{"error":"internal"}""")
+    }
+
+  private def handleDepositAdmitted(ex: HttpExchange): Unit =
+    try {
       val node = mapper.readTree(ex.getRequestBody)
       val wallet = Option(node.get("wallet_id")).map(_.asText()).getOrElse("")
       val amount = Option(node.get("amount")).map(_.asDouble()).getOrElse(0.0)
@@ -232,7 +275,11 @@ final class DepositService(spark: SparkSession, port: Int = 0,
       // sequence runs under [[writeLock]] (one writer at a time; reads
       // never take it), which also makes the check-then-add race-free
       // under the parallel HTTP pool.
-      val idem = Option(node.get("idem")).map(_.asText()).filter(_.nonEmpty)
+      // filterNot(_.isNull): Jackson's NullNode.asText() is the STRING
+      // "null" — an explicit {"idem": null} must mean "no key", not a
+      // shared key that marks every later null-idem deposit duplicate.
+      val idem = Option(node.get("idem")).filterNot(_.isNull)
+        .map(_.asText()).filter(_.nonEmpty)
       val body = writeLock.synchronized {
         if (idem.exists(seenIdem.contains))
           s"""{"wallet_id":"$wallet","status":"duplicate"}"""

@@ -96,11 +96,16 @@ object ReplayLog {
       .sortWithinPartitions(col("offset"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
-          val tmp = File.createTempFile("seg-tmp-", Extension, new File(dir))
+          // Temp suffix is NOT .rlog: readers match *.rlog strictly (and
+          // fail loudly on unparseable names), so an orphan left by a
+          // killed/retried task must be invisible to them, not poison
+          // every later segments() call.
+          val tmp = File.createTempFile("seg-", ".inprogress", new File(dir))
           val out = new DataOutputStream(
             new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
           var base = Long.MaxValue; var last = Long.MinValue
           var minTs = Long.MaxValue; var maxTs = Long.MinValue
+          var ok = false
           try {
             rows.foreach { r =>
               val offset = r.getLong(0); val ts = r.getLong(1)
@@ -116,7 +121,11 @@ object ReplayLog {
               if (ts < minTs) minTs = ts
               if (ts > maxTs) maxTs = ts
             }
-          } finally out.close()
+            ok = true
+          } finally {
+            out.close()
+            if (!ok) tmp.delete() // failed task: no orphan on disk
+          }
           val dest = new File(dir, segmentName(base, last, minTs, maxTs))
           if (!tmp.renameTo(dest) && !dest.isFile)
             throw new IllegalStateException(s"cannot publish segment $dest")
