@@ -131,6 +131,34 @@ class DepositServiceSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("refusing to boot"))
   }
 
+  test("a tear inside a multi-byte UTF-8 character still recovers " +
+    "(REPLACE codec reaches the line handler, no MalformedInput crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("svc_torn_utf8").toString
+    val a = new DepositService(spark, changelogDir = Some(dir))
+    def postOn(s: DepositService, body: String): Int =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/deposit"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+    def checkOn(s: DepositService, wallet: String): String =
+      client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s.boundPort}/check/$wallet")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    assert(postOn(a, """{"wallet_id":"hana","amount":55,"ts_unix":1000}""") == 200)
+    a.stop()
+    val log = new java.io.File(dir, "deposits.jsonl")
+    // Simulate a crash mid-append cutting a 2-byte UTF-8 char ("é") in
+    // half: write the torn record's bytes up to the FIRST byte of é.
+    val torn = """{"wallet_id":"ren""".getBytes("UTF-8") :+ 0xC3.toByte
+    val out = new java.io.FileOutputStream(log, true)
+    out.write(torn); out.close()
+    val b = new DepositService(spark, changelogDir = Some(dir))
+    try {
+      assert(checkOn(b, "hana") ==
+        """{"wallet_id":"hana","balance":55.0,"above_threshold":false}""")
+    } finally b.stop()
+  }
+
   test("idempotency key: a retried POST neither double-logs nor " +
     "double-counts, in-process and across restart") {
     val dir = java.nio.file.Files.createTempDirectory("svc_idem").toString
