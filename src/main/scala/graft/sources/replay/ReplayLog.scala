@@ -78,60 +78,21 @@ object ReplayLog {
   }
 
   /** Write `df` — columns (offset LONG, ts_unix LONG, wallet_id STRING,
-    * amount DOUBLE) — as an `nSegments`-file replay log under `dir`.
-    * Range-partitioned by offset so segment offset ranges are disjoint
-    * (maximal pruning power), sorted within each segment (a log is
-    * offset-ordered by construction). Frames are written EXECUTOR-SIDE,
-    * one segment per partition: each task streams its rows through the
-    * proto encoder into a temp file, tracking the bounds, and renames to
-    * the final name on close — no driver materialization, so the write
-    * scales with the cluster exactly like any other sink. (Local
-    * java.io here; an object-store deployment swaps in the FileSystem
-    * API with the same stream-then-rename shape.) */
-  def writeSegments(df: DataFrame, dir: String, nSegments: Int): Unit = {
-    new File(dir).mkdirs()
+    * amount DOUBLE) — as an `nSegments`-file replay log under `dir`,
+    * APPENDING to whatever segments exist. Range-partitioned by offset
+    * so segment offset ranges are disjoint (maximal pruning power),
+    * sorted within each segment (a log is offset-ordered by
+    * construction). Delegates to the connector's V2 WRITE path
+    * ([[ReplaySource]]): frames stream executor-side into hidden
+    * `.inprogress` temps (invisible to readers; deleted on task abort)
+    * and become visible only at job commit — all-or-nothing publication
+    * with no driver materialization, scaling like any other sink. */
+  def writeSegments(df: DataFrame, dir: String, nSegments: Int): Unit =
     df.select(col("offset").cast("long"), col("ts_unix").cast("long"),
         col("wallet_id").cast("string"), col("amount").cast("double"))
       .repartitionByRange(nSegments, col("offset"))
       .sortWithinPartitions(col("offset"))
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        if (rows.hasNext) {
-          // Temp suffix is NOT .rlog: readers match *.rlog strictly (and
-          // fail loudly on unparseable names), so an orphan left by a
-          // killed/retried task must be invisible to them, not poison
-          // every later segments() call.
-          val tmp = File.createTempFile("seg-", ".inprogress", new File(dir))
-          val out = new DataOutputStream(
-            new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
-          var base = Long.MaxValue; var last = Long.MinValue
-          var minTs = Long.MaxValue; var maxTs = Long.MinValue
-          var ok = false
-          try {
-            rows.foreach { r =>
-              val offset = r.getLong(0); val ts = r.getLong(1)
-              val key = r.getString(2).getBytes("UTF-8")
-              val value = graft.serde.ProtoWire.encodeDepositBytes(
-                key, r.getDouble(3))
-              out.writeInt(8 + 8 + 2 + key.length + value.length)
-              out.writeLong(offset); out.writeLong(ts)
-              out.writeShort(key.length)
-              out.write(key); out.write(value)
-              if (offset < base) base = offset
-              if (offset > last) last = offset
-              if (ts < minTs) minTs = ts
-              if (ts > maxTs) maxTs = ts
-            }
-            ok = true
-          } finally {
-            out.close()
-            if (!ok) tmp.delete() // failed task: no orphan on disk
-          }
-          val dest = new File(dir, segmentName(base, last, minTs, maxTs))
-          if (!tmp.renameTo(dest) && !dest.isFile)
-            throw new IllegalStateException(s"cannot publish segment $dest")
-        }
-      }
-  }
+      .write.format("graft-replay").mode("append").save(dir)
 
   /** One decoded frame. `wallet`/`amount` come from the proto value —
     * decoding them is skipped by the reader when neither column is

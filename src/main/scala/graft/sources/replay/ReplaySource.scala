@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -61,30 +62,139 @@ class ReplaySource extends TableProvider
 
 object ReplaySource {
   /** The Kafka message envelope (offset, broker-time analog) plus the
-    * decoded proto `Deposit` payload. */
+    * decoded proto `Deposit` payload. Declared nullable (readers still
+    * always emit non-null): a non-null table schema would make V2
+    * append reject any upstream whose columns are merely DECLARED
+    * nullable — e.g. a parquet-sourced projection — at analysis time. */
   val Schema: StructType = StructType(Seq(
-    StructField("offset", LongType, nullable = false),
-    StructField("ts_unix", LongType, nullable = false),
-    StructField("wallet_id", StringType, nullable = false),
-    StructField("amount", DoubleType, nullable = false)))
+    StructField("offset", LongType),
+    StructField("ts_unix", LongType),
+    StructField("wallet_id", StringType),
+    StructField("amount", DoubleType)))
 }
 
 final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-replay:$path"
   override def schema(): StructType = ReplaySource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReplayScanBuilder(path, maxSegmentsPerTrigger)
+
+  /** V2 WRITE: each task streams its rows into a hidden `.inprogress`
+    * temp, and segments become visible ONLY at job commit (driver-side
+    * rename from the commit messages) — all-or-nothing publication, the
+    * commit protocol a real sink needs. `mode("append")` appends
+    * segments (a log is append-only); `mode("overwrite")` truncates the
+    * existing segments at commit, after the new ones are staged. Input
+    * must carry exactly the connector schema. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val got = info.schema().fields.map(f => f.name -> f.dataType).toSeq
+    val want = ReplaySource.Schema.fields.map(f => f.name -> f.dataType).toSeq
+    require(got == want,
+      s"graft-replay write schema must be ${ReplaySource.Schema.simpleString}, got ${info.schema().simpleString}")
+    new ReplayWriteBuilder(path)
+  }
 }
+
+final class ReplayWriteBuilder(path: String) extends WriteBuilder
+    with SupportsTruncate {
+  private var truncateOnCommit = false
+  override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ReplayBatchWrite(path, truncateOnCommit)
+  }
+}
+
+/** One staged temp per task attempt; the driver publishes at commit. */
+final case class ReplaySegmentCommit(tmpPath: String, base: Long, last: Long,
+                                     minTs: Long, maxTs: Long)
+    extends WriterCommitMessage
+
+final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ReplayDataWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path); dir.mkdirs()
+    if (truncate)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(ReplayLog.Extension))
+        .foreach(_.delete())
+    messages.foreach {
+      case ReplaySegmentCommit(tmp, base, last, minTs, maxTs) =>
+        val dest = new java.io.File(dir,
+          ReplayLog.segmentName(base, last, minTs, maxTs))
+        if (!new java.io.File(tmp).renameTo(dest) && !dest.isFile)
+          throw new IllegalStateException(s"cannot publish segment $dest")
+      case other => throw new IllegalStateException(s"unexpected commit $other")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ReplaySegmentCommit(tmp, _, _, _, _) => new java.io.File(tmp).delete()
+      case _ => ()
+    }
+}
+
+final class ReplayDataWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ReplayDataWriter(path)
+}
+
+/** Streams frames to a hidden temp; bounds ride the commit message so
+  * the driver can name the segment. An empty partition commits nothing. */
+final class ReplayDataWriter(path: String) extends DataWriter[InternalRow] {
+  private var tmp: java.io.File = _
+  private var out: java.io.DataOutputStream = _
+  private var base = Long.MaxValue; private var last = Long.MinValue
+  private var minTs = Long.MaxValue; private var maxTs = Long.MinValue
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      new java.io.File(path).mkdirs()
+      tmp = java.io.File.createTempFile("seg-", ".inprogress",
+        new java.io.File(path))
+      out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(tmp), 1 << 16))
+    }
+    val offset = row.getLong(0); val ts = row.getLong(1)
+    val key = row.getUTF8String(2).getBytes
+    val value = graft.serde.ProtoWire.encodeDepositBytes(key, row.getDouble(3))
+    out.writeInt(8 + 8 + 2 + key.length + value.length)
+    out.writeLong(offset); out.writeLong(ts)
+    out.writeShort(key.length)
+    out.write(key); out.write(value)
+    if (offset < base) base = offset
+    if (offset > last) last = offset
+    if (ts < minTs) minTs = ts
+    if (ts > maxTs) maxTs = ts
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) ReplayEmptyCommit
+    else { out.close(); ReplaySegmentCommit(tmp.getPath, base, last, minTs, maxTs) }
+  }
+  override def abort(): Unit = {
+    if (out != null) { try out.close() catch { case _: Throwable => () }; tmp.delete() }
+  }
+  override def close(): Unit = ()
+}
+
+case object ReplayEmptyCommit extends WriterCommitMessage
 
 final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ReplaySource.Schema
+  private var limit: Option[Int] = None
 
   /** Accept exactly the filters the reader evaluates natively: offset /
     * ts_unix comparisons (which also prune segments) and wallet_id
@@ -99,7 +209,14 @@ final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ReplayScan(path, pushed, required, maxSegs)
+  /** LIMIT pushdown: each reader stops after `n` emitted frames (the
+    * partition-local half of a global limit — Spark still applies the
+    * global cut, but the scan stops streaming bytes after n matches
+    * instead of draining its segment). Partial by contract: return
+    * false so Spark keeps its own Limit on top. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  override def build(): Scan = new ReplayScan(path, pushed, required, maxSegs, limit)
 }
 
 /** Filter subset the source handles, compiled to per-frame predicates. */
@@ -159,7 +276,8 @@ private[replay] object ReplayFilters {
 }
 
 final class ReplayScan(path: String, filters: Array[Filter],
-                       required: StructType, maxSegs: Option[Int] = None)
+                       required: StructType, maxSegs: Option[Int] = None,
+                       limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -177,7 +295,7 @@ final class ReplayScan(path: String, filters: Array[Filter],
       ReplaySegmentPartition(s.path): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayReaderFactory(filters, required.fieldNames)
+    new ReplayReaderFactory(filters, required.fieldNames, limit)
 
   /** Post-pruning size (file bytes of the surviving segments) — so the
     * optimizer's join-side sizing sees the PRUNED read, not the whole
@@ -203,6 +321,7 @@ final class ReplayScan(path: String, filters: Array[Filter],
     val planned = plannedSegments.size
     s"graft-replay $path, segments $planned/$totalSegments after pruning, " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
+      limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       s"ReadSchema: ${required.simpleString}"
   }
 }
@@ -271,7 +390,8 @@ final case class ReplaySegmentPartition(segPath: String,
     extends InputPartition
 
 final class ReplayReaderFactory(filters: Array[Filter],
-                                columns: Array[String])
+                                columns: Array[String],
+                                limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ReplaySegmentPartition]
@@ -280,7 +400,7 @@ final class ReplayReaderFactory(filters: Array[Filter],
         Array[Filter](GreaterThan("offset", part.from)) else Array.empty[Filter]) ++
       (if (part.to != Long.MaxValue)
         Array[Filter](LessThanOrEqual("offset", part.to)) else Array.empty[Filter])
-    new ReplayPartitionReader(part.segPath, filters ++ range, columns)
+    new ReplayPartitionReader(part.segPath, filters ++ range, columns, limit)
   }
 }
 
@@ -288,8 +408,11 @@ final class ReplayReaderFactory(filters: Array[Filter],
   * emitting only the required columns. The proto value is decoded only
   * if some required column or filter needs it. */
 final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
-                                  columns: Array[String])
+                                  columns: Array[String],
+                                  limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val needsValue =
     columns.exists(c => c == "wallet_id" || c == "amount") ||
@@ -301,11 +424,13 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
   private var current: ReplayLog.Frame = _
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) { frames.close(); return false }
     while (frames.hasNext) {
       val f = frames.next()
       lazy val wallet = new String(f.wallet, "UTF-8")
       if (filters.forall(fl => ReplayFilters.frameMatches(fl, f, () => wallet))) {
         current = f
+        emitted += 1
         return true
       }
     }

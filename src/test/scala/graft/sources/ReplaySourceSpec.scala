@@ -149,6 +149,42 @@ class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("V2 write path: append publishes at job commit, overwrite truncates") {
+    val dir = freshDir()
+    sample.repartitionByRange(4, col("offset"))
+      .sortWithinPartitions(col("offset"))
+      .write.format("graft-replay").mode("append").save(dir)
+    assert(ReplayLog.segments(dir).size == 4)
+    val back = spark.read.format("graft-replay").load(dir)
+    assert(back.count() == 40L)
+    // Append again: the log grows (append-only semantics).
+    sample.limit(5).write.format("graft-replay").mode("append").save(dir)
+    assert(spark.read.format("graft-replay").load(dir).count() == 45L)
+    // Overwrite: old segments truncated at commit, only the new write
+    // remains.
+    sample.limit(7).write.format("graft-replay").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-replay").load(dir).count() == 7L)
+    // A write with the wrong schema is refused loudly.
+    intercept[Exception] {
+      sample.withColumnRenamed("amount", "amt")
+        .write.format("graft-replay").mode("append").save(dir)
+    }
+  }
+
+  test("limit pushdown reaches the reader (scan stops early, result exact)") {
+    val dir = freshDir(); writeLog(dir)
+    val df = spark.read.format("graft-replay").load(dir).limit(3)
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedLimit: 3"),
+      s"limit not pushed: ${scan.description()}")
+    assert(df.count() == 3L)
+    // Pushdown is partial by contract: combined with a filter the global
+    // result is still exact.
+    val df2 = spark.read.format("graft-replay").load(dir)
+      .where(col("wallet_id") === "w2").limit(2)
+    assert(df2.as[(Long, Long, String, Double)].collect().length == 2)
+  }
+
   test("segment names are unparseable -> loud failure, not partial read") {
     val dir = freshDir(); writeLog(dir, nSegments = 1)
     val seg = new java.io.File(dir).listFiles()
