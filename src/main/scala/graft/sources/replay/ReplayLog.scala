@@ -101,6 +101,26 @@ object ReplayLog {
   final case class Frame(offset: Long, tsUnix: Long,
                          wallet: Array[Byte], amount: Double)
 
+  /** MAINTENANCE: compact a log's accumulated small segments into
+    * `target` larger ones — the small-file problem a continuously-fed
+    * log develops, solved with the connector's own two halves: the scan
+    * reads the old layout, the V2 OVERWRITE write stages the new
+    * segments as hidden temps and swaps them in only inside the job
+    * commit (old segments are truncated after every new one is fully
+    * staged), so readers observe the old layout or the new one, never a
+    * mix, and a crash before commit leaves the old log intact. Offset
+    * ranges stay disjoint (range repartition) and offset order is
+    * preserved within each segment. Returns (segments before, after). */
+  def compactSegments(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      target: Int): (Int, Int) = {
+    val before = segments(dir).size
+    spark.read.format("graft-replay").load(dir)
+      .repartitionByRange(target, col("offset"))
+      .sortWithinPartitions(col("offset"))
+      .write.format("graft-replay").mode("overwrite").save(dir)
+    (before, segments(dir).size)
+  }
+
   /** Frame iterator owning its stream: `close()` is idempotent and safe
     * mid-iteration (a LIMIT that stops a reader early must not leak the
     * file handle). */

@@ -185,6 +185,20 @@ class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
     assert(df2.as[(Long, Long, String, Double)].collect().length == 2)
   }
 
+  test("segment compaction: fewer files, identical content, bounds kept") {
+    val dir = freshDir(); writeLog(dir, nSegments = 8)
+    assert(ReplayLog.segments(dir).size == 8)
+    val (before, after) = ReplayLog.compactSegments(spark, dir, target = 2)
+    assert(before == 8 && after == 2, s"compaction $before -> $after")
+    val got = spark.read.format("graft-replay").load(dir)
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(got == sample.as[(Long, Long, String, Double)].collect().toSet)
+    // Pruning still works on the compacted layout.
+    val scan = scanOf(spark.read.format("graft-replay").load(dir)
+      .where(col("offset") >= 31L))
+    assert(scan.plannedSegments.size == 1 && scan.totalSegments == 2)
+  }
+
   test("segment names are unparseable -> loud failure, not partial read") {
     val dir = freshDir(); writeLog(dir, nSegments = 1)
     val seg = new java.io.File(dir).listFiles()
