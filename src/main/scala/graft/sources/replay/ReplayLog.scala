@@ -51,21 +51,60 @@ object ReplayLog {
                   minTs: Long, maxTs: Long): String =
     f"seg-$baseOffset%020d-$lastOffset%020d-$minTs%d-$maxTs%d$Extension"
 
+  /** The log's MANIFEST: one line per live segment file name, replaced
+    * atomically (tmp + POSIX rename) by every commit. It is what makes
+    * OVERWRITE crash-safe: readers resolve the live set through the
+    * manifest, so a layout swap is a single atomic file replacement —
+    * old and new segments can coexist on disk through the commit window
+    * without readers ever seeing a mix (the Iceberg/Delta snapshot
+    * pattern scaled down to one file). Single-writer per log directory,
+    * like a topic partition has a single producer lineage. */
+  val ManifestName = "_manifest"
+
+  private[replay] def writeManifest(dir: String, names: Seq[String]): Unit = {
+    val tmp = File.createTempFile("manifest-", ".inprogress", new File(dir))
+    val w = new java.io.OutputStreamWriter(
+      new FileOutputStream(tmp), "UTF-8")
+    try names.foreach { n => w.write(n); w.write("\n") } finally w.close()
+    val dest = new File(dir, ManifestName)
+    if (!tmp.renameTo(dest)) {
+      // POSIX rename replaces atomically; a refused rename on a local FS
+      // means something is genuinely wrong — fail the commit loudly.
+      tmp.delete()
+      throw new IllegalStateException(s"cannot publish manifest in $dir")
+    }
+  }
+
   /** List a log directory's segments with their name-carried bounds.
-    * Unparseable files are a broken log — fail loudly, not silently
-    * partial (a skipped segment would read as missing data). */
+    * With a manifest (every connector-written log), the manifest IS the
+    * live set: unlisted `.rlog` files are retirees from a superseded
+    * layout (ignored), and a listed-but-missing file is a broken log —
+    * fail loudly. Manifest-less directories fall back to a raw listing,
+    * where an unparseable `.rlog` name fails loudly too (a skipped
+    * segment would read as missing data). */
   def segments(dir: String): Seq[SegmentMeta] = {
-    val kids = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-    kids.iterator.filter(f => f.isFile && f.getName.endsWith(Extension))
-      .map { f =>
-        f.getName match {
-          case SegName(base, last, minTs, maxTs) =>
-            SegmentMeta(f.getPath, base.toLong, last.toLong,
-              minTs.toLong, maxTs.toLong)
-          case other => throw new IllegalStateException(
-            s"replay log $dir: unparseable segment name $other")
-        }
-      }.toSeq.sortBy(_.baseOffset)
+    def parse(f: File): SegmentMeta = f.getName match {
+      case SegName(base, last, minTs, maxTs) =>
+        SegmentMeta(f.getPath, base.toLong, last.toLong,
+          minTs.toLong, maxTs.toLong)
+      case other => throw new IllegalStateException(
+        s"replay log $dir: unparseable segment name $other")
+    }
+    val mf = new File(dir, ManifestName)
+    if (mf.isFile) {
+      val src = scala.io.Source.fromFile(mf, "UTF-8")
+      val names = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+      names.map { n =>
+        val f = new File(dir, n)
+        if (!f.isFile) throw new IllegalStateException(
+          s"replay log $dir: manifest references missing segment $n")
+        parse(f)
+      }.sortBy(_.baseOffset)
+    } else {
+      val kids = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      kids.iterator.filter(f => f.isFile && f.getName.endsWith(Extension))
+        .map(parse).toSeq.sortBy(_.baseOffset)
+    }
   }
 
   /** Highest offset recorded in the log — read from segment NAMES only

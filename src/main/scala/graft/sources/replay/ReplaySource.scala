@@ -118,19 +118,35 @@ final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ReplayDataWriterFactory(path)
 
+  /** Publication order makes the commit crash-safe at every cut point:
+    * (1) rename the staged temps to their segment names — still
+    * invisible, the manifest doesn't list them; (2) REPLACE the manifest
+    * atomically (append: prior ∪ new; overwrite: new only) — this single
+    * rename is the commit point; (3) best-effort delete of the files the
+    * new manifest no longer lists. A crash before (2) leaves the old log
+    * fully intact (stray unlisted files only); after (2) the new layout
+    * is complete and the strays are garbage a later overwrite sweeps. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path); dir.mkdirs()
-    if (truncate)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(ReplayLog.Extension))
-        .foreach(_.delete())
-    messages.foreach {
+    val prior: Seq[String] =
+      if (truncate) Seq.empty
+      else ReplayLog.segments(path).map(s => new java.io.File(s.path).getName)
+    val added = messages.collect {
       case ReplaySegmentCommit(tmp, base, last, minTs, maxTs) =>
-        val dest = new java.io.File(dir,
-          ReplayLog.segmentName(base, last, minTs, maxTs))
+        val name = ReplayLog.segmentName(base, last, minTs, maxTs)
+        val dest = new java.io.File(dir, name)
         if (!new java.io.File(tmp).renameTo(dest) && !dest.isFile)
           throw new IllegalStateException(s"cannot publish segment $dest")
-      case other => throw new IllegalStateException(s"unexpected commit $other")
+        name
+    }
+    val live = (prior ++ added).distinct
+    ReplayLog.writeManifest(path, live)
+    if (truncate) {
+      val keep = live.toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(ReplayLog.Extension) &&
+          !keep.contains(f.getName))
+        .foreach(_.delete())
     }
   }
 

@@ -185,6 +185,23 @@ class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
     assert(df2.as[(Long, Long, String, Double)].collect().length == 2)
   }
 
+  test("manifest is the commit point: unlisted strays are invisible, " +
+    "a listed-but-missing segment fails loudly") {
+    val dir = freshDir(); writeLog(dir, nSegments = 2)
+    assert(new java.io.File(dir, ReplayLog.ManifestName).isFile)
+    // A stray .rlog (crash between segment rename and manifest replace)
+    // is ignored by reads — the old layout stays the truth.
+    val stray = new java.io.File(dir,
+      ReplayLog.segmentName(900, 999, 0, 0))
+    val w = new java.io.FileOutputStream(stray); w.write(1); w.close()
+    assert(ReplayLog.segments(dir).size == 2)
+    assert(spark.read.format("graft-replay").load(dir).count() == 40L)
+    // A manifest entry whose file vanished is a broken log.
+    val listed = new java.io.File(ReplayLog.segments(dir).head.path)
+    assert(listed.delete())
+    intercept[IllegalStateException] { ReplayLog.segments(dir) }
+  }
+
   test("segment compaction: fewer files, identical content, bounds kept") {
     val dir = freshDir(); writeLog(dir, nSegments = 8)
     assert(ReplayLog.segments(dir).size == 8)
