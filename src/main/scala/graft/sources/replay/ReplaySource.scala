@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -238,6 +238,11 @@ final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
 /** Filter subset the source handles, compiled to per-frame predicates. */
 private[replay] object ReplayFilters {
   def supported(f: Filter): Boolean = f match {
+    // Every column of every frame is non-null by construction, so the
+    // IsNotNull guards Spark pushes alongside comparisons are absorbed
+    // here (trivially true per frame) instead of surviving as a
+    // post-scan Filter node.
+    case IsNotNull(a) if ReplaySource.Schema.fieldNames.contains(a) => true
     case EqualTo(a, _: java.lang.Long) if a == "offset" || a == "ts_unix" => true
     case EqualTo(a, _: java.lang.Integer) if a == "offset" || a == "ts_unix" => true
     case GreaterThan(a, _) if isLongCol(a) => true
