@@ -134,12 +134,24 @@ final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite
     val added = messages.collect {
       case ReplaySegmentCommit(tmp, base, last, minTs, maxTs) =>
         val name = ReplayLog.segmentName(base, last, minTs, maxTs)
+        // A name collision with the LIVE set means this append carries
+        // offsets the log already holds — POSIX rename would silently
+        // REPLACE the existing segment (rename(2) overwrites), so the
+        // misuse must fail loudly instead: a log append carries fresh
+        // offsets, like a topic partition.
+        if (prior.contains(name))
+          throw new IllegalStateException(
+            s"graft-replay append collides with live segment $name — " +
+              "appended frames must carry offsets beyond the log's tail")
         val dest = new java.io.File(dir, name)
         if (!new java.io.File(tmp).renameTo(dest) && !dest.isFile)
           throw new IllegalStateException(s"cannot publish segment $dest")
         name
     }
-    val live = (prior ++ added).distinct
+    if (added.distinct.size != added.size)
+      throw new IllegalStateException(
+        "graft-replay write produced duplicate segment bounds within one job")
+    val live = prior ++ added
     ReplayLog.writeManifest(path, live)
     if (truncate) {
       val keep = live.toSet

@@ -171,6 +171,12 @@ class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
       sample.withColumnRenamed("amount", "amt")
         .write.format("graft-replay").mode("append").save(dir)
     }
+    // Re-appending offsets the log already holds (same segment bounds)
+    // is a loud collision, not a silent replace.
+    val e = intercept[Exception] {
+      sample.limit(7).write.format("graft-replay").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
   }
 
   test("limit pushdown reaches the reader (scan stops early, result exact)") {
