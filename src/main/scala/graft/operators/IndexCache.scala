@@ -217,11 +217,20 @@ object IndexCache {
                                       (compute: => V): V = {
     val hit = map.get(key)
     if (hit != null) return hit
-    memoLocks.computeIfAbsent(key, _ => new Object).synchronized {
+    val lock = memoLocks.computeIfAbsent(key, _ => new Object)
+    try lock.synchronized {
       val again = map.get(key)
       if (again != null) again
       else { val v = compute; map.put(key, v); v }
-    }
+    } finally
+      // Keys embed directory-listing signatures (and the session), so a
+      // long-lived JVM would leak one lock object per artifact rewrite /
+      // scratch dir even though the value maps are LRU-bounded. Dropping
+      // the lock after the compute is safe: a waiter that held the same
+      // object re-checks the map and hits; a latecomer that minted a
+      // fresh lock double-checks too — worst case one redundant
+      // idempotent compute, never a stale value.
+      memoLocks.remove(key)
   }
 
   /** Resolved-scan memo: `spark.read.parquet(path)` reused per (session,

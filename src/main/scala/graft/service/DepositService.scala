@@ -153,9 +153,22 @@ final class DepositService(spark: SparkSession, port: Int = 0,
     }
     if (parsed.lastOption.contains(None) && nonEmpty.nonEmpty) {
       // Truncate the torn tail so the appended log stays line-parseable.
+      // Stage the kept lines in a temp file, fsync, and atomically rename
+      // over the log (the ReplayLog.writeManifest pattern): an in-place
+      // rewrite would destroy ACKed history if this process died
+      // mid-write, and the next boot would refuse to start on what it
+      // reads as mid-file corruption.
       val keep = lines.take(nonEmpty.last._2)
-      val w = new java.io.FileWriter(f, StandardCharsets.UTF_8, /*append=*/ false)
-      try { keep.foreach { l => w.write(l); w.write("\n") } } finally w.close()
+      val tmp = java.io.File.createTempFile("changelog-", ".tmp", f.getParentFile)
+      val out = new java.io.FileOutputStream(tmp)
+      try {
+        val w = new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8)
+        keep.foreach { l => w.write(l); w.write("\n") }
+        w.flush()
+        out.getFD.sync() // the rename must not publish an unflushed tail
+      } finally out.close()
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val fresh = parsed.flatten.filter { case (_, idem) =>
       idem.forall(seenIdem.add) // first occurrence per key wins
@@ -286,11 +299,16 @@ final class DepositService(spark: SparkSession, port: Int = 0,
         else {
           val event = TimedDeposit(wallet, amount, ts, seq.incrementAndGet())
           appendToLog(event, idem) // log-then-absorb: a crash after this replays it
-          // Mark the key seen only now: "seen" must mean "durably
-          // logged", or a retry after a FAILED append would be refused
-          // as duplicate and the deposit lost.
-          idem.foreach(seenIdem.add)
           input.addData(event)
+          // Mark the key seen only AFTER the engine holds the event:
+          // "seen" must mean "durably logged AND absorbed this boot", or
+          // a retry after a failure between append and addData would be
+          // ACKed as duplicate while the views never ingest it until a
+          // restart (read-your-writes silently broken for that key). A
+          // failure here leaves the key unseen, so the retry re-appends —
+          // the boot replay dedupes on first-occurrence-per-key, keeping
+          // the views exactly-once over an at-least-once log.
+          idem.foreach(seenIdem.add)
           // EmitSync analog: ack only once the engine has absorbed the
           // event — and, since the views update inside foreachBatch, once
           // the serving maps reflect it (read-your-writes for the ACK).

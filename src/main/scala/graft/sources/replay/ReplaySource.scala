@@ -144,7 +144,17 @@ final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite
             s"graft-replay append collides with live segment $name — " +
               "appended frames must carry offsets beyond the log's tail")
         val dest = new java.io.File(dir, name)
-        if (!new java.io.File(tmp).renameTo(dest) && !dest.isFile)
+        // A same-named file outside the live set can only be debris from
+        // an earlier aborted job (the live-set collision was rejected
+        // above) — clear it so the rename publishes THIS task's staged
+        // frames, never inherits a file of unknown content. Any rename
+        // failure after that is a real commit failure: treating
+        // "dest already exists" as success would publish the stray and
+        // leak the actual data unpublished.
+        if (dest.isFile && !dest.delete())
+          throw new IllegalStateException(
+            s"cannot clear stray pre-existing segment $dest")
+        if (!new java.io.File(tmp).renameTo(dest))
           throw new IllegalStateException(s"cannot publish segment $dest")
         name
     }
@@ -189,6 +199,19 @@ final class ReplayDataWriter(path: String) extends DataWriter[InternalRow] {
         new java.io.File(path))
       out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(tmp), 1 << 16))
+    }
+    // The table schema is declared nullable only so V2 append accepts
+    // parquet-sourced (declared-nullable) input; the wire format has no
+    // null representation. Unguarded getLong would silently encode a null
+    // offset/ts as 0 (corrupting offsets and the segment's name-carried
+    // bounds), and a null wallet_id would surface as a raw NPE mid-task.
+    var i = 0
+    while (i < 4) {
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft-replay does not accept null columns (column $i of " +
+            "offset/ts_unix/wallet_id/amount is null)")
+      i += 1
     }
     val offset = row.getLong(0); val ts = row.getLong(1)
     val key = row.getUTF8String(2).getBytes
@@ -457,6 +480,12 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
   private var current: ReplayLog.Frame = _
 
   override def next(): Boolean = {
+    // Deliberate asymmetry: the limit-hit path closes eagerly (the frame
+    // stream may have many frames left to skip), while the exhausted path
+    // below leaves closing to the close() contract Spark always honors —
+    // readSegment's iterator is already drained there. Do not "fix" the
+    // eager close away: without it a pushed LIMIT would hold the segment
+    // open until task teardown.
     if (limit.exists(emitted >= _)) { frames.close(); return false }
     while (frames.hasNext) {
       val f = frames.next()
