@@ -53,6 +53,26 @@ object ExtrasQueries {
       path
     })
 
+  /** Probe-keys table for the runtime-pruning query: the top offset
+    * quartile of the log's keys, bucketed by a non-key attribute. Built
+    * ONCE per (JVM, sf dir) as parquet — the offset restriction lives in
+    * the table's CONTENT, not in any read-side predicate, so the only
+    * way the scan learns which segments matter is the runtime join-key
+    * filter. */
+  private val replayDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def replayDimFor(s: org.apache.spark.sql.SparkSession,
+                           d: String, logDir: String): String =
+    replayDimCache.computeIfAbsent(d, { _ =>
+      val path = s"$scratchRoot/replaydim_" + UUID.randomUUID().toString.replace("-", "")
+      val thr = 3L * graft.sources.replay.ReplayLog.maxOffset(logDir) / 4
+      Tables.events(s, d).filter(col("value") > 0 && col("event_id") >= thr)
+        .select(col("event_id").as("k"), (col("user_id") % 7).as("bucket"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   val all: Seq[Q] = Seq(
 
     // Table maintenance exercised INSIDE a registered query (round-7
@@ -395,6 +415,84 @@ object ExtrasQueries {
       val thr = graft.sources.replay.ReplayLog.maxOffset(dir) / 2
       s.read.format("graft-replay").load(dir)
         .where(col("offset") >= thr)
+        .groupBy(col("wallet_id"))
+        .agg(count(lit(1)).as("n_deposits"),
+          round(sum(col("amount")), 2).as("total_amount"))
+        .orderBy(col("wallet_id"))
+    },
+
+    // RUNTIME (DPP-analog) filtering through the connector: the probe
+    // side is a "recent keys" table whose offset range is a property of
+    // its CONTENT (written at build time), not an in-plan predicate — so
+    // nothing is statically inferable onto the scan, and only the
+    // runtime IN over the join keys (broadcast-reused, injected by
+    // Spark's PartitionPruning rule via SupportsRuntimeFiltering) can
+    // prune segments. At 100 TB: read the probe keys' segments, not the
+    // retention window. ReplayOptimizerSpec pins that the filter reaches
+    // the scan and re-prunes; this row pins the semantics.
+    Q("q_replay_runtime_prune",
+      "WITH log AS (SELECT event_id AS offset, CAST(user_id AS VARCHAR) AS wallet_id, " +
+        "value AS amount FROM events WHERE value > 0), " +
+        "dim AS (SELECT event_id AS k, user_id % 7 AS bucket FROM events " +
+        "WHERE value > 0 AND event_id >= " +
+        "3 * (SELECT MAX(event_id) FROM events WHERE value > 0) // 4) " +
+        "SELECT l.wallet_id, COUNT(*) AS n_deposits, " +
+        "ROUND(SUM(l.amount), 2) AS total_amount " +
+        "FROM log l JOIN dim ON l.offset = dim.k AND dim.bucket = 0 " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val dir = replayLogFor(s, d)
+      val dimPath = replayDimFor(s, d, dir)
+      val dim = s.read.parquet(dimPath).where(col("bucket") === 0L)
+      val fact = s.read.format("graft-replay").load(dir)
+      fact.join(dim, fact("offset") === dim("k"))
+        .groupBy(col("wallet_id"))
+        .agg(count(lit(1)).as("n_deposits"),
+          round(sum(col("amount")), 2).as("total_amount"))
+        .orderBy(col("wallet_id"))
+    },
+
+    // AGGREGATE pushdown through the connector: COUNT/MIN/MAX over the
+    // whole log are answered per segment from metadata — min/max straight
+    // from the name-carried bounds (zero I/O), count from an
+    // envelope-header walk (no key copy, no proto decode) — and Spark
+    // folds the one-row-per-segment partials. The oracle replays the
+    // same aggregates over the events projection the log was built from,
+    // so a wrong bound or count in any segment NAME fails the hash.
+    Q("q_replay_agg_pushdown",
+      "SELECT COUNT(*) AS n_frames, MIN(event_id) AS min_offset, " +
+        "MAX(event_id) AS max_offset, " +
+        "MIN(epoch_us(ts) // 1000000) AS min_ts, " +
+        "MAX(epoch_us(ts) // 1000000) AS max_ts " +
+        "FROM events WHERE value > 0") { (s, d) =>
+      val dir = replayLogFor(s, d)
+      s.read.format("graft-replay").load(dir)
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          min(col("ts_unix")).as("min_ts"), max(col("ts_unix")).as("max_ts"))
+    },
+
+    // The connector's STREAMING WRITE leg, source→engine→sink entirely
+    // through `graft-replay`: the log is consumed by offset range (2
+    // segments per trigger), filtered, and every micro-batch publishes
+    // through the same staged-temp + atomic-manifest commit as the batch
+    // writer, keyed by epoch id (a replayed batch publishes nothing
+    // twice — ReplayOptimizerSpec pins restart idempotence). The batch
+    // read-back of the SINK's log is what the oracle checks, so a lost
+    // or duplicated epoch fails the hash.
+    Q("stream_replay_roundtrip",
+      "SELECT CAST(user_id AS VARCHAR) AS wallet_id, COUNT(*) AS n_deposits, " +
+        "ROUND(SUM(value), 2) AS total_amount FROM events " +
+        "WHERE value >= 10 GROUP BY 1 ORDER BY 1") { (s, d) =>
+      val src = replayLogFor(s, d)
+      val out = s"$scratchRoot/replay_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val cp = s"$scratchRoot/replay_sink_cp_" + UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("graft-replay")
+        .option("maxSegmentsPerTrigger", "2").load(src)
+        .where(col("amount") >= 10.0)
+        .writeStream.format("graft-replay")
+        .option("checkpointLocation", cp).start(out)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-replay").load(out)
         .groupBy(col("wallet_id"))
         .agg(count(lit(1)).as("n_deposits"),
           round(sum(col("amount")), 2).as("total_amount"))

@@ -61,17 +61,48 @@ object ReplayLog {
     * like a topic partition has a single producer lineage. */
   val ManifestName = "_manifest"
 
-  private[replay] def writeManifest(dir: String, names: Seq[String]): Unit = {
+  private[replay] def writeManifest(dir: String, names: Seq[String]): Unit =
+    writeManifest(dir, names, readEpochs(dir))
+
+  /** Replace the manifest with `names` plus the streaming-sink epoch
+    * ledger as `#epoch:<queryId>=<maxEpoch>` header lines. Keeping the
+    * ledger INSIDE the manifest makes "segments published" and "epoch
+    * recorded" one atomic rename — a separate sidecar would leave a
+    * crash window where a replayed epoch re-publishes its segments
+    * (duplication) or an unrecorded epoch's data is lost. One line per
+    * query id (epochs per query are monotone, so the max is the whole
+    * ledger), so the header stays O(#queries), not O(#batches). */
+  private[replay] def writeManifest(dir: String, names: Seq[String],
+                                    epochs: Map[String, Long]): Unit = {
     val tmp = File.createTempFile("manifest-", ".inprogress", new File(dir))
     val w = new java.io.OutputStreamWriter(
       new FileOutputStream(tmp), "UTF-8")
-    try names.foreach { n => w.write(n); w.write("\n") } finally w.close()
+    try {
+      epochs.toSeq.sortBy(_._1).foreach { case (q, e) =>
+        w.write(s"#epoch:$q=$e"); w.write("\n")
+      }
+      names.foreach { n => w.write(n); w.write("\n") }
+    } finally w.close()
     val dest = new File(dir, ManifestName)
     if (!tmp.renameTo(dest)) {
       // POSIX rename replaces atomically; a refused rename on a local FS
       // means something is genuinely wrong — fail the commit loudly.
       tmp.delete()
       throw new IllegalStateException(s"cannot publish manifest in $dir")
+    }
+  }
+
+  private val EpochHeader = """#epoch:(.+)=(-?\d+)""".r
+
+  /** The streaming sink's committed-epoch ledger: highest epoch id
+    * published per streaming query id (empty for batch-only logs). */
+  private[replay] def readEpochs(dir: String): Map[String, Long] = {
+    val mf = new File(dir, ManifestName)
+    if (!mf.isFile) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(mf, "UTF-8")
+      val lines = try src.getLines().toVector finally src.close()
+      lines.collect { case EpochHeader(q, e) => q -> e.toLong }.toMap
     }
   }
 
@@ -93,7 +124,11 @@ object ReplayLog {
     val mf = new File(dir, ManifestName)
     if (mf.isFile) {
       val src = scala.io.Source.fromFile(mf, "UTF-8")
-      val names = try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+      // `#`-prefixed lines are manifest headers (the epoch ledger), not
+      // segment names.
+      val names = try src.getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+      finally src.close()
       names.map { n =>
         val f = new File(dir, n)
         if (!f.isFile) throw new IllegalStateException(
@@ -158,6 +193,34 @@ object ReplayLog {
       .sortWithinPartitions(col("offset"))
       .write.format("graft-replay").mode("overwrite").save(dir)
     (before, segments(dir).size)
+  }
+
+  /** Count a segment's frames by walking the envelope headers only —
+    * read each frame length, skip the payload; no key copy, no proto
+    * decode. This is the executor-side leg of COUNT(*) aggregate
+    * pushdown: per-segment counts fold in Spark's final aggregate, so
+    * the work distributes with the segments (never a driver-side walk
+    * of a 100 TB log). */
+  def countFrames(segPath: String): Long = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(segPath), 1 << 16))
+    try {
+      var n = 0L
+      var done = false
+      while (!done) {
+        try {
+          val len = in.readInt()
+          var left = len
+          while (left > 0) {
+            val s = in.skipBytes(left)
+            if (s <= 0) throw new EOFException()
+            left -= s
+          }
+          n += 1
+        } catch { case _: EOFException => done = true }
+      }
+      n
+    } finally in.close()
   }
 
   /** Frame iterator owning its stream: `close()` is idempotent and safe

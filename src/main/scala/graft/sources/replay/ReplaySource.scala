@@ -5,10 +5,12 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,7 +82,8 @@ final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
   override def schema(): StructType = ReplaySource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReplayScanBuilder(path, maxSegmentsPerTrigger)
 
@@ -96,16 +99,26 @@ final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
     val want = ReplaySource.Schema.fields.map(f => f.name -> f.dataType).toSeq
     require(got == want,
       s"graft-replay write schema must be ${ReplaySource.Schema.simpleString}, got ${info.schema().simpleString}")
-    new ReplayWriteBuilder(path)
+    new ReplayWriteBuilder(path, info.queryId())
   }
 }
 
-final class ReplayWriteBuilder(path: String) extends WriteBuilder
+final class ReplayWriteBuilder(path: String, queryId: String) extends WriteBuilder
     with SupportsTruncate {
   private var truncateOnCommit = false
   override def truncate(): WriteBuilder = { truncateOnCommit = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new ReplayBatchWrite(path, truncateOnCommit)
+    /** STREAMING_WRITE: the V2 sink leg — same staged-temp + atomic
+      * manifest commit as the batch path, but keyed by epoch id so a
+      * replayed micro-batch (restart re-running the last uncommitted
+      * batch) publishes nothing twice. Append-only: a log has no
+      * complete-mode semantics. */
+    override def toStreaming: StreamingWrite = {
+      require(!truncateOnCommit,
+        "graft-replay streaming sink is append-only (no complete/truncate mode)")
+      new ReplayStreamingWrite(path, queryId)
+    }
   }
 }
 
@@ -114,19 +127,20 @@ final case class ReplaySegmentCommit(tmpPath: String, base: Long, last: Long,
                                      minTs: Long, maxTs: Long)
     extends WriterCommitMessage
 
-final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ReplayDataWriterFactory(path)
-
+/** The commit protocol shared by the batch and streaming write legs. */
+private[replay] object ReplayCommit {
   /** Publication order makes the commit crash-safe at every cut point:
     * (1) rename the staged temps to their segment names — still
     * invisible, the manifest doesn't list them; (2) REPLACE the manifest
-    * atomically (append: prior ∪ new; overwrite: new only) — this single
-    * rename is the commit point; (3) best-effort delete of the files the
-    * new manifest no longer lists. A crash before (2) leaves the old log
+    * atomically (append: prior ∪ new; overwrite: new only; the epoch
+    * ledger rides in the same file, so a streaming epoch is recorded in
+    * the very rename that publishes its segments) — this single rename
+    * is the commit point; (3) best-effort delete of the files the new
+    * manifest no longer lists. A crash before (2) leaves the old log
     * fully intact (stray unlisted files only); after (2) the new layout
     * is complete and the strays are garbage a later overwrite sweeps. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  def publish(path: String, messages: Array[WriterCommitMessage],
+              truncate: Boolean, epoch: Option[(String, Long)]): Unit = {
     val dir = new java.io.File(path); dir.mkdirs()
     val prior: Seq[String] =
       if (truncate) Seq.empty
@@ -162,7 +176,10 @@ final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite
       throw new IllegalStateException(
         "graft-replay write produced duplicate segment bounds within one job")
     val live = prior ++ added
-    ReplayLog.writeManifest(path, live)
+    val epochs = epoch.foldLeft(ReplayLog.readEpochs(path)) {
+      case (m, (q, e)) => m.updated(q, e)
+    }
+    ReplayLog.writeManifest(path, live, epochs)
     if (truncate) {
       val keep = live.toSet
       Option(dir.listFiles()).getOrElse(Array.empty)
@@ -172,11 +189,53 @@ final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  def dropStaged(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case ReplaySegmentCommit(tmp, _, _, _, _) => new java.io.File(tmp).delete()
       case _ => ()
     }
+}
+
+final class ReplayBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ReplayDataWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ReplayCommit.publish(path, messages, truncate, epoch = None)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ReplayCommit.dropStaged(messages)
+}
+
+/** The streaming half of the sink: one [[ReplayCommit.publish]] per
+  * micro-batch, recorded in the manifest's epoch ledger under this
+  * query's id. Epochs per query are monotone and commit in order
+  * (MicroBatchExecution is sequential), so "already committed" is just
+  * `epochId <= recorded max` — a restart that re-runs the last batch
+  * (Spark's own commit log trailing the sink's) stages fresh temps,
+  * lands here, and drops them without publishing: exactly-once
+  * publication over an at-least-once replay. */
+final class ReplayStreamingWrite(path: String, queryId: String)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ReplayStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val committed = ReplayLog.readEpochs(path).get(queryId).exists(_ >= epochId)
+    if (committed) ReplayCommit.dropStaged(messages)
+    else ReplayCommit.publish(path, messages, truncate = false,
+      epoch = Some(queryId -> epochId))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    ReplayCommit.dropStaged(messages)
+}
+
+final class ReplayStreamingWriterFactory(path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ReplayDataWriter(path)
 }
 
 final class ReplayDataWriterFactory(path: String) extends DataWriterFactory {
@@ -241,11 +300,12 @@ case object ReplayEmptyCommit extends WriterCommitMessage
 final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ReplaySource.Schema
   private var limit: Option[Int] = None
+  private var aggOps: Option[Array[ReplayAggOp]] = None
 
   /** Accept exactly the filters the reader evaluates natively: offset /
     * ts_unix comparisons (which also prune segments) and wallet_id
@@ -267,7 +327,119 @@ final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
     * false so Spark keeps its own Limit on top. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  override def build(): Scan = new ReplayScan(path, pushed, required, maxSegs, limit)
+  /** AGGREGATE pushdown, PARTIAL by design: each segment answers
+    * COUNT(*) / MIN / MAX(offset|ts_unix) locally — min/max straight
+    * from its name-carried bounds (no I/O at all), count from an
+    * envelope-header walk (no key copy, no proto decode) — and Spark's
+    * final aggregate folds the one-row-per-segment results. Partial
+    * rather than complete on purpose: complete pushdown would have to
+    * produce the single global row at planning time, i.e. a DRIVER-side
+    * walk of every segment — at 100 TB the count must travel with the
+    * segments. Declined whenever data filters or a limit were pushed
+    * (name bounds only describe the unfiltered segment) or a group-by is
+    * present. */
+  private def translate(agg: Aggregation): Option[Array[ReplayAggOp]] = {
+    def boundCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+          (r.fieldNames()(0) == "offset" || r.fieldNames()(0) == "ts_unix") =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    if (pushed.nonEmpty || limit.nonEmpty || agg.groupByExpressions.nonEmpty)
+      return None
+    val ops = agg.aggregateExpressions.map {
+      case _: CountStar => ReplayAggOp("count", "")
+      case m: Min => boundCol(m.column).map(ReplayAggOp("min", _)).orNull
+      case m: Max => boundCol(m.column).map(ReplayAggOp("max", _)).orNull
+      case _ => null
+    }
+    if (ops.contains(null)) None else Some(ops)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case some @ Some(_) => aggOps = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggOps match {
+    case Some(ops) => new ReplayAggScan(path, ops)
+    case None => new ReplayScan(path, pushed, required, maxSegs, limit)
+  }
+}
+
+/** One pushed aggregate: `op` ∈ count|min|max, `col` the bound column
+  * (empty for count). Serializable — rides in the InputPartitions. */
+final case class ReplayAggOp(op: String, col: String) {
+  override def toString: String =
+    if (op == "count") "COUNT(*)" else s"${op.toUpperCase}($col)"
+}
+
+/** Scan planned when an aggregate was pushed: one partition per segment,
+  * each emitting a single row of per-segment partials in pushed-agg
+  * order. Spark rewrites the query's final aggregate to fold these
+  * (count→sum of counts, min→min of mins, max→max of maxes). An empty
+  * log plans ONE synthetic partition holding (0, null, null, …): the
+  * folded SUM over zero rows would be NULL where COUNT(*) must be 0. */
+final class ReplayAggScan(path: String, ops: Array[ReplayAggOp])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(ops.map(o => StructField(o.toString, LongType,
+      nullable = o.op != "count")))
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val segs = ReplayLog.segments(path)
+    if (segs.isEmpty) Array(ReplayAggPartition(null, 0, 0, 0, 0))
+    else segs.map(s => ReplayAggPartition(s.path, s.baseOffset, s.lastOffset,
+      s.minTs, s.maxTs): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayAggReaderFactory(ops)
+
+  override def description(): String =
+    s"graft-replay $path, PushedAggregates: [${ops.mkString(", ")}] " +
+      "(per-segment partials: min/max from name bounds, count from envelope walk)"
+}
+
+final case class ReplayAggPartition(segPath: String, base: Long, last: Long,
+                                    minTs: Long, maxTs: Long)
+    extends InputPartition
+
+final class ReplayAggReaderFactory(ops: Array[ReplayAggOp])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ReplayAggPartition]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(ops.length)
+        val empty = part.segPath == null
+        var i = 0
+        while (i < ops.length) {
+          ops(i) match {
+            case ReplayAggOp("count", _) =>
+              row.setLong(i, if (empty) 0L else ReplayLog.countFrames(part.segPath))
+            case ReplayAggOp("min", c) =>
+              if (empty) row.update(i, null)
+              else row.setLong(i, if (c == "offset") part.base else part.minTs)
+            case ReplayAggOp("max", c) =>
+              if (empty) row.update(i, null)
+              else row.setLong(i, if (c == "offset") part.last else part.maxTs)
+            case other => throw new IllegalStateException(s"unknown agg $other")
+          }
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Filter subset the source handles, compiled to per-frame predicates. */
@@ -286,6 +458,9 @@ private[replay] object ReplayFilters {
     case LessThanOrEqual(a, _) if isLongCol(a) => true
     case EqualTo("wallet_id", _: String) => true
     case In("wallet_id", vs) => vs.forall(_.isInstanceOf[String])
+    // Runtime (DPP-style) filters arrive as IN over the join keys.
+    case In(a, vs) if isLongCol(a) =>
+      vs.forall(v => v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer])
     case _ => false
   }
   private def isLongCol(a: String) = a == "offset" || a == "ts_unix"
@@ -309,6 +484,13 @@ private[replay] object ReplayFilters {
     case GreaterThanOrEqual("ts_unix", v) => seg.maxTs >= lv(v)
     case LessThan("ts_unix", v) => seg.minTs < lv(v)
     case LessThanOrEqual("ts_unix", v) => seg.minTs <= lv(v)
+    // The segment survives if ANY of the IN values lands in its bounds —
+    // this is what turns a runtime join-key filter into whole-segment
+    // pruning (the replay log's dynamic-partition-pruning analog).
+    case In("offset", vs) =>
+      vs.exists(v => lv(v) >= seg.baseOffset && lv(v) <= seg.lastOffset)
+    case In("ts_unix", vs) =>
+      vs.exists(v => lv(v) >= seg.minTs && lv(v) <= seg.maxTs)
     case _ => true
   }
 
@@ -327,18 +509,57 @@ private[replay] object ReplayFilters {
     case LessThanOrEqual("ts_unix", v) => fr.tsUnix <= lv(v)
     case EqualTo("wallet_id", v: String) => wallet() == v
     case In("wallet_id", vs) => vs.exists(_ == wallet())
+    case In(a, vs) if isLongCol(a) =>
+      // Fallback only — the reader splits long-column IN filters out and
+      // probes a hash set per frame instead of scanning the value array.
+      vs.exists(lv(_) == (if (a == "offset") fr.offset else fr.tsUnix))
     case _ => true
+  }
+
+  /** Split long-column IN filters (runtime join-key sets, possibly
+    * thousands of values) out of `filters`, compiled to hash sets: the
+    * per-frame test must be O(1), not O(|keys|). */
+  def compile(filters: Array[Filter]): (Array[Filter], Array[(Boolean, Set[Long])]) = {
+    val (ins, rest) = filters.partition {
+      case In(a, _) if isLongCol(a) => true
+      case _ => false
+    }
+    (rest, ins.map { case In(a, vs) => (a == "offset", vs.map(lv).toSet) })
   }
 }
 
 final class ReplayScan(path: String, filters: Array[Filter],
                        required: StructType, maxSegs: Option[Int] = None,
                        limit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Segments surviving name-bound pruning (computed at plan time). */
+  /** RUNTIME filtering — the replay log's dynamic-partition-pruning
+    * analog: a join whose other side was filtered down hands this scan
+    * an IN over the join keys at EXECUTION time, after planning but
+    * before the scan runs, and [[planInputPartitions]] re-prunes whole
+    * segments against it. At 100 TB this is the difference between
+    * reading the retention window a static predicate selects and reading
+    * only the segments the probe keys actually land in. Correctness does
+    * not depend on it (the join re-filters); segment selection does. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  /** Spec hook: (survivors, candidates) of the last runtime re-prune. */
+  @volatile var runtimeSelection: Option[(Int, Int)] = None
+
+  /** Only columns that SURVIVED pruning: Spark resolves these against
+    * the scan's output, so naming a pruned column is an analysis error
+    * (and a join can only hand us keys it actually reads). */
+  override def filterAttributes(): Array[NamedReference] =
+    Array("offset", "ts_unix").filter(required.fieldNames.contains)
+      .map(Expressions.column)
+
+  override def filter(runtimeFilters: Array[Filter]): Unit =
+    runtime = runtimeFilters.filter(ReplayFilters.supported)
+
+  /** Segments surviving name-bound pruning against the STATIC pushed
+    * filters (computed at plan time; runtime filters re-prune below). */
   lazy val plannedSegments: Seq[ReplayLog.SegmentMeta] =
     ReplayLog.segments(path).filter(seg =>
       filters.forall(f => ReplayFilters.segmentMayMatch(f, seg)))
@@ -346,12 +567,20 @@ final class ReplayScan(path: String, filters: Array[Filter],
   /** Total segments on disk (spec hook: prunedSegments = total - planned). */
   lazy val totalSegments: Int = ReplayLog.segments(path).size
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedSegments.map(s =>
-      ReplaySegmentPartition(s.path): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val segs =
+      if (runtime.isEmpty) plannedSegments
+      else {
+        val survivors = plannedSegments.filter(seg =>
+          runtime.forall(f => ReplayFilters.segmentMayMatch(f, seg)))
+        runtimeSelection = Some((survivors.size, plannedSegments.size))
+        survivors
+      }
+    segs.map(s => ReplaySegmentPartition(s.path): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayReaderFactory(filters, required.fieldNames, limit)
+    new ReplayReaderFactory(filters ++ runtime, required.fieldNames, limit)
 
   /** Post-pruning size (file bytes of the surviving segments) — so the
     * optimizer's join-side sizing sees the PRUNED read, not the whole
@@ -476,6 +705,9 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
         case EqualTo("wallet_id", _) | In("wallet_id", _) => true
         case _ => false
       }
+  // Long-column IN filters (runtime join-key sets) compiled to hash
+  // sets; everything else evaluated via ReplayFilters.frameMatches.
+  private val (plain, longSets) = ReplayFilters.compile(filters)
   private val frames = ReplayLog.readSegment(segPath, needsValue)
   private var current: ReplayLog.Frame = _
 
@@ -490,7 +722,9 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
     while (frames.hasNext) {
       val f = frames.next()
       lazy val wallet = new String(f.wallet, "UTF-8")
-      if (filters.forall(fl => ReplayFilters.frameMatches(fl, f, () => wallet))) {
+      if (longSets.forall { case (isOffset, set) =>
+            set.contains(if (isOffset) f.offset else f.tsUnix) } &&
+          plain.forall(fl => ReplayFilters.frameMatches(fl, f, () => wallet))) {
         current = f
         emitted += 1
         return true
