@@ -959,4 +959,75 @@ object Corpus {
       .select(col("doc_id"), col("cid").as("chunk_id"), col("start_tok"),
         col("end_tok"), col("n_tokens"), col("chunk_md5"))
   }
+
+  /** Per-document PROVENANCE through the cleaning funnel — the record
+    * every corpus owner ships with a training set: for each document, the
+    * first stage that dropped it (quality → language → exact dedup →
+    * near-dup → benchmark holdout → contamination), the stage's deciding
+    * score, and the mix split for survivors. Output: (doc_id, fate,
+    * score, split).
+    *
+    * COMPOSED, never recomputed: every stage replays the exact predicate
+    * of its already-oracle-checked stage query — the quality/language
+    * gates and exact dedup of `pipeline_training_mix`, the
+    * k12/b4/r3/τ0.5 LSH drop rule of `pipeline_clean_corpus` (read from
+    * the [[Dedup.lshVerifiedPairs]] artifact), and
+    * `pipeline_training_mix`'s 4-gram contamination — so the funnel's
+    * per-stage counts reconcile against the stage rows by construction.
+    *
+    * Scale shape: one corpus pass builds the gate columns; exact-dup rank
+    * is ONE window over the text-hash partition (survivors ordered first,
+    * so the rank among gated docs needs no self-join); the near-dup and
+    * contamination drop lists are duplicate-/contamination-proportional
+    * (≪ corpus) left joins. The whole fate table is a read-through
+    * artifact keyed on the corpus fingerprint, serving both the per-doc
+    * and the retention-funnel queries. */
+  def provenanceFate(docs: DataFrame): DataFrame =
+    Dedup.cachedDocIndex(docs, "provenance", "v1") {
+      val enPat = graft.functions.TextFunctions.langMarkers.toMap.apply("en")
+      val nd = Dedup.lshVerifiedPairs(docs, k = 12, bands = 4, rows = 3,
+          threshold = 0.5)
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(max(col("jaccard")).as("nd_score"))
+      val ct = contaminationPairs(docs, n = 4,
+          isBench = col("doc_id") % 20 === 0)
+        .groupBy(col("train_id").as("doc_id"))
+        .agg(max(col("n_shared")).cast("double").as("ct_score"))
+      val base = docs
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("stop_hits",
+          graft.functions.TextFunctions.langScore(col("text"), enPat))
+        .withColumn("ratio",
+          col("stop_hits") / col("n_tokens").cast("double"))
+        .withColumn("gated",
+          col("n_tokens") >= 20 && col("ratio") >= 0.05)
+        // Rank within each exact-text group with gated docs FIRST: a
+        // gated doc's rank among gated docs equals its overall rank (all
+        // rows before it are gated), so one window replaces a
+        // gated-subset self-join; non-gated ranks are never read (their
+        // fate is decided upstream).
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text").cast("binary")))
+            .orderBy(col("gated").desc, col("doc_id"))))
+      base
+        .join(nd, Seq("doc_id"), "left")
+        .join(ct, Seq("doc_id"), "left")
+        .withColumn("fate",
+          when(col("n_tokens") < 20, "quality")
+            .when(col("ratio") < 0.05, "lang")
+            .when(col("rn") > 1, "exact_dup")
+            .when(col("nd_score").isNotNull, "near_dup")
+            .when(col("doc_id") % 20 === 0, "bench")
+            .when(col("ct_score").isNotNull, "contamination")
+            .otherwise("kept"))
+        .withColumn("score",
+          when(col("fate") === "quality", col("n_tokens").cast("double"))
+            .when(col("fate") === "lang", col("ratio"))
+            .when(col("fate") === "exact_dup", col("rn").cast("double"))
+            .when(col("fate") === "near_dup", col("nd_score"))
+            .when(col("fate") === "contamination", col("ct_score")))
+        .withColumn("split", when(col("fate") === "kept",
+          Sampling.splitAssign(col("doc_id"), 0.8, 0.1)))
+        .select(col("doc_id"), col("fate"), col("score"), col("split"))
+    }
 }

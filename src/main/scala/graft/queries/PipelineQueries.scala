@@ -480,8 +480,109 @@ object PipelineQueries {
     Q("pipeline_quality_served", qualityLrServeSql(3)) { (s, d) =>
       Corpus.qualityLrServe(Tables.documents(s, d),
         col("doc_id") % 10 === 7, iters = 3)
+    },
+
+    // PROVENANCE: per-document fate through the cleaning funnel — first
+    // dropping stage (quality → lang → exact dedup → near-dup → bench
+    // holdout → contamination), its deciding score, and the mix split
+    // for survivors. Composed from the already-oracle-checked stage
+    // predicates (see Corpus.provenanceFate); the oracle replays the
+    // whole funnel, so any drift between a stage query and the funnel's
+    // replica of it fails the hash doc-by-doc.
+    Q("pipeline_provenance",
+      provenanceCtes +
+        "SELECT doc_id, fate, CASE fate WHEN 'quality' THEN n_tokens::DOUBLE " +
+        "WHEN 'lang' THEN ratio WHEN 'exact_dup' THEN rn::DOUBLE " +
+        "WHEN 'near_dup' THEN nd_score WHEN 'contamination' THEN ct_score END AS score, " +
+        s"CASE WHEN fate = 'kept' THEN (CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '${Sampling.thresholdHex(0.8)}' THEN 'train' " +
+        s"WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '${Sampling.thresholdHex(0.9)}' THEN 'valid' " +
+        "ELSE 'test' END) END AS split " +
+        "FROM fate ORDER BY doc_id") { (s, d) =>
+      Corpus.provenanceFate(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    // The retention funnel over the same fate table: docs entering each
+    // stage (n_in) and dropped there (n_docs), ending in the kept row —
+    // the per-stage census a data-governance report publishes next to
+    // the corpus. Reads the provenance artifact; one tiny window over
+    // ≤ 7 rows.
+    Q("pipeline_retention",
+      provenanceCtes +
+        ", ranked AS (SELECT CASE fate WHEN 'quality' THEN 1 WHEN 'lang' THEN 2 " +
+        "WHEN 'exact_dup' THEN 3 WHEN 'near_dup' THEN 4 WHEN 'bench' THEN 5 " +
+        "WHEN 'contamination' THEN 6 ELSE 7 END AS ord, fate AS stage, " +
+        "COUNT(*) AS n_docs FROM fate GROUP BY 1, 2) " +
+        "SELECT ord, stage, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST((SELECT COUNT(*) FROM documents) - " +
+        "COALESCE(SUM(n_docs) OVER (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in " +
+        "FROM ranked ORDER BY ord") { (s, d) =>
+      val fates = Corpus.provenanceFate(Tables.documents(s, d))
+      val counts = fates
+        .groupBy(col("fate").as("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("ord",
+          when(col("stage") === "quality", 1)
+            .when(col("stage") === "lang", 2)
+            .when(col("stage") === "exact_dup", 3)
+            .when(col("stage") === "near_dup", 4)
+            .when(col("stage") === "bench", 5)
+            .when(col("stage") === "contamination", 6)
+            .otherwise(7))
+      val w = Window.orderBy(col("ord"))
+      counts
+        .withColumn("n_in",
+          sum(col("n_docs")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)) -
+            coalesce(sum(col("n_docs")).over(w.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("ord"), col("stage"), col("n_docs"), col("n_in"))
+        .orderBy(col("ord"))
     }
   )
+
+  /** Shared DuckDB CTE chain replaying [[Corpus.provenanceFate]]: the
+    * LSH near-dup drop list is `pipeline_clean_corpus`'s k12/b4/r3/τ0.5
+    * pipeline with the max verified Jaccard kept per dropped id; the
+    * 4-gram contamination list is `pipeline_training_mix`'s, with the max
+    * shared-gram count kept; gates and exact-dup rank replay
+    * `pipeline_training_mix` (survivors ranked first inside each
+    * text-hash group, so the gated rank needs no gated-only subquery). */
+  private def provenanceCtes: String =
+    "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+      "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks), " +
+      "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+      "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+      "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
+      "FROM sig, range(0, 4) r(j)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+      "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+      "nd AS (SELECT id_b AS doc_id, " +
+      "MAX(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s)))) AS nd_score " +
+      "FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b " +
+      "WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5 " +
+      "GROUP BY 1), " +
+      "g4 AS (SELECT doc_id, doc_id % 20 = 0 AS is_bench, substr(md5(ng), 1, 16) AS gh " +
+      "FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS ng " +
+      "FROM toks WHERE len(t) >= 4)), " +
+      "ctp AS (SELECT g1.doc_id AS train_id, g2.doc_id AS bench_id, " +
+      "COUNT(DISTINCT g1.gh) AS n_shared FROM g4 g1 JOIN g4 g2 ON g1.gh = g2.gh " +
+      "AND NOT g1.is_bench AND g2.is_bench GROUP BY 1, 2), " +
+      "ct AS (SELECT train_id AS doc_id, MAX(n_shared)::DOUBLE AS ct_score FROM ctp GROUP BY 1), " +
+      "q AS (SELECT doc_id, text, " +
+      s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
+      "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents), " +
+      "b AS (SELECT doc_id, n_tokens, stop_hits / n_tokens::DOUBLE AS ratio, " +
+      "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY " +
+      "(n_tokens >= 20 AND stop_hits / n_tokens::DOUBLE >= 0.05) DESC, doc_id) AS rn FROM q), " +
+      "fate AS (SELECT b.doc_id, n_tokens, ratio, rn, nd_score, ct_score, " +
+      "CASE WHEN n_tokens < 20 THEN 'quality' WHEN ratio < 0.05 THEN 'lang' " +
+      "WHEN rn > 1 THEN 'exact_dup' WHEN nd_score IS NOT NULL THEN 'near_dup' " +
+      "WHEN b.doc_id % 20 = 0 THEN 'bench' WHEN ct_score IS NOT NULL THEN 'contamination' " +
+      "ELSE 'kept' END AS fate " +
+      "FROM b LEFT JOIN nd ON nd.doc_id = b.doc_id LEFT JOIN ct ON ct.doc_id = b.doc_id) "
 
   /** Shared CTE chain replaying [[Corpus.qualityLrTrain]] in DuckDB:
     * feature table `f` + unrolled GD steps ending at `w{iters}t`

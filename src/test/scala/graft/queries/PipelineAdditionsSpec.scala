@@ -120,4 +120,47 @@ class PipelineAdditionsSpec extends AnyFunSuite with SparkSpec {
         s"count-min undercounted: est ${r.getLong(0)} < exact ${r.getLong(1)}")
     }
   }
+
+  test("provenanceFate: first-drop-wins fates partition the corpus") {
+    // Hand-built corpus hitting every funnel stage. long20/long20b: same
+    // 20-token text (exact dups) passing both gates; doc 40 is a bench
+    // holdout; doc 3 shares long20's text but fails nothing earlier than
+    // exact-dup; doc 5 is too short (quality) AND an exact dup of doc 9 —
+    // first-drop-wins must say 'quality'.
+    val long20 = (1 to 20).map(i => s"the t$i").mkString(" ") // 40 tokens, 'the' ratio 0.5
+    val short = "the a"
+    val docs = Seq(
+      (1L, long20), (3L, long20), // kept + exact_dup
+      (5L, short), (9L, short),   // both fail quality (2 tokens); 5 also dup of 9
+      // Bench holdout (40 % 20 == 0): passes both gates but shares no
+      // 4-gram with any train doc, so nothing upstream is contaminated.
+      (40L, (1 to 20).map(i => s"the b$i").mkString(" ")),
+      (7L, (1 to 25).map(i => s"w$i").mkString(" ")) // 25 tokens, no markers -> lang
+    ).toDF("doc_id", "text")
+    val fates = Corpus.provenanceFate(docs)
+      .select(col("doc_id"), col("fate")).as[(Long, String)].collect().toMap
+    assert(fates.size == 6, "fates must partition the corpus (one row per doc)")
+    assert(fates(1L) == "kept")
+    assert(fates(3L) == "exact_dup")
+    assert(fates(5L) == "quality")
+    assert(fates(9L) == "quality")
+    assert(fates(40L) == "bench")
+    assert(fates(7L) == "lang")
+  }
+
+  test("pipeline_retention: funnel counts reconcile with the fate table") {
+    val fates = SparkEntry.queries("pipeline_provenance")(spark, sf)
+    val funnel = SparkEntry.queries("pipeline_retention")(spark, sf).collect()
+    val total = fates.count()
+    // Drops + kept sum to the corpus, and each stage's n_in is the
+    // corpus minus everything dropped before it.
+    assert(funnel.map(_.getLong(2)).sum == total)
+    var remaining = total
+    funnel.foreach { r =>
+      assert(r.getLong(3) == remaining,
+        s"stage ${r.getString(1)}: n_in ${r.getLong(3)} != $remaining")
+      remaining -= r.getLong(2)
+    }
+    assert(remaining == 0L)
+  }
 }
