@@ -124,7 +124,12 @@ object Bench {
         val fBefore = operators.IndexCache.forensicsSnapshot
         val t0 = System.nanoTime()
         val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          try {
+            queries.QueryTuning.withProfile(spark, name) {
+              SparkEntry.queries(name)(spark, sfDir).count()
+            }
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false

@@ -53,8 +53,12 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // Same per-query profile as Bench: the oracle gate must validate
+        // results under the exact configuration the bench times.
+        queries.QueryTuning.withProfile(spark, name) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         // Non-vacuity gate: a registered query returning 0 rows at sf0.01
         // almost always means a broken predicate "passing" against an
         // equally-empty oracle (two such slipped to mid-round in r11).
