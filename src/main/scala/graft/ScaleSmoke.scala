@@ -450,7 +450,21 @@ object ScaleSmoke {
       // mult× deposits once (first run; min-of-runs then measures the
       // serve path) and scans the offset-pruned segment tail — segment
       // pruning keeps the read at the predicate's share of the log.
-      "sim_ce_rerank", "q_replay_source")
+      "sim_ce_rerank", "q_replay_source",
+      // Round 16: provenance composes gates + one text-hash window +
+      // drop-list left joins (dup-/contamination-proportional sides) —
+      // expected ~linear like its constituent stages; retention is the
+      // ≤7-row census over the persisted fate artifact (~flat beyond the
+      // artifact scan). The runtime-prune join probes mult× frames with
+      // a key set that stays the top offset quartile — DPP keeps the
+      // read at the probed share, so ~linear in the surviving segments.
+      // The agg pushdown answers from segment names + an envelope walk
+      // (~linear in frames with a tiny constant); the streaming
+      // round-trip re-publishes the mult× log through the V2 sink
+      // (honestly linear in frames both sides of the commit).
+      "pipeline_provenance", "pipeline_retention",
+      "q_replay_runtime_prune", "q_replay_agg_pushdown",
+      "stream_replay_roundtrip")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
