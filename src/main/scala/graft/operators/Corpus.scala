@@ -707,8 +707,14 @@ object Corpus {
     // scoring side (is_t is doc-constant, so dropping it leaves exactly
     // the (doc_id, bk, cnt) table dsirScoreFromCounts consumes — ALL
     // batch docs are scored, mirroring dsirServed's membership filter).
+    // LAZY checkpoint: materialized inside the first consuming job and
+    // reused by the second — an eager one here spends a dedicated job
+    // (plus its fixed ~30 ms scheduling cost) materializing a table the
+    // next job would have materialized anyway. Both consumers still read
+    // the checkpointed blocks, never recompute the tokenize.
     val batchCounts =
-      dsirCounts(docs.where(inBatch), buckets, isTarget).localCheckpoint()
+      dsirCounts(docs.where(inBatch), buckets, isTarget)
+        .localCheckpoint(eager = false)
     val merged = dsirCountsCached(docs.where(!inBatch), buckets, isTarget)
       .unionByName(batchCounts)
     dsirScoreFromCounts(
