@@ -421,6 +421,23 @@ object ExtrasQueries {
         .orderBy(col("wallet_id"))
     },
 
+    // TOP-N pushdown through the connector: ORDER BY offset DESC LIMIT n
+    // plans only the n highest-bound segments (offset ranges are disjoint
+    // by the writer's range partitioning, re-verified from name bounds)
+    // and each reader emits its n extremes from a bounded heap — a
+    // "latest n deposits" lookup on a million-segment archive reads n
+    // files. Spark keeps the global TakeOrdered (partial-push contract);
+    // ReplayOptimizerSpec pins the plan cut and heap bounding.
+    Q("q_replay_topn",
+      "SELECT event_id AS offset, CAST(user_id AS VARCHAR) AS wallet_id, " +
+        "value AS amount FROM events WHERE value > 0 " +
+        "ORDER BY event_id DESC LIMIT 25") { (s, d) =>
+      val dir = replayLogFor(s, d)
+      s.read.format("graft-replay").load(dir)
+        .orderBy(col("offset").desc).limit(25)
+        .select(col("offset"), col("wallet_id"), col("amount"))
+    },
+
     // RUNTIME (DPP-analog) filtering through the connector: the probe
     // side is a "recent keys" table whose offset range is a property of
     // its CONTENT (written at build time), not an in-plan predicate — so

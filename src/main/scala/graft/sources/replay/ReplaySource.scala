@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -300,11 +301,13 @@ case object ReplayEmptyCommit extends WriterCommitMessage
 final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownAggregates
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ReplaySource.Schema
   private var limit: Option[Int] = None
+  private var topN: Option[ReplayTopN] = None
   private var aggOps: Option[Array[ReplayAggOp]] = None
 
   /** Accept exactly the filters the reader evaluates natively: offset /
@@ -327,6 +330,29 @@ final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
     * false so Spark keeps its own Limit on top. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
+  /** TOP-N pushdown (`ORDER BY offset|ts_unix [DESC] LIMIT n`), PARTIAL
+    * by contract (Spark keeps the global TakeOrdered): each reader emits
+    * only its segment's n extremes from a bounded heap, and — the real
+    * prize — when the segments' offset ranges are pairwise DISJOINT (the
+    * connector's own writer guarantees it; verified from NAME bounds at
+    * plan time) an offset top-n needs only the first n segments in bound
+    * order: every frame of a later segment orders after every frame of
+    * the kept ones. `ORDER BY offset LIMIT 10` on a million-segment
+    * archive reads ≤ 10 files. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (orders.length != 1) return false
+    orders(0).expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          isLongColName(r.fieldNames()(0)) =>
+        topN = Some(ReplayTopN(r.fieldNames()(0),
+          orders(0).direction() == SortDirection.DESCENDING, n))
+        true
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
+  private def isLongColName(a: String) = a == "offset" || a == "ts_unix"
+
   /** AGGREGATE pushdown, PARTIAL by design: each segment answers
     * COUNT(*) / MIN / MAX(offset|ts_unix) locally — min/max straight
     * from its name-carried bounds (no I/O at all), count from an
@@ -346,7 +372,8 @@ final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
           Some(r.fieldNames()(0))
         case _ => None
       }
-    if (pushed.nonEmpty || limit.nonEmpty || agg.groupByExpressions.nonEmpty)
+    if (pushed.nonEmpty || limit.nonEmpty || topN.nonEmpty ||
+        agg.groupByExpressions.nonEmpty)
       return None
     val ops = agg.aggregateExpressions.map {
       case _: CountStar => ReplayAggOp("count", "")
@@ -367,9 +394,12 @@ final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
 
   override def build(): Scan = aggOps match {
     case Some(ops) => new ReplayAggScan(path, ops)
-    case None => new ReplayScan(path, pushed, required, maxSegs, limit)
+    case None => new ReplayScan(path, pushed, required, maxSegs, limit, topN)
   }
 }
+
+/** One pushed top-n: order column, direction, and the bound. */
+final case class ReplayTopN(col: String, desc: Boolean, n: Int)
 
 /** One pushed aggregate: `op` ∈ count|min|max, `col` the bound column
   * (empty for count). Serializable — rides in the InputPartitions. */
@@ -530,7 +560,8 @@ private[replay] object ReplayFilters {
 
 final class ReplayScan(path: String, filters: Array[Filter],
                        required: StructType, maxSegs: Option[Int] = None,
-                       limit: Option[Int] = None)
+                       limit: Option[Int] = None,
+                       topN: Option[ReplayTopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -576,11 +607,30 @@ final class ReplayScan(path: String, filters: Array[Filter],
         runtimeSelection = Some((survivors.size, plannedSegments.size))
         survivors
       }
-    segs.map(s => ReplaySegmentPartition(s.path): InputPartition).toArray
+    // Offset top-n over DISJOINT segment ranges (the connector's writer
+    // guarantees disjointness; re-checked from name bounds because an
+    // externally-assembled log may overlap): each segment holds ≥ 1
+    // frame, so the n extreme frames live inside the n extreme segments
+    // in bound order. ts bounds can overlap arbitrarily — no file-level
+    // cut for ts top-n, the reader's heap still bounds the emit.
+    val cut = topN match {
+      case Some(t) if t.col == "offset" && disjointByOffset(segs) =>
+        val ordered =
+          if (t.desc) segs.sortBy(s => -s.lastOffset)
+          else segs.sortBy(_.baseOffset)
+        ordered.take(t.n)
+      case _ => segs
+    }
+    cut.map(s => ReplaySegmentPartition(s.path): InputPartition).toArray
+  }
+
+  private def disjointByOffset(segs: Seq[ReplayLog.SegmentMeta]): Boolean = {
+    val sorted = segs.sortBy(_.baseOffset)
+    sorted.zip(sorted.drop(1)).forall { case (a, b) => b.baseOffset > a.lastOffset }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayReaderFactory(filters ++ runtime, required.fieldNames, limit)
+    new ReplayReaderFactory(filters ++ runtime, required.fieldNames, limit, topN)
 
   /** Post-pruning size (file bytes of the surviving segments) — so the
     * optimizer's join-side sizing sees the PRUNED read, not the whole
@@ -607,6 +657,8 @@ final class ReplayScan(path: String, filters: Array[Filter],
     s"graft-replay $path, segments $planned/$totalSegments after pruning, " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
       limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
+      topN.map(t => s"PushedTopN: ORDER BY ${t.col}" +
+        s"${if (t.desc) " DESC" else ""} LIMIT ${t.n}, ").getOrElse("") +
       s"ReadSchema: ${required.simpleString}"
   }
 }
@@ -676,7 +728,8 @@ final case class ReplaySegmentPartition(segPath: String,
 
 final class ReplayReaderFactory(filters: Array[Filter],
                                 columns: Array[String],
-                                limit: Option[Int] = None)
+                                limit: Option[Int] = None,
+                                topN: Option[ReplayTopN] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ReplaySegmentPartition]
@@ -685,7 +738,11 @@ final class ReplayReaderFactory(filters: Array[Filter],
         Array[Filter](GreaterThan("offset", part.from)) else Array.empty[Filter]) ++
       (if (part.to != Long.MaxValue)
         Array[Filter](LessThanOrEqual("offset", part.to)) else Array.empty[Filter])
-    new ReplayPartitionReader(part.segPath, filters ++ range, columns, limit)
+    new ReplayPartitionReader(part.segPath, filters ++ range, columns,
+      // A pushed LIMIT is order-insensitive; under a TopN the per-reader
+      // early stop would be wrong (the extremes can sit anywhere in the
+      // segment), so the heap below takes over the bounding.
+      if (topN.isDefined) None else limit, topN)
   }
 }
 
@@ -694,7 +751,8 @@ final class ReplayReaderFactory(filters: Array[Filter],
   * if some required column or filter needs it. */
 final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
                                   columns: Array[String],
-                                  limit: Option[Int] = None)
+                                  limit: Option[Int] = None,
+                                  topN: Option[ReplayTopN] = None)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0
@@ -711,7 +769,39 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
   private val frames = ReplayLog.readSegment(segPath, needsValue)
   private var current: ReplayLog.Frame = _
 
+  private def matches(f: ReplayLog.Frame): Boolean = {
+    lazy val wallet = new String(f.wallet, "UTF-8")
+    longSets.forall { case (isOffset, set) =>
+      set.contains(if (isOffset) f.offset else f.tsUnix) } &&
+      plain.forall(fl => ReplayFilters.frameMatches(fl, f, () => wallet))
+  }
+
+  /** Pushed top-n: the segment's n extreme matching frames via a bounded
+    * heap (memory = n frames, not the segment) — emitted unsorted; Spark
+    * keeps the global TakeOrdered (partial-push contract). readSegment
+    * allocates a fresh Frame per record, so retaining them is safe. */
+  private lazy val heaped: Iterator[ReplayLog.Frame] = {
+    val t = topN.get
+    val key: ReplayLog.Frame => Long =
+      if (t.col == "offset") _.offset else _.tsUnix
+    // ASC keeps the n smallest → evict the MAX (natural ordering heap);
+    // DESC the mirror.
+    val ord = if (t.desc) Ordering.by(key).reverse else Ordering.by(key)
+    val pq = scala.collection.mutable.PriorityQueue.empty[ReplayLog.Frame](ord)
+    while (frames.hasNext) {
+      val f = frames.next()
+      if (matches(f)) { pq.enqueue(f); if (pq.size > t.n) pq.dequeue() }
+    }
+    frames.close()
+    pq.dequeueAll.iterator
+  }
+
   override def next(): Boolean = {
+    if (topN.isDefined) {
+      if (!heaped.hasNext) return false
+      current = heaped.next()
+      return true
+    }
     // Deliberate asymmetry: the limit-hit path closes eagerly (the frame
     // stream may have many frames left to skip), while the exhausted path
     // below leaves closing to the close() contract Spark always honors —
@@ -721,10 +811,7 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
     if (limit.exists(emitted >= _)) { frames.close(); return false }
     while (frames.hasNext) {
       val f = frames.next()
-      lazy val wallet = new String(f.wallet, "UTF-8")
-      if (longSets.forall { case (isOffset, set) =>
-            set.contains(if (isOffset) f.offset else f.tsUnix) } &&
-          plain.forall(fl => ReplayFilters.frameMatches(fl, f, () => wallet))) {
+      if (matches(f)) {
         current = f
         emitted += 1
         return true

@@ -182,6 +182,37 @@ class ReplayOptimizerSpec extends AnyFunSuite with SparkSpec {
     assert(ReplayLog.segments(out).size == 2)
   }
 
+  test("offset top-n prunes to n segments and results are exact") {
+    val dir = freshDir(); writeLog(dir) // 4 disjoint range segments
+    val df = spark.read.format("graft-replay").load(dir)
+      .orderBy(col("offset").desc).limit(3)
+    val scan = scanOf(df).asInstanceOf[ReplayScan]
+    assert(scan.description().contains("PushedTopN: ORDER BY offset DESC LIMIT 3"),
+      s"top-n not pushed: ${scan.description()}")
+    // Disjoint ranges + DESC 3 → only the highest-bound 3 segments planned.
+    assert(scan.toBatch.planInputPartitions().length == 3)
+    assert(df.as[(Long, Long, String, Double)].collect().map(_._1).toSeq ==
+      Seq(40L, 39L, 38L))
+    // ASC with a filter: exact under combined pushdowns.
+    val asc = spark.read.format("graft-replay").load(dir)
+      .where(col("wallet_id") === "w1")
+      .orderBy(col("offset")).limit(2)
+    assert(asc.as[(Long, Long, String, Double)].collect().map(_._1).toSeq ==
+      Seq(1L, 5L))
+  }
+
+  test("ts top-n keeps all segments (overlap-safe) but bounds the emit") {
+    val dir = freshDir(); writeLog(dir)
+    val df = spark.read.format("graft-replay").load(dir)
+      .orderBy(col("ts_unix").desc).limit(2)
+    val scan = scanOf(df).asInstanceOf[ReplayScan]
+    assert(scan.description().contains("PushedTopN: ORDER BY ts_unix DESC LIMIT 2"))
+    // ts name bounds are not range-partitioned → no file-level cut.
+    assert(scan.toBatch.planInputPartitions().length == 4)
+    assert(df.as[(Long, Long, String, Double)].collect().map(_._2).toSeq ==
+      Seq(1390L, 1380L))
+  }
+
   test("the writer rejects null columns loudly") {
     val dir = freshDir()
     val withNull = Seq((Some(1L), 1000L, Option.empty[String], 1.0),
