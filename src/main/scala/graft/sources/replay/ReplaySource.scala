@@ -657,8 +657,14 @@ final class ReplayScan(path: String, filters: Array[Filter],
     s"graft-replay $path, segments $planned/$totalSegments after pruning, " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
       limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
-      topN.map(t => s"PushedTopN: ORDER BY ${t.col}" +
-        s"${if (t.desc) " DESC" else ""} LIMIT ${t.n}, ").getOrElse("") +
+      topN.map { t =>
+        val cut =
+          if (t.col == "offset" && disjointByOffset(plannedSegments))
+            s" (segment cut to ${math.min(t.n, planned)})"
+          else ""
+        s"PushedTopN: ORDER BY ${t.col}" +
+          s"${if (t.desc) " DESC" else ""} LIMIT ${t.n}$cut, "
+      }.getOrElse("") +
       s"ReadSchema: ${required.simpleString}"
   }
 }
