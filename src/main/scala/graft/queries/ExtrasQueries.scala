@@ -438,6 +438,24 @@ object ExtrasQueries {
         .select(col("offset"), col("wallet_id"), col("amount"))
     },
 
+    // The connector through the SQL-TEXT layer: a named relation bound
+    // with CREATE TEMPORARY VIEW ... USING graft-replay (the DDL path a
+    // SQL-only user takes), then plain SQL over it — same pushdown stack
+    // underneath (the offset predicate still prunes segments), proving
+    // the TableProvider surface is not DataFrame-API-only.
+    Q("q_replay_sql_ddl",
+      "SELECT CAST(user_id AS VARCHAR) AS wallet_id, " +
+        "ROUND(SUM(value), 2) AS total_amount, COUNT(*) AS n_deposits " +
+        "FROM events WHERE value > 0 AND event_id % 3 = 0 " +
+        "GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1") { (s, d) =>
+      val dir = replayLogFor(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_replay_log " +
+        s"USING `graft-replay` OPTIONS (path '$dir')")
+      s.sql("SELECT wallet_id, ROUND(SUM(amount), 2) AS total_amount, " +
+        "COUNT(*) AS n_deposits FROM graft_replay_log " +
+        "WHERE offset % 3 = 0 GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1")
+    },
+
     // RUNTIME (DPP-analog) filtering through the connector: the probe
     // side is a "recent keys" table whose offset range is a property of
     // its CONTENT (written at build time), not an in-plan predicate — so
