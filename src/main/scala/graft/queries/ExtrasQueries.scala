@@ -438,6 +438,23 @@ object ExtrasQueries {
         .select(col("offset"), col("wallet_id"), col("amount"))
     },
 
+    // The `_segment` METADATA COLUMN (the file source's
+    // _metadata.file_name / Kafka partition-column analog): per-frame
+    // provenance surfaced only when selected. The census through it must
+    // agree with the build convention (4 range segments) and the data's
+    // own bounds; ReplayOptimizerSpec pins the stronger per-segment
+    // range-partition properties the oracle can't express.
+    Q("q_replay_segment_census",
+      "SELECT 4 AS n_segments, COUNT(*) AS n_frames, " +
+        "MIN(event_id) AS min_offset, MAX(event_id) AS max_offset " +
+        "FROM events WHERE value > 0") { (s, d) =>
+      val dir = replayLogFor(s, d)
+      s.read.format("graft-replay").load(dir)
+        .agg(countDistinct(col("_segment")).cast("int").as("n_segments"),
+          count(lit(1)).as("n_frames"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+    },
+
     // The connector through the SQL-TEXT layer: a named relation bound
     // with CREATE TEMPORARY VIEW ... USING graft-replay (the DDL path a
     // SQL-only user takes), then plain SQL over it — same pushdown stack

@@ -78,8 +78,23 @@ object ReplaySource {
 
 final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-replay:$path"
+
+  /** `_segment` — the frame's provenance file, the analog of the file
+    * source's `_metadata.file_name` / Kafka's partition column: surfaced
+    * only when selected (it rides column pruning like any column), free
+    * to produce (the reader already knows its segment). Lets a consumer
+    * audit WHERE a record came from — which compaction generation, which
+    * retention window — without leaving SQL. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_segment"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "segment file name this frame was read from"
+    })
   override def schema(): StructType = ReplaySource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -773,6 +788,7 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
   // sets; everything else evaluated via ReplayFilters.frameMatches.
   private val (plain, longSets) = ReplayFilters.compile(filters)
   private val frames = ReplayLog.readSegment(segPath, needsValue)
+  private val segName = new java.io.File(segPath).getName
   private var current: ReplayLog.Frame = _
 
   private def matches(f: ReplayLog.Frame): Boolean = {
@@ -835,6 +851,7 @@ final class ReplayPartitionReader(segPath: String, filters: Array[Filter],
         case "ts_unix"   => row.setLong(i, current.tsUnix)
         case "wallet_id" => row.update(i, UTF8String.fromBytes(current.wallet))
         case "amount"    => row.setDouble(i, current.amount)
+        case "_segment"  => row.update(i, UTF8String.fromString(segName))
         case other => throw new IllegalStateException(s"unknown column $other")
       }
       i += 1

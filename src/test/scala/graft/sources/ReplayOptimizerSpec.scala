@@ -213,6 +213,26 @@ class ReplayOptimizerSpec extends AnyFunSuite with SparkSpec {
       Seq(1390L, 1380L))
   }
 
+  test("_segment metadata column reports frame provenance") {
+    val dir = freshDir(); writeLog(dir) // 4 disjoint range segments
+    val df = spark.read.format("graft-replay").load(dir)
+      .select(col("offset"), col("_segment"))
+    // One segment name per disjoint offset quartile; offsets 1..10 in
+    // the first, 31..40 in the last.
+    val rows = df.as[(Long, String)].collect()
+    assert(rows.length == 40)
+    val bySeg = rows.groupBy(_._2)
+    assert(bySeg.size == 4, s"expected 4 segments, got ${bySeg.keys}")
+    bySeg.values.foreach { g =>
+      assert(g.length == 10)
+      assert(g.map(_._1).max - g.map(_._1).min == 9, "segment not a range")
+    }
+    assert(rows.forall(_._2.endsWith(".rlog")))
+    // Not selected -> not produced (metadata columns ride pruning).
+    assert(!spark.read.format("graft-replay").load(dir)
+      .schema.fieldNames.contains("_segment"))
+  }
+
   test("the writer rejects null columns loudly") {
     val dir = freshDir()
     val withNull = Seq((Some(1L), 1000L, Option.empty[String], 1.0),
