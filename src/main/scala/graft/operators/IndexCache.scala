@@ -229,8 +229,11 @@ object IndexCache {
       // the lock after the compute is safe: a waiter that held the same
       // object re-checks the map and hits; a latecomer that minted a
       // fresh lock double-checks too — worst case one redundant
-      // idempotent compute, never a stale value.
-      memoLocks.remove(key)
+      // idempotent compute, never a stale value. CONDITIONAL remove (only
+      // if still mapped to OUR lock object): an unconditional remove from
+      // a finishing waiter could delete a lock a later thread just
+      // minted, cascading the redundant-compute bound past one.
+      memoLocks.remove(key, lock)
   }
 
   /** Resolved-scan memo: `spark.read.parquet(path)` reused per (session,

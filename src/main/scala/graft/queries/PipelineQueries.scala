@@ -17,28 +17,55 @@ object PipelineQueries {
 
   private val enPat = langMarkers.toMap.apply("en")
 
+  /** Shared DuckDB oracle fragments — ONE source of truth for the
+    * cleaning stages (`pipeline_clean_corpus`, `pipeline_training_mix`)
+    * and the provenance funnel that replays them: hand-copied replicas
+    * drift silently (the funnel would fail its oracle when a stage
+    * string changes but its copy doesn't, and someone must hand-diff
+    * two 15-line SQL blocks to find out why). */
+  private val toksCte =
+    "toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)"
+  /** toks → distinct 3-gram shingles → k=12 minhash → 4 bands → LSH
+    * candidate pairs (the k12/b4/r3 chain of Dedup.lshVerifiedPairs). */
+  private val lshCandCtes =
+    toksCte + ", " +
+      "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
+      "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks), " +
+      "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
+      "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
+      "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
+      "FROM sig, range(0, 4) r(j)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
+      "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)"
+  /** Exact Jaccard over the candidate pair's shingle sets (raw
+    * integer-count ratio — bit-identical in any engine, no rounding). */
+  private val lshJac =
+    "len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s)))"
+  /** Per-doc gate features (marker hits + token count). */
+  private val gateCte =
+    "q AS (SELECT doc_id, lang, text, " +
+      s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
+      "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents)"
+  /** Distinct word 4-grams digested per doc with the bench split flag
+    * (the contamination join's key table); references `toks`. */
+  private val gram4Cte =
+    "g4 AS (SELECT doc_id, doc_id % 20 = 0 AS is_bench, substr(md5(ng), 1, 16) AS gh " +
+      "FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS ng " +
+      "FROM toks WHERE len(t) >= 4))"
+
   val all: Seq[Q] = Seq(
 
     // Clean-corpus pass: docs surviving (1) stopword-ratio quality gate,
     // (2) marker-language gate, (3) near-dup removal (keep-lowest-id rule
     // over MinHash+LSH verified pairs — drop every id_b).
     Q("pipeline_clean_corpus",
-      "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
-        "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) " +
-        "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks), " +
-        "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
-        "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
-        "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
-        "FROM sig, range(0, 4) r(j)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
-        "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
+      "WITH " + lshCandCtes + ", " +
         "dup AS (SELECT DISTINCT id_b FROM cand JOIN sh sa ON sa.doc_id = id_a " +
         "JOIN sh sb ON sb.doc_id = id_b " +
-        "WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5), " +
-        "q AS (SELECT doc_id, " +
-        s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
-        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents) " +
+        s"WHERE $lshJac >= 0.5), " +
+        gateCte + " " +
         "SELECT d.doc_id FROM documents d JOIN q USING (doc_id) " +
         "WHERE q.stop_hits / q.n_tokens::DOUBLE >= 0.05 AND q.n_tokens >= 20 " +
         "AND d.doc_id NOT IN (SELECT id_b FROM dup) ORDER BY d.doc_id") { (s, d) =>
@@ -64,20 +91,14 @@ object PipelineQueries {
     Q("pipeline_training_mix", {
       val t80 = Sampling.thresholdHex(0.8)
       val t90 = Sampling.thresholdHex(0.9)
-      "WITH q AS (SELECT doc_id, lang, text, " +
-        s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
-        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents), " +
+      "WITH " + gateCte + ", " +
         "gated AS (SELECT * FROM q WHERE stop_hits / n_tokens::DOUBLE >= 0.05 " +
         "AND n_tokens >= 20), " +
         "ded AS (SELECT doc_id, lang, n_tokens FROM (SELECT doc_id, lang, n_tokens, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated) " +
         "WHERE rn = 1), " +
-        "tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
-        "g AS (SELECT doc_id, doc_id % 20 = 0 AS is_bench, substr(md5(ng), 1, 16) AS gh " +
-        "FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS ng " +
-        "FROM tk WHERE len(t) >= 4)), " +
-        "cont AS (SELECT DISTINCT g1.doc_id FROM g g1 JOIN g g2 ON g1.gh = g2.gh " +
+        toksCte + ", " + gram4Cte + ", " +
+        "cont AS (SELECT DISTINCT g1.doc_id FROM g4 g1 JOIN g4 g2 ON g1.gh = g2.gh " +
         "AND NOT g1.is_bench AND g2.is_bench), " +
         "fin AS (SELECT lang, n_tokens, " +
         s"CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '$t80' THEN 'train' " +
@@ -548,32 +569,17 @@ object PipelineQueries {
     * `pipeline_training_mix` (survivors ranked first inside each
     * text-hash group, so the gated rank needs no gated-only subquery). */
   private def provenanceCtes: String =
-    "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
-      "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN " +
-      "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) " +
-      "ELSE CAST([] AS VARCHAR[]) END AS s FROM toks), " +
-      "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
-      "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
-      "bandrows AS (SELECT doc_id, j, md5(array_to_string(sig[(j*3+1):(j*3+3)], '|')) AS bh " +
-      "FROM sig, range(0, 4) r(j)), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandrows a " +
-      "JOIN bandrows b ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id), " +
-      "nd AS (SELECT id_b AS doc_id, " +
-      "MAX(len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s)))) AS nd_score " +
+    "WITH " + lshCandCtes + ", " +
+      s"nd AS (SELECT id_b AS doc_id, MAX($lshJac) AS nd_score " +
       "FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b " +
-      "WHERE len(list_intersect(sa.s, sb.s))::DOUBLE / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5 " +
+      s"WHERE $lshJac >= 0.5 " +
       "GROUP BY 1), " +
-      "g4 AS (SELECT doc_id, doc_id % 20 = 0 AS is_bench, substr(md5(ng), 1, 16) AS gh " +
-      "FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2), " +
-      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS ng " +
-      "FROM toks WHERE len(t) >= 4)), " +
+      gram4Cte + ", " +
       "ctp AS (SELECT g1.doc_id AS train_id, g2.doc_id AS bench_id, " +
       "COUNT(DISTINCT g1.gh) AS n_shared FROM g4 g1 JOIN g4 g2 ON g1.gh = g2.gh " +
       "AND NOT g1.is_bench AND g2.is_bench GROUP BY 1, 2), " +
       "ct AS (SELECT train_id AS doc_id, MAX(n_shared)::DOUBLE AS ct_score FROM ctp GROUP BY 1), " +
-      "q AS (SELECT doc_id, text, " +
-      s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
-      "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents), " +
+      gateCte + ", " +
       "b AS (SELECT doc_id, n_tokens, stop_hits / n_tokens::DOUBLE AS ratio, " +
       "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY " +
       "(n_tokens >= 20 AND stop_hits / n_tokens::DOUBLE >= 0.05) DESC, doc_id) AS rn FROM q), " +

@@ -160,15 +160,24 @@ final class DepositService(spark: SparkSession, port: Int = 0,
       // reads as mid-file corruption.
       val keep = lines.take(nonEmpty.last._2)
       val tmp = java.io.File.createTempFile("changelog-", ".tmp", f.getParentFile)
-      val out = new java.io.FileOutputStream(tmp)
       try {
-        val w = new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8)
-        keep.foreach { l => w.write(l); w.write("\n") }
-        w.flush()
-        out.getFD.sync() // the rename must not publish an unflushed tail
-      } finally out.close()
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val out = new java.io.FileOutputStream(tmp)
+        try {
+          val w = new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8)
+          keep.foreach { l => w.write(l); w.write("\n") }
+          w.flush()
+          out.getFD.sync() // the rename must not publish an unflushed tail
+        } finally out.close()
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case t: Throwable =>
+          // The boot still fails (correct — the log is torn and could
+          // not be repaired), but don't leave staged temp debris to
+          // accumulate across a crash-looping service.
+          tmp.delete()
+          throw t
+      }
     }
     val fresh = parsed.flatten.filter { case (_, idem) =>
       idem.forall(seenIdem.add) // first occurrence per key wins

@@ -61,9 +61,6 @@ object ReplayLog {
     * like a topic partition has a single producer lineage. */
   val ManifestName = "_manifest"
 
-  private[replay] def writeManifest(dir: String, names: Seq[String]): Unit =
-    writeManifest(dir, names, readEpochs(dir))
-
   /** Replace the manifest with `names` plus the streaming-sink epoch
     * ledger as `#epoch:<queryId>=<maxEpoch>` header lines. Keeping the
     * ledger INSIDE the manifest makes "segments published" and "epoch
@@ -195,32 +192,23 @@ object ReplayLog {
     (before, segments(dir).size)
   }
 
-  /** Count a segment's frames by walking the envelope headers only —
-    * read each frame length, skip the payload; no key copy, no proto
-    * decode. This is the executor-side leg of COUNT(*) aggregate
-    * pushdown: per-segment counts fold in Spark's final aggregate, so
-    * the work distributes with the segments (never a driver-side walk
-    * of a 100 TB log). */
+  /** Count a segment's frames via the envelope-only reader — no key
+    * copy, no proto decode. This is the executor-side leg of COUNT(*)
+    * aggregate pushdown: per-segment counts fold in Spark's final
+    * aggregate, so the work distributes with the segments (never a
+    * driver-side walk of a 100 TB log). Delegating to [[readSegment]]
+    * makes the pushed count agree with the row scan BY CONSTRUCTION on
+    * every malformed input: same torn-tail truncation, same loud
+    * mid-file corruption failure — a bespoke header walk here once
+    * tolerated a corrupt frame the row path rejects, silently
+    * misparsing everything after it. */
   def countFrames(segPath: String): Long = {
-    val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(segPath), 1 << 16))
+    val it = readSegment(segPath, decodeValue = false)
     try {
       var n = 0L
-      var done = false
-      while (!done) {
-        try {
-          val len = in.readInt()
-          var left = len
-          while (left > 0) {
-            val s = in.skipBytes(left)
-            if (s <= 0) throw new EOFException()
-            left -= s
-          }
-          n += 1
-        } catch { case _: EOFException => done = true }
-      }
+      while (it.hasNext) { it.next(); n += 1 }
       n
-    } finally in.close()
+    } finally it.close()
   }
 
   /** Frame iterator owning its stream: `close()` is idempotent and safe

@@ -626,10 +626,15 @@ final class ReplayScan(path: String, filters: Array[Filter],
     // guarantees disjointness; re-checked from name bounds because an
     // externally-assembled log may overlap): each segment holds ≥ 1
     // frame, so the n extreme frames live inside the n extreme segments
-    // in bound order. ts bounds can overlap arbitrarily — no file-level
-    // cut for ts top-n, the reader's heap still bounds the emit.
+    // in bound order. ONLY when no per-frame filter is in play: a pushed
+    // wallet predicate (or runtime key set) can leave an early segment
+    // with zero matches while later segments still hold them — the
+    // "≥ 1 frame per kept segment" premise only covers unfiltered reads
+    // (IsNotNull is vacuously true per frame, so it doesn't spoil it).
+    // ts bounds can overlap arbitrarily — no file-level cut for ts
+    // top-n, the reader's heap still bounds the emit either way.
     val cut = topN match {
-      case Some(t) if t.col == "offset" && disjointByOffset(segs) =>
+      case Some(t) if t.col == "offset" && cutSafe && disjointByOffset(segs) =>
         val ordered =
           if (t.desc) segs.sortBy(s => -s.lastOffset)
           else segs.sortBy(_.baseOffset)
@@ -638,6 +643,12 @@ final class ReplayScan(path: String, filters: Array[Filter],
     }
     cut.map(s => ReplaySegmentPartition(s.path): InputPartition).toArray
   }
+
+  private def cutSafe: Boolean =
+    runtime.isEmpty && filters.forall {
+      case IsNotNull(_) => true
+      case _ => false
+    }
 
   private def disjointByOffset(segs: Seq[ReplayLog.SegmentMeta]): Boolean = {
     val sorted = segs.sortBy(_.baseOffset)
@@ -674,7 +685,7 @@ final class ReplayScan(path: String, filters: Array[Filter],
       limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       topN.map { t =>
         val cut =
-          if (t.col == "offset" && disjointByOffset(plannedSegments))
+          if (t.col == "offset" && cutSafe && disjointByOffset(plannedSegments))
             s" (segment cut to ${math.min(t.n, planned)})"
           else ""
         s"PushedTopN: ORDER BY ${t.col}" +

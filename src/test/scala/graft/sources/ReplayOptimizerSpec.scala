@@ -201,6 +201,28 @@ class ReplayOptimizerSpec extends AnyFunSuite with SparkSpec {
       Seq(1L, 5L))
   }
 
+  test("top-n under a per-frame filter disables the segment cut (sparse key)") {
+    // "w_rare" exists ONLY at offsets 39-40 (last segment). With the
+    // wallet filter pushed AND fully consumed, a naive n-segment cut for
+    // ORDER BY offset ASC LIMIT 1 would read only segment 1, find zero
+    // matches, and return EMPTY instead of offset 39 — the bug class
+    // this test exists for. The cut must fire only on filterless reads.
+    val dir = freshDir()
+    val docs = (1L to 40L).map { i =>
+      (i, 1000L + (i - 1) * 10, if (i >= 39) "w_rare" else s"w${i % 4}", i * 1.5)
+    }.toDF("offset", "ts_unix", "wallet_id", "amount")
+    ReplayLog.writeSegments(docs, dir, 4)
+    val df = spark.read.format("graft-replay").load(dir)
+      .where(col("wallet_id") === "w_rare")
+      .orderBy(col("offset")).limit(1)
+    val scan = scanOf(df).asInstanceOf[ReplayScan]
+    assert(!scan.description().contains("segment cut"),
+      s"cut must not fire under a per-frame filter: ${scan.description()}")
+    assert(scan.toBatch.planInputPartitions().length == 4)
+    assert(df.as[(Long, Long, String, Double)].collect().map(_._1).toSeq ==
+      Seq(39L))
+  }
+
   test("ts top-n keeps all segments (overlap-safe) but bounds the emit") {
     val dir = freshDir(); writeLog(dir)
     val df = spark.read.format("graft-replay").load(dir)
