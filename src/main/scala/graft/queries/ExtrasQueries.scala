@@ -59,6 +59,43 @@ object ExtrasQueries {
     * the table's CONTENT, not in any read-side predicate, so the only
     * way the scan learns which segments matter is the runtime join-key
     * filter. */
+  /** Time-travel log per (JVM, sf dir): its OWN directory (appending to
+    * the shared log would shift every other replay oracle), written in
+    * three committed generations — genesis (offsets below the midpoint,
+    * 2 segments), append (the rest, 2 segments), then a 2-file
+    * compaction OVERWRITE — so the snapshot chain is v1/v2/v3 with real
+    * retirees retained for v1/v2 reads. The build asserts the lifecycle
+    * invariants once per JVM (chain length, compaction invisibility via
+    * the v2-vs-current count — both answered from pushed aggregates,
+    * metadata-only); the registered query then reads v1 AND current
+    * through the connector and the oracle pins both against the events
+    * projection. */
+  private val replayTtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def replayTtFor(s: org.apache.spark.sql.SparkSession,
+                          d: String): String =
+    replayTtCache.computeIfAbsent(d, { _ =>
+      import graft.sources.replay.ReplayLog
+      val path = s"$scratchRoot/replaytt_" + UUID.randomUUID().toString.replace("-", "")
+      val deps = Tables.events(s, d).filter(col("value") > 0).select(
+        col("event_id").as("offset"),
+        expr("unix_micros(ts) div 1000000").as("ts_unix"),
+        col("user_id").cast("string").as("wallet_id"),
+        col("value").as("amount"))
+      val thr = deps.agg(max(col("offset"))).head().getLong(0) / 2
+      ReplayLog.writeSegments(deps.filter(col("offset") < thr), path, 2)
+      ReplayLog.writeSegments(deps.filter(col("offset") >= thr), path, 2)
+      ReplayLog.compactSegments(s, path, target = 2)
+      val vs = ReplayLog.versions(path)
+      require(vs == Seq(1L, 2L, 3L), s"snapshot chain $vs, expected v1..v3")
+      val v2Count = s.read.format("graft-replay")
+        .option("asOfVersion", "2").load(path).count()
+      val curCount = s.read.format("graft-replay").load(path).count()
+      require(v2Count == curCount,
+        s"compaction must be snapshot-invisible: v2=$v2Count current=$curCount")
+      path
+    })
+
   private val replayDimCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def replayDimFor(s: org.apache.spark.sql.SparkSession,
@@ -471,6 +508,43 @@ object ExtrasQueries {
       s.sql("SELECT wallet_id, ROUND(SUM(amount), 2) AS total_amount, " +
         "COUNT(*) AS n_deposits FROM graft_replay_log " +
         "WHERE offset % 3 = 0 GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1")
+    },
+
+    // SNAPSHOT TIME TRAVEL through the connector (the Iceberg/Delta
+    // pattern on the one-file manifest protocol): every commit records
+    // an immutable `_manifest-v<N>`, reads resolve the live set through
+    // `.option("asOfVersion", n)`, and overwrites/compactions retain
+    // retired segments until ReplayLog.expireSnapshots (the VACUUM).
+    // The fixture commits three generations — genesis write, append,
+    // compaction overwrite — and this row reads the GENESIS snapshot and
+    // the CURRENT state in one result; the oracle replays both from the
+    // events projection, so a snapshot that leaks post-genesis frames
+    // (or a current read that lost any through the compaction) fails
+    // the hash. ReplaySourceSpec pins retention, expiry, chain healing,
+    // and the read-only/batch-only contract.
+    Q("q_replay_time_travel",
+      "WITH dep AS (SELECT event_id AS off, CAST(user_id AS VARCHAR) AS wallet_id, " +
+        "value AS amount FROM events WHERE value > 0), " +
+        "thr AS (SELECT MAX(off) // 2 AS t FROM dep) " +
+        "SELECT 'v1_genesis' AS snapshot, COUNT(*) AS n_frames, " +
+        "COUNT(DISTINCT wallet_id) AS n_wallets, " +
+        "ROUND(SUM(amount), 2) AS total_amount " +
+        "FROM dep WHERE off < (SELECT t FROM thr) " +
+        "UNION ALL " +
+        "SELECT 'v3_current', COUNT(*), COUNT(DISTINCT wallet_id), " +
+        "ROUND(SUM(amount), 2) FROM dep " +
+        "ORDER BY snapshot") { (s, d) =>
+      val dir = replayTtFor(s, d)
+      def summarize(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_frames"),
+            countDistinct(col("wallet_id")).as("n_wallets"),
+            round(sum(col("amount")), 2).as("total_amount"))
+          .select(lit(label).as("snapshot"), col("n_frames"),
+            col("n_wallets"), col("total_amount"))
+      summarize(s.read.format("graft-replay")
+          .option("asOfVersion", "1").load(dir), "v1_genesis")
+        .unionAll(summarize(s.read.format("graft-replay").load(dir), "v3_current"))
+        .orderBy(col("snapshot"))
     },
 
     // RUNTIME (DPP-analog) filtering through the connector: the probe

@@ -61,6 +61,62 @@ object ReplayLog {
     * like a topic partition has a single producer lineage. */
   val ManifestName = "_manifest"
 
+  /** SNAPSHOT manifests — `_manifest-v<N>` (N zero-padded, monotone):
+    * every commit also records its manifest content as an immutable
+    * numbered snapshot, giving the log Iceberg-style TIME TRAVEL scaled
+    * down to the one-file protocol. `_manifest` stays the current
+    * pointer (identical content to the highest snapshot), so every
+    * pre-versioning reader keeps working; a snapshot read
+    * (`.option("asOfVersion", n)`) resolves the live set through
+    * `_manifest-v<n>` instead. Snapshots are written AFTER the commit
+    * point (the `_manifest` rename), so a snapshot file can only ever
+    * describe a state that was actually committed; the crash window
+    * "committed but not yet snapshotted" is healed by the NEXT commit,
+    * which re-records the current content before publishing
+    * ([[snapshotCurrentIfUnversioned]]) — numbering stays chronological
+    * and no version is ever lost from the chain except across an
+    * explicit [[expireSnapshots]]. */
+  private val VersionName = """_manifest-v(\d{20})""".r
+
+  def versionFileName(v: Long): String = f"_manifest-v$v%020d"
+
+  /** Snapshot version ids present in `dir`, ascending. */
+  def versions(dir: String): Seq[Long] = {
+    val kids = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+    kids.iterator.collect {
+      case f if f.isFile => f.getName match {
+        case VersionName(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.flatten.toSeq.sorted
+  }
+
+  private[replay] def readLines(f: File): Vector[String] = {
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().toVector finally src.close()
+  }
+
+  private[replay] def manifestLines(names: Seq[String],
+                                    epochs: Map[String, Long]): Vector[String] =
+    epochs.toSeq.sortBy(_._1).map { case (q, e) => s"#epoch:$q=$e" }.toVector ++
+      names
+
+  /** Atomically (tmp + POSIX rename) publish `lines` as `dir/name`. */
+  private[replay] def writeAtomic(dir: String, name: String,
+                                  lines: Seq[String]): Unit = {
+    val tmp = File.createTempFile("manifest-", ".inprogress", new File(dir))
+    val w = new java.io.OutputStreamWriter(
+      new FileOutputStream(tmp), "UTF-8")
+    try lines.foreach { l => w.write(l); w.write("\n") } finally w.close()
+    val dest = new File(dir, name)
+    if (!tmp.renameTo(dest)) {
+      // POSIX rename replaces atomically; a refused rename on a local FS
+      // means something is genuinely wrong — fail the commit loudly.
+      tmp.delete()
+      throw new IllegalStateException(s"cannot publish $name in $dir")
+    }
+  }
+
   /** Replace the manifest with `names` plus the streaming-sink epoch
     * ledger as `#epoch:<queryId>=<maxEpoch>` header lines. Keeping the
     * ledger INSIDE the manifest makes "segments published" and "epoch
@@ -70,23 +126,55 @@ object ReplayLog {
     * query id (epochs per query are monotone, so the max is the whole
     * ledger), so the header stays O(#queries), not O(#batches). */
   private[replay] def writeManifest(dir: String, names: Seq[String],
-                                    epochs: Map[String, Long]): Unit = {
-    val tmp = File.createTempFile("manifest-", ".inprogress", new File(dir))
-    val w = new java.io.OutputStreamWriter(
-      new FileOutputStream(tmp), "UTF-8")
-    try {
-      epochs.toSeq.sortBy(_._1).foreach { case (q, e) =>
-        w.write(s"#epoch:$q=$e"); w.write("\n")
-      }
-      names.foreach { n => w.write(n); w.write("\n") }
-    } finally w.close()
-    val dest = new File(dir, ManifestName)
-    if (!tmp.renameTo(dest)) {
-      // POSIX rename replaces atomically; a refused rename on a local FS
-      // means something is genuinely wrong — fail the commit loudly.
-      tmp.delete()
-      throw new IllegalStateException(s"cannot publish manifest in $dir")
-    }
+                                    epochs: Map[String, Long]): Unit =
+    writeAtomic(dir, ManifestName, manifestLines(names, epochs))
+
+  /** Heal the snapshot chain: if the CURRENT manifest's content is not
+    * what the highest snapshot records (a crash between the commit
+    * rename and its snapshot write, or a pre-versioning log touched for
+    * the first time), record it as the next version before anything
+    * else changes. Content-compared, so re-running is a no-op. */
+  private[replay] def snapshotCurrentIfUnversioned(dir: String): Unit = {
+    val mf = new File(dir, ManifestName)
+    if (!mf.isFile) return
+    val current = readLines(mf)
+    val vs = versions(dir)
+    val latest = vs.lastOption.map(v => readLines(new File(dir, versionFileName(v))))
+    if (!latest.contains(current))
+      writeAtomic(dir, versionFileName(vs.lastOption.getOrElse(0L) + 1), current)
+  }
+
+  /** Segment names referenced by ANY retained snapshot (the set a
+    * layout-swapping commit must NOT delete: an overwrite retires the
+    * old segments from `_manifest`, but time travel keeps them readable
+    * until their snapshots expire). */
+  private[replay] def retainedNames(dir: String): Set[String] =
+    versions(dir).iterator.flatMap { v =>
+      readLines(new File(dir, versionFileName(v)))
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    }.toSet
+
+  /** MAINTENANCE: expire all but the last `keepLast` snapshots, then
+    * delete segment files no retained snapshot (nor the current
+    * manifest) references — the Iceberg expire-snapshots / VACUUM
+    * analog, and the only operation that ever unreferences history.
+    * Snapshot files are deleted FIRST so there is no window where a
+    * snapshot lists a deleted segment (a crash mid-expiry leaves
+    * re-sweepable garbage, never a broken snapshot). Driver-side
+    * metadata only — O(#snapshots + #segments) names, no data I/O.
+    * Returns (snapshots expired, segment files deleted). */
+  def expireSnapshots(dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "expireSnapshots must keep at least the current snapshot")
+    val vs = versions(dir)
+    val expired = vs.dropRight(keepLast)
+    expired.foreach(v => new File(dir, versionFileName(v)).delete())
+    val keep = retainedNames(dir) ++
+      segments(dir).map(s => new File(s.path).getName)
+    val kids = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+    val dropped = kids.filter(f => f.isFile &&
+      f.getName.endsWith(Extension) && !keep.contains(f.getName))
+    dropped.foreach(_.delete())
+    (expired.size, dropped.length)
   }
 
   private val EpochHeader = """#epoch:(.+)=(-?\d+)""".r
@@ -110,7 +198,14 @@ object ReplayLog {
     * fail loudly. Manifest-less directories fall back to a raw listing,
     * where an unparseable `.rlog` name fails loudly too (a skipped
     * segment would read as missing data). */
-  def segments(dir: String): Seq[SegmentMeta] = {
+  def segments(dir: String): Seq[SegmentMeta] = segments(dir, None)
+
+  /** As [[segments]], resolved AS OF snapshot `asOf` when set: the live
+    * set is read from `_manifest-v<asOf>` — time travel to any retained
+    * commit. A missing snapshot (never existed, or expired) fails
+    * loudly with the retained range; a listed-but-missing segment means
+    * the chain was broken outside [[expireSnapshots]]. */
+  def segments(dir: String, asOf: Option[Long]): Seq[SegmentMeta] = {
     def parse(f: File): SegmentMeta = f.getName match {
       case SegName(base, last, minTs, maxTs) =>
         SegmentMeta(f.getPath, base.toLong, last.toLong,
@@ -118,14 +213,24 @@ object ReplayLog {
       case other => throw new IllegalStateException(
         s"replay log $dir: unparseable segment name $other")
     }
-    val mf = new File(dir, ManifestName)
+    val mf = asOf match {
+      case Some(v) =>
+        val f = new File(dir, versionFileName(v))
+        if (!f.isFile) {
+          val vs = versions(dir)
+          throw new IllegalArgumentException(
+            s"replay log $dir has no snapshot v$v (retained: " +
+              (if (vs.isEmpty) "none" else s"v${vs.head}..v${vs.last}") +
+              ") — it may have been expired by expireSnapshots")
+        }
+        f
+      case None => new File(dir, ManifestName)
+    }
     if (mf.isFile) {
-      val src = scala.io.Source.fromFile(mf, "UTF-8")
       // `#`-prefixed lines are manifest headers (the epoch ledger), not
       // segment names.
-      val names = try src.getLines()
-        .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
-      finally src.close()
+      val names = readLines(mf)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
       names.map { n =>
         val f = new File(dir, n)
         if (!f.isFile) throw new IllegalStateException(
@@ -177,11 +282,13 @@ object ReplayLog {
     * log develops, solved with the connector's own two halves: the scan
     * reads the old layout, the V2 OVERWRITE write stages the new
     * segments as hidden temps and swaps them in only inside the job
-    * commit (old segments are truncated after every new one is fully
-    * staged), so readers observe the old layout or the new one, never a
-    * mix, and a crash before commit leaves the old log intact. Offset
-    * ranges stay disjoint (range repartition) and offset order is
-    * preserved within each segment. Returns (segments before, after). */
+    * commit, so readers observe the old layout or the new one, never a
+    * mix, and a crash before commit leaves the old log intact. The
+    * retired segments stay on disk as long as a snapshot references
+    * them (time travel across the compaction); [[expireSnapshots]]
+    * reclaims them. Offset ranges stay disjoint (range repartition) and
+    * offset order is preserved within each segment. Returns (segments
+    * before, after). */
   def compactSegments(spark: org.apache.spark.sql.SparkSession, dir: String,
                       target: Int): (Int, Int) = {
     val before = segments(dir).size

@@ -41,6 +41,16 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   *  - '''One InputPartition per segment''': scan parallelism tracks the
   *    log's own layout (Kafka's unit of parallel consumption), and each
   *    reader is a single sequential stream — no seeks.
+  *  - '''Snapshots + time travel''' (`.option("asOfVersion", n)`): every
+  *    commit records its manifest as an immutable `_manifest-v<N>`
+  *    snapshot, and a snapshot read resolves the live set through that
+  *    version — the Iceberg snapshot/time-travel pattern on the one-file
+  *    manifest protocol. Overwrites and compactions retire segments
+  *    from the live set but keep them on disk while any snapshot
+  *    references them; [[ReplayLog.expireSnapshots]] is the VACUUM that
+  *    reclaims history. Driver-side metadata only (version files hold
+  *    names, not data), so snapshots cost O(#segments) text per commit
+  *    regardless of log size.
   *
   * Registered under the short name `graft-replay` via
   * `META-INF/services/org.apache.spark.sql.sources.DataSourceRegister`:
@@ -59,7 +69,8 @@ class ReplaySource extends TableProvider
       throw new IllegalArgumentException(
         "graft-replay requires a path: spark.read.format(\"graft-replay\").load(dir)"))
     val maxSegs = Option(properties.get("maxSegmentsPerTrigger")).map(_.toInt)
-    new ReplayTable(path, maxSegs)
+    val asOf = Option(properties.get("asOfVersion")).map(_.toLong)
+    new ReplayTable(path, maxSegs, asOf)
   }
 }
 
@@ -76,11 +87,13 @@ object ReplaySource {
     StructField("amount", DoubleType)))
 }
 
-final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
+final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int],
+                        asOfVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-  override def name(): String = s"graft-replay:$path"
+  override def name(): String =
+    s"graft-replay:$path" + asOfVersion.map(v => s"@v$v").getOrElse("")
 
   /** `_segment` — the frame's provenance file, the analog of the file
     * source's `_metadata.file_name` / Kafka's partition column: surfaced
@@ -101,7 +114,7 @@ final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ReplayScanBuilder(path, maxSegmentsPerTrigger)
+    new ReplayScanBuilder(path, maxSegmentsPerTrigger, asOfVersion)
 
   /** V2 WRITE: each task streams its rows into a hidden `.inprogress`
     * temp, and segments become visible ONLY at job commit (driver-side
@@ -111,6 +124,11 @@ final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int])
     * existing segments at commit, after the new ones are staged. Input
     * must carry exactly the connector schema. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // A snapshot is immutable history; the only writable state is the
+    // current one (same rule as Iceberg: no writes through a time-travel
+    // relation).
+    require(asOfVersion.isEmpty,
+      "graft-replay: cannot write through an asOfVersion time-travel read")
     val got = info.schema().fields.map(f => f.name -> f.dataType).toSeq
     val want = ReplaySource.Schema.fields.map(f => f.name -> f.dataType).toSeq
     require(got == want,
@@ -151,13 +169,21 @@ private[replay] object ReplayCommit {
     * atomically (append: prior ∪ new; overwrite: new only; the epoch
     * ledger rides in the same file, so a streaming epoch is recorded in
     * the very rename that publishes its segments) — this single rename
-    * is the commit point; (3) best-effort delete of the files the new
-    * manifest no longer lists. A crash before (2) leaves the old log
-    * fully intact (stray unlisted files only); after (2) the new layout
-    * is complete and the strays are garbage a later overwrite sweeps. */
+    * is the commit point; (3) record the committed content as the next
+    * immutable `_manifest-v<N>` snapshot (time travel; written AFTER
+    * the commit point so a snapshot can only describe a committed
+    * state — the crash window "committed, not snapshotted" is healed at
+    * the top of the next publish); (4) best-effort delete of the files
+    * neither the new manifest NOR ANY RETAINED SNAPSHOT lists (an
+    * overwrite retires old segments from the live set but time travel
+    * keeps them on disk until [[ReplayLog.expireSnapshots]]). A crash
+    * before (2) leaves the old log fully intact (stray unlisted files
+    * only); after (2) the new layout is complete and the strays are
+    * garbage a later overwrite sweeps. */
   def publish(path: String, messages: Array[WriterCommitMessage],
               truncate: Boolean, epoch: Option[(String, Long)]): Unit = {
     val dir = new java.io.File(path); dir.mkdirs()
+    ReplayLog.snapshotCurrentIfUnversioned(path)
     val prior: Seq[String] =
       if (truncate) Seq.empty
       else ReplayLog.segments(path).map(s => new java.io.File(s.path).getName)
@@ -195,9 +221,12 @@ private[replay] object ReplayCommit {
     val epochs = epoch.foldLeft(ReplayLog.readEpochs(path)) {
       case (m, (q, e)) => m.updated(q, e)
     }
-    ReplayLog.writeManifest(path, live, epochs)
+    val lines = ReplayLog.manifestLines(live, epochs)
+    ReplayLog.writeAtomic(path, ReplayLog.ManifestName, lines)
+    val nextV = ReplayLog.versions(path).lastOption.getOrElse(0L) + 1
+    ReplayLog.writeAtomic(path, ReplayLog.versionFileName(nextV), lines)
     if (truncate) {
-      val keep = live.toSet
+      val keep = live.toSet ++ ReplayLog.retainedNames(path)
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(ReplayLog.Extension) &&
           !keep.contains(f.getName))
@@ -313,7 +342,8 @@ final class ReplayDataWriter(path: String) extends DataWriter[InternalRow] {
 
 case object ReplayEmptyCommit extends WriterCommitMessage
 
-final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
+final class ReplayScanBuilder(path: String, maxSegs: Option[Int],
+                              asOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates
@@ -408,8 +438,8 @@ final class ReplayScanBuilder(path: String, maxSegs: Option[Int])
     }
 
   override def build(): Scan = aggOps match {
-    case Some(ops) => new ReplayAggScan(path, ops)
-    case None => new ReplayScan(path, pushed, required, maxSegs, limit, topN)
+    case Some(ops) => new ReplayAggScan(path, ops, asOf)
+    case None => new ReplayScan(path, pushed, required, maxSegs, limit, topN, asOf)
   }
 }
 
@@ -429,7 +459,8 @@ final case class ReplayAggOp(op: String, col: String) {
   * (count→sum of counts, min→min of mins, max→max of maxes). An empty
   * log plans ONE synthetic partition holding (0, null, null, …): the
   * folded SUM over zero rows would be NULL where COUNT(*) must be 0. */
-final class ReplayAggScan(path: String, ops: Array[ReplayAggOp])
+final class ReplayAggScan(path: String, ops: Array[ReplayAggOp],
+                          asOf: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(ops.map(o => StructField(o.toString, LongType,
@@ -437,7 +468,7 @@ final class ReplayAggScan(path: String, ops: Array[ReplayAggOp])
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val segs = ReplayLog.segments(path)
+    val segs = ReplayLog.segments(path, asOf)
     if (segs.isEmpty) Array(ReplayAggPartition(null, 0, 0, 0, 0))
     else segs.map(s => ReplayAggPartition(s.path, s.baseOffset, s.lastOffset,
       s.minTs, s.maxTs): InputPartition).toArray
@@ -447,7 +478,8 @@ final class ReplayAggScan(path: String, ops: Array[ReplayAggOp])
     new ReplayAggReaderFactory(ops)
 
   override def description(): String =
-    s"graft-replay $path, PushedAggregates: [${ops.mkString(", ")}] " +
+    s"graft-replay $path" + asOf.map(v => s" asOfVersion=$v").getOrElse("") +
+      s", PushedAggregates: [${ops.mkString(", ")}] " +
       "(per-segment partials: min/max from name bounds, count from envelope walk)"
 }
 
@@ -576,7 +608,8 @@ private[replay] object ReplayFilters {
 final class ReplayScan(path: String, filters: Array[Filter],
                        required: StructType, maxSegs: Option[Int] = None,
                        limit: Option[Int] = None,
-                       topN: Option[ReplayTopN] = None)
+                       topN: Option[ReplayTopN] = None,
+                       asOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -607,11 +640,12 @@ final class ReplayScan(path: String, filters: Array[Filter],
   /** Segments surviving name-bound pruning against the STATIC pushed
     * filters (computed at plan time; runtime filters re-prune below). */
   lazy val plannedSegments: Seq[ReplayLog.SegmentMeta] =
-    ReplayLog.segments(path).filter(seg =>
+    ReplayLog.segments(path, asOf).filter(seg =>
       filters.forall(f => ReplayFilters.segmentMayMatch(f, seg)))
 
-  /** Total segments on disk (spec hook: prunedSegments = total - planned). */
-  lazy val totalSegments: Int = ReplayLog.segments(path).size
+  /** Total segments in the (possibly time-traveled) live set (spec
+    * hook: prunedSegments = total - planned). */
+  lazy val totalSegments: Int = ReplayLog.segments(path, asOf).size
 
   override def planInputPartitions(): Array[InputPartition] = {
     val segs =
@@ -675,12 +709,18 @@ final class ReplayScan(path: String, filters: Array[Filter],
     * whole-segment granularity (the Kafka-source maxOffsetsPerTrigger
     * analog); offsets checkpoint as the last consumed frame offset, so
     * restart resumes exactly after the last committed batch. */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // A stream tails the LIVE log; a frozen snapshot has no "new data"
+    // notion, so time travel is batch-only (Kafka has no analog either).
+    require(asOf.isEmpty,
+      "graft-replay: asOfVersion time travel is batch-only (a snapshot cannot be tailed)")
     new ReplayMicroBatchStream(path, filters, required.fieldNames, maxSegs)
+  }
 
   override def description(): String = {
     val planned = plannedSegments.size
-    s"graft-replay $path, segments $planned/$totalSegments after pruning, " +
+    s"graft-replay $path" + asOf.map(v => s" asOfVersion=$v").getOrElse("") +
+      s", segments $planned/$totalSegments after pruning, " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
       limit.map(n => s"PushedLimit: $n, ").getOrElse("") +
       topN.map { t =>

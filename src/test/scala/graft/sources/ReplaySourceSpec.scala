@@ -231,4 +231,85 @@ class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
     assert(seg.renameTo(new java.io.File(dir, "garbage.rlog")))
     intercept[IllegalStateException] { ReplayLog.segments(dir) }
   }
+
+  test("snapshots: every commit is time-travel readable; overwrite retains " +
+    "history until expireSnapshots reclaims it") {
+    val dir = freshDir()
+    // v1: first 20 offsets. v2: append the rest. v3: compaction overwrite.
+    ReplayLog.writeSegments(sample.where(col("offset") <= 20L), dir, 2)
+    ReplayLog.writeSegments(sample.where(col("offset") > 20L), dir, 2)
+    ReplayLog.compactSegments(spark, dir, target = 1)
+    assert(ReplayLog.versions(dir) == Seq(1L, 2L, 3L))
+    def readV(v: Long) = spark.read.format("graft-replay")
+      .option("asOfVersion", v.toString).load(dir)
+    // Time travel: v1 sees only the genesis write; v2 the pre-compaction
+    // layout with full content; current == v3 == v2's content.
+    assert(readV(1).count() == 20L)
+    assert(readV(1).agg(max(col("offset"))).head().getLong(0) == 20L)
+    assert(readV(2).count() == 40L)
+    assert(spark.read.format("graft-replay").load(dir).count() == 40L)
+    // The compaction's retirees are still on disk (4 files + 1 compacted).
+    def rlogs = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(ReplayLog.Extension))
+    assert(rlogs == 5, s"expected retained retirees, found $rlogs files")
+    // Pushdown composes with time travel: an offset predicate on the v1
+    // read prunes within the SNAPSHOT's segment set.
+    val scan = scanOf(readV(1).where(col("offset") >= 11L))
+    assert(scan.totalSegments == 2 && scan.plannedSegments.size == 1,
+      scan.description())
+    assert(scan.description().contains("asOfVersion=1"))
+    // VACUUM: keep only the latest snapshot; the retirees are reclaimed,
+    // expired versions fail loudly, the current read is untouched.
+    val (expired, dropped) = ReplayLog.expireSnapshots(dir, keepLast = 1)
+    assert(expired == 2 && dropped == 4, s"expire ($expired, $dropped)")
+    assert(rlogs == 1)
+    val e = intercept[IllegalArgumentException] { readV(1).count() }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("no snapshot"))
+    assert(spark.read.format("graft-replay").load(dir).count() == 40L)
+  }
+
+  test("snapshot chain heals a crash between commit and snapshot write") {
+    val dir = freshDir()
+    ReplayLog.writeSegments(sample.where(col("offset") <= 20L), dir, 1)
+    ReplayLog.writeSegments(sample
+      .where(col("offset") > 20L && col("offset") <= 30L), dir, 1)
+    // Simulate the crash window: the v2 commit happened (_manifest
+    // replaced) but its snapshot file was lost.
+    assert(new java.io.File(dir,
+      ReplayLog.versionFileName(2L)).delete())
+    // The next commit heals first: the current (second-commit) content
+    // is re-recorded — refilling the gap as v2, since numbering follows
+    // the highest surviving snapshot — BEFORE the new state publishes as
+    // v3. No committed state is lost and chronology holds.
+    ReplayLog.writeSegments(sample.where(col("offset") > 30L), dir, 1)
+    assert(ReplayLog.versions(dir) == Seq(1L, 2L, 3L))
+    assert(spark.read.format("graft-replay")
+      .option("asOfVersion", "2").load(dir).count() == 30L)
+    assert(spark.read.format("graft-replay")
+      .option("asOfVersion", "3").load(dir).count() == 40L)
+  }
+
+  test("time travel is read-only and batch-only; unknown versions fail loudly") {
+    val dir = freshDir(); writeLog(dir, nSegments = 2)
+    val e1 = intercept[Exception] {
+      sample.limit(3).write.format("graft-replay")
+        .option("asOfVersion", "1").mode("append").save(dir)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage) ++: chain(x.getCause))
+    assert(chain(e1).exists(_.contains("time-travel")), chain(e1).mkString(" | "))
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-replay")
+        .option("asOfVersion", "1").load(dir)
+        .writeStream.format("memory").queryName("tt_stream")
+        .option("checkpointLocation", freshDir()).start()
+        .processAllAvailable()
+    }
+    assert(e2.getMessage != null)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-replay")
+        .option("asOfVersion", "99").load(dir).count()
+    }
+    assert(e3.getMessage.contains("no snapshot v99"))
+  }
 }
