@@ -481,6 +481,53 @@ object PipelineQueries {
         .orderBy(col("epoch"), col("pos"))
     },
 
+    // CURRICULUM ordering (competence-based pacing, the Platanios-style
+    // schedule): difficulty = doc length (the classic proxy), docs sorted
+    // easy→hard, and a sqrt-competence pacing c(t)=√(t/T) admits the
+    // easiest c(t) fraction at step t — so a doc at rank fraction f first
+    // becomes admissible at phase ⌈T·f²⌉, kept in EXACT integer space
+    // ((T·rank² + N²−1) div N², no float-parity caveats). The global rank
+    // is NEVER a single-partition window: row_number runs partitioned BY
+    // the difficulty value, and the cross-partition offset comes from the
+    // value histogram (distinct n_chars ≈ thousands, broadcast) — the
+    // dense-rank decomposition; N itself rides in as a broadcast 1-row
+    // cross join. Output = the 10-phase admission schedule; its
+    // monotonically increasing avg_len IS the curriculum property the
+    // hash pins.
+    Q("pipeline_curriculum",
+      "WITH n AS (SELECT COUNT(*) AS n FROM documents), " +
+        "r AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk " +
+        "FROM documents), " +
+        "p AS (SELECT n_chars, (10 * rnk * rnk + n.n * n.n - 1) // (n.n * n.n) " +
+        "AS phase FROM r, n) " +
+        "SELECT phase, COUNT(*) AS n_admitted, " +
+        "ROUND(AVG(n_chars), 4) AS avg_len, " +
+        "CAST(MAX(n_chars) AS BIGINT) AS max_len, " +
+        "CAST(SUM(COUNT(*)) OVER (ORDER BY phase) AS BIGINT) AS cum_docs " +
+        "FROM p GROUP BY phase ORDER BY phase") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val nRow = broadcast(docs.agg(count(lit(1)).as("n")))
+      val wIn = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+      val within = docs.withColumn("rin", row_number().over(wIn).cast("long"))
+      val wOff = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("n_chars"), col("off"))
+      within.join(broadcast(offs), Seq("n_chars"))
+        .withColumn("rnk", col("rin") + col("off"))
+        .crossJoin(nRow)
+        .withColumn("phase",
+          expr("(10 * rnk * rnk + n * n - 1) div (n * n)"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_admitted"),
+          round(avg(col("n_chars")), 4).as("avg_len"),
+          max(col("n_chars")).cast("long").as("max_len"))
+        .withColumn("cum_docs",
+          sum(col("n_admitted")).over(Window.orderBy(col("phase"))))
+        .orderBy(col("phase"))
+    },
+
     // TRAINED quality model: 3 steps of full-batch logistic-regression GD
     // run as engine aggregations (Corpus.qualityLrTrain) — the model is a
     // 1-row broadcast weight vector, each step one map-side-combined scan
