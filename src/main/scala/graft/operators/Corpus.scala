@@ -426,32 +426,61 @@ object Corpus {
     * once per corpus fingerprint, persisted read-through (IndexCache),
     * collected to the driver like a codebook, and applied as `iters`
     * map-side array folds — the corpus is scanned once per merge with no
-    * shuffle (the one aggregation is the final per-doc rollup). */
-  def bpeEncode(docs: DataFrame, iters: Int): DataFrame = {
-    val merges = IndexCache.cachedFrame(docs.sparkSession, "bpe_merges",
-      s"$iters", Dedup.docFp(docs)) { bpeTrain(docs, iters) }
-    val ms = merges.orderBy(col("it")).collect()
-      .map(r => (r.getString(1), r.getString(2))) // iters rows — model-sized
-    var words = docs.select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
-          .as("w"))
-      .select(col("doc_id"), col("w"), split(col("w"), "").as("syms"))
-    ms.foreach { case (a, b) =>
-      // a/b are lowercase-letter strings by construction (bpeTrain's
-      // [a-z]+ word filter), so literal splicing is safe.
-      words = words.withColumn("syms", expr(
-        s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
-          s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
-          s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
-          "ELSE concat(acc, array(x)) END)"))
+    * shuffle (the one aggregation is the final per-doc rollup). The
+    * per-doc accounting table is ITSELF a read-through artifact
+    * (`bpe_encode`, keyed by the same corpus fingerprint): the fold
+    * chain runs once per corpus, and every consumer — the per-doc row,
+    * the per-language fertility rollup ([[bpeFertility]]) — serves from
+    * the encoded table, the same lifecycle as the IVF/DSIR families. */
+  def bpeEncode(docs: DataFrame, iters: Int): DataFrame =
+    IndexCache.cachedFrame(docs.sparkSession, "bpe_encode",
+      s"$iters", Dedup.docFp(docs)) {
+      val merges = IndexCache.cachedFrame(docs.sparkSession, "bpe_merges",
+        s"$iters", Dedup.docFp(docs)) { bpeTrain(docs, iters) }
+      val ms = merges.orderBy(col("it")).collect()
+        .map(r => (r.getString(1), r.getString(2))) // iters rows — model-sized
+      var words = docs.select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .as("w"))
+        .select(col("doc_id"), col("w"), split(col("w"), "").as("syms"))
+      ms.foreach { case (a, b) =>
+        // a/b are lowercase-letter strings by construction (bpeTrain's
+        // [a-z]+ word filter), so literal splicing is safe.
+        words = words.withColumn("syms", expr(
+          s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
+            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
+            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
+            "ELSE concat(acc, array(x)) END)"))
+      }
+      words.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars"),
+          sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+        .withColumn("compression",
+          round(col("n_chars") / col("n_bpe_tokens"), 4))
     }
-    words.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_words"),
-        sum(length(col("w"))).as("n_chars"),
-        sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
-      .withColumn("compression",
-        round(col("n_chars") / col("n_bpe_tokens"), 4))
-  }
+
+  /** Tokenizer FERTILITY by language — the multilingual-fairness
+    * diagnostic every corpus owner publishes (how many subword tokens a
+    * word costs per language, and how many characters a token buys; a
+    * lopsidedly-trained tokenizer makes some languages 2-3× more
+    * expensive per word of content). Pure rollup of the [[bpeEncode]]
+    * artifact joined to the documents' language column: one equi-join +
+    * one ≤|languages|-row aggregate — no re-tokenization, no fold
+    * re-run. Docs with zero [a-z]+ words carry no encode row and drop
+    * out, on both engines, through the same inner join. */
+  def bpeFertility(docs: DataFrame, iters: Int): DataFrame =
+    bpeEncode(docs, iters)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_bpe_tokens")), 4)
+          .as("chars_per_token"),
+        round(sum(col("n_bpe_tokens")).cast("double") / sum(col("n_words")), 4)
+          .as("tokens_per_word"))
+      .orderBy(col("lang"))
 
   /** Zipf-law fit over the top-R token ranks: OLS slope (and R²) of
     * ln freq vs ln rank — the corpus-health diagnostic (natural text sits

@@ -450,6 +450,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Tokenizer FERTILITY by language — the multilingual-fairness table
+    // (tokens a word costs, chars a token buys, per language): a pure
+    // rollup of the bpe_encode ARTIFACT joined to the language column —
+    // the fold chain never re-runs (forensics: bpe_encode.disk warm).
+    // The oracle replays train + encode + the per-language rollup, so a
+    // stale or mis-keyed artifact fails the hash, not just the timing.
+    Q("text_fertility", bpeFertilitySql(3)) { (s, d) =>
+      Corpus.bpeFertility(Tables.documents(s, d), iters = 3)
+    },
+
     // PPMI word-association mining: for each target word, the top-8
     // context words by pointwise mutual information over a directed
     // 3-token co-occurrence window (w at position i, c at i+1..i+3).
@@ -662,7 +672,7 @@ object TextQueries {
     * merge columns coalesced to a non-letter sentinel, so an exhausted
     * round is a no-op on both engines instead of emptying the oracle's
     * document set through a bare cross join. */
-  private def bpeEncodeSql(iters: Int): String = {
+  private def bpeDocCtes(iters: Int): String = {
     val docRounds = (1 to iters).map { t =>
       s"d$t AS (SELECT doc_id, w, string_split(substr(list_reduce(list_prepend('', syms), " +
         "(acc, x) -> CASE WHEN ends_with(acc, '/' || COALESCE(m.a, chr(1))) " +
@@ -671,15 +681,33 @@ object TextQueries {
         "ELSE acc || '/' || x END), 2), '/') AS syms " +
         s"FROM d${t - 1} LEFT JOIN m$t m ON TRUE)"
     }.mkString(", ")
-    s"WITH ${bpeCoreSql(iters)}, " +
+    s"${bpeCoreSql(iters)}, " +
       "d0 AS (SELECT doc_id, w, string_split(w, '') AS syms " +
       "FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
       "FROM documents)), " +
-      s"$docRounds " +
+      s"$docRounds"
+  }
+
+  private def bpeEncodeSql(iters: Int): String =
+    s"WITH ${bpeDocCtes(iters)} " +
       s"SELECT doc_id, COUNT(*)::BIGINT AS n_words, " +
       "CAST(SUM(len(w)) AS BIGINT) AS n_chars, " +
       "CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens, " +
       "ROUND(CAST(SUM(len(w)) AS DOUBLE) / SUM(len(syms)), 4) AS compression " +
       s"FROM d$iters GROUP BY doc_id ORDER BY doc_id"
-  }
+
+  /** DuckDB replay of [[Corpus.bpeFertility]]: the encode chain's per-doc
+    * accounting rolled up by the documents' language column. */
+  private def bpeFertilitySql(iters: Int): String =
+    s"WITH ${bpeDocCtes(iters)}, " +
+      s"enc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words, " +
+      "CAST(SUM(len(w)) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens " +
+      s"FROM d$iters GROUP BY doc_id) " +
+      "SELECT d.lang, COUNT(*)::BIGINT AS n_docs, " +
+      "CAST(SUM(e.n_words) AS BIGINT) AS n_words, " +
+      "CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens, " +
+      "ROUND(CAST(SUM(e.n_chars) AS DOUBLE) / SUM(e.n_bpe_tokens), 4) AS chars_per_token, " +
+      "ROUND(CAST(SUM(e.n_bpe_tokens) AS DOUBLE) / SUM(e.n_words), 4) AS tokens_per_word " +
+      "FROM enc e JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"
 }
