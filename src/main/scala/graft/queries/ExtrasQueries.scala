@@ -547,6 +547,81 @@ object ExtrasQueries {
         .orderBy(col("snapshot"))
     },
 
+    // The SNAPSHOT-HISTORY metadata table (Iceberg's `.snapshots`
+    // analog): one row per retained version — segment count from the
+    // snapshot manifest (driver-side names only), frame count and offset
+    // bounds answered through the connector's PUSHED AGGREGATES on the
+    // time-traveled scan (min/max from name bounds with zero I/O, count
+    // from the envelope walk) — so the whole history table costs three
+    // metadata-sized jobs, never a data read. The oracle derives every
+    // version's expected state from the fixture's committed generations.
+    Q("q_replay_snapshots",
+      "WITH dep AS (SELECT event_id AS off, value AS amount FROM events " +
+        "WHERE value > 0), " +
+        "thr AS (SELECT MAX(off) // 2 AS t FROM dep), " +
+        "g AS (SELECT COUNT(*) AS n, MIN(off) AS mn, MAX(off) AS mx " +
+        "FROM dep WHERE off < (SELECT t FROM thr)), " +
+        "a AS (SELECT COUNT(*) AS n, MIN(off) AS mn, MAX(off) AS mx FROM dep) " +
+        "SELECT * FROM (" +
+        "SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_segments, " +
+        "g.n AS n_frames, g.mn AS min_offset, g.mx AS max_offset FROM g " +
+        "UNION ALL SELECT 2, 4, a.n, a.mn, a.mx FROM a " +
+        "UNION ALL SELECT 3, 2, a.n, a.mn, a.mx FROM a) " +
+        "ORDER BY version") { (s, d) =>
+      import graft.sources.replay.ReplayLog
+      val dir = replayTtFor(s, d)
+      ReplayLog.versions(dir).map { v =>
+        s.read.format("graft-replay").option("asOfVersion", v.toString)
+          .load(dir)
+          .agg(count(lit(1)).as("n_frames"),
+            min(col("offset")).as("min_offset"),
+            max(col("offset")).as("max_offset"))
+          .select(lit(v).as("version"),
+            lit(ReplayLog.segments(dir, Some(v)).size.toLong).as("n_segments"),
+            col("n_frames"), col("min_offset"), col("max_offset"))
+      }.reduce(_ unionAll _).orderBy(col("version"))
+    },
+
+    // SNAPSHOT EXPIRY (VACUUM) under the oracle gate: a THROWAWAY log is
+    // committed in three generations (write, append, compaction
+    // overwrite) and then expired down to the latest snapshot —
+    // expireSnapshots must reclaim exactly the compaction's retirees
+    // (asserted in-query: 2 expired versions, 2 reclaimed files, 1 live
+    // file on disk) while the surviving read stays bit-identical to the
+    // oracle's replay of the full projection. A narrow slice (off % 7 =
+    // 0) keeps the per-run rebuild cheap; the lifecycle, not the volume,
+    // is what's under test (the same precedent as q_compaction_roundtrip).
+    Q("q_replay_expire",
+      "WITH dep AS (SELECT event_id AS off, CAST(user_id AS VARCHAR) AS wallet_id, " +
+        "value AS amount FROM events WHERE value > 0 AND event_id % 7 = 0) " +
+        "SELECT CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_frames, " +
+        "COUNT(DISTINCT wallet_id) AS n_wallets, " +
+        "ROUND(SUM(amount), 2) AS total_amount FROM dep") { (s, d) =>
+      import graft.sources.replay.ReplayLog
+      val dir = s"$scratchRoot/replayexp_" + UUID.randomUUID().toString.replace("-", "")
+      val deps = Tables.events(s, d)
+        .filter(col("value") > 0 && col("event_id") % 7 === 0).select(
+          col("event_id").as("offset"),
+          expr("unix_micros(ts) div 1000000").as("ts_unix"),
+          col("user_id").cast("string").as("wallet_id"),
+          col("value").as("amount"))
+      val thr = deps.agg(max(col("offset"))).head().getLong(0) / 2
+      ReplayLog.writeSegments(deps.filter(col("offset") < thr), dir, 1)
+      ReplayLog.writeSegments(deps.filter(col("offset") >= thr), dir, 1)
+      ReplayLog.compactSegments(s, dir, target = 1)
+      val (expired, dropped) = ReplayLog.expireSnapshots(dir, keepLast = 1)
+      require(expired == 2 && dropped == 2,
+        s"expire reclaimed ($expired versions, $dropped files), expected (2, 2)")
+      val live = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(ReplayLog.Extension))
+      s.read.format("graft-replay").load(dir)
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("wallet_id")).as("n_wallets"),
+          round(sum(col("amount")), 2).as("total_amount"))
+        .select(lit(live.toLong).as("n_files"), col("n_frames"),
+          col("n_wallets"), col("total_amount"))
+    },
+
     // RUNTIME (DPP-analog) filtering through the connector: the probe
     // side is a "recent keys" table whose offset range is a property of
     // its CONTENT (written at build time), not an in-plan predicate — so
