@@ -29,8 +29,13 @@ object DedupQueries {
     * the dedup_minhash_lsh signature/band machinery with an ASYMMETRIC
     * candidate join — new batch (doc_id % 5 = 0) bands against historical
     * (rest) bands only. */
-  private[queries] val incrementalSql =
-    s"WITH $shinglesCte, " +
+  /** The CTE chain of [[incrementalSql]] up to the verified-pair table
+    * `v` — exposed so the at-ingest provenance funnel's oracle replays
+    * the IDENTICAL asymmetric probe instead of hand-syncing a replica
+    * (the same one-source-of-truth rule as PipelineQueries' shared
+    * cleaning-stage CTEs). */
+  private[queries] val incrementalCtes =
+    s"$shinglesCte, " +
       "sig AS (SELECT doc_id, s, list_transform(range(0, 12), " +
       "i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig FROM sh), " +
       "bandrows AS (SELECT doc_id, j, " +
@@ -40,7 +45,10 @@ object DedupQueries {
       "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
       "v AS (SELECT new_id, dup_of, len(list_intersect(sa.s, sb.s))::DOUBLE / " +
       "len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard " +
-      "FROM cand JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = dup_of) " +
+      "FROM cand JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = dup_of)"
+
+  private[queries] val incrementalSql =
+    s"WITH $incrementalCtes " +
       "SELECT new_id, dup_of, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY new_id, dup_of"
 
   // DETERMINISTIC root, kept across processes: a fresh JVM rediscovers

@@ -1280,8 +1280,82 @@ object StreamQueries {
     Q("stream_hybrid_serve", CorpusQueries.hybridServeStreamSql) {
       (s, d) => materialized(s, "stream_hybrid_serve", embBatchFeed(s, d))(
         streamHybridServe(s, d))(_.orderBy(col("qid"), col("rank")))
+    },
+
+    // PROVENANCE AT INGEST — the funnel's fate decision placed at the
+    // door, the seventh member of the stateless-ingest family: each
+    // arriving document gets its first-drop-wins fate (quality gate →
+    // exact dedup vs the HISTORY digest artifact → near-dup vs the
+    // persisted LSH index → kept) decided inside foreachBatch, so the
+    // ingest edge emits the same telemetry record the batch funnel
+    // (pipeline_provenance) ships for the lake. Every stage signal is a
+    // per-document function of (doc, history) — the SAME shared scorer
+    // as stream_quality_gate, the SAME digest/LSH artifacts as the
+    // exact/incremental dedup rows — so the micro-batch split is
+    // invisible and the oracle replays the identical three stages over
+    // the feed subset from the SHARED CTE fragments (no hand-synced
+    // replicas).
+    Q("stream_provenance", provenanceStreamSql) {
+      (s, d) => materialized(s, "stream_provenance", docsBatchFeed(s, d))(
+        streamProvenance(s, d))(_.orderBy(col("doc_id")))
     }
   )
+
+  /** See the stream_provenance registration: the at-ingest fate record's
+    * oracle, composed from the shared quality-gate and incremental-LSH
+    * CTE fragments plus the exact-digest probe. */
+  private def provenanceStreamSql: String =
+    s"WITH ${DedupQueries.incrementalCtes}, " +
+      "nd AS (SELECT DISTINCT new_id AS doc_id FROM v WHERE jaccard >= 0.5), " +
+      "ex AS (SELECT DISTINCT a.doc_id FROM documents a JOIN documents b " +
+      "ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 AND md5(a.text) = md5(b.text)), " +
+      s"${TextQueries.qualityFeedCtes} " +
+      "SELECT q.doc_id, CASE WHEN q.quality IS NULL OR q.quality < 0.5 THEN 'quality' " +
+      "WHEN q.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup' " +
+      "WHEN q.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup' " +
+      "ELSE 'kept' END AS fate, q.quality FROM q ORDER BY q.doc_id"
+
+  /** Per-batch fate decision against the history artifacts: quality is
+    * the shared scorer (per-doc), exact-dup probes the read-through
+    * md5-digest artifact of the history corpus (the production digest
+    * index — one semi equi-join on the digest, batch side broadcast),
+    * near-dup probes the persisted LSH index asymmetrically (the
+    * stream_lsh_dedup machinery). Signals are computed for the WHOLE
+    * batch (the funnel reports the first-drop fate; a quality-dropped
+    * doc's dup signals are simply outranked by the CASE order). */
+  private def streamProvenance(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+    val indexPath = DedupQueries.lshIndexFor(s, dir)
+    val digests = graft.operators.IndexCache.cachedFrame(s, "exact_digests",
+      "md5", graft.operators.Dedup.docFp(hist)) {
+      hist.select(md5(col("text").cast("binary")).as("digest")).distinct()
+    }
+    foreachBatchReplay(s, docsBatchFeed(s, dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true)))) { batch =>
+      val scored = TextQueries.qualityScored(batch)
+        .select(col("doc_id"), col("quality"))
+      val exact = batch
+        .select(col("doc_id").as("ex_id"),
+          md5(col("text").cast("binary")).as("digest"))
+        .join(digests, Seq("digest"), "left_semi")
+        .select(col("ex_id"))
+      val near = graft.operators.Dedup.lshServedPairs(hist, batch, indexPath)
+        .select(col("new_id").as("nd_id")).distinct()
+      scored
+        .join(exact, scored("doc_id") === col("ex_id"), "left")
+        .join(near, scored("doc_id") === col("nd_id"), "left")
+        .select(scored("doc_id"),
+          when(col("quality").isNull || col("quality") < 0.5, lit("quality"))
+            .when(col("ex_id").isNotNull, lit("exact_dup"))
+            .when(col("nd_id").isNotNull, lit("near_dup"))
+            .otherwise(lit("kept")).as("fate"),
+          col("quality"))
+    }.orderBy(col("doc_id"))
+  }
 
   /** See the stream_cdc_chunks registration: per-batch chunking,
     * stateless, composes because chunks are per-doc. */

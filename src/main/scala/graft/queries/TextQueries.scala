@@ -80,8 +80,13 @@ object TextQueries {
     * gate in both engines). Scores are per-document functions, so the
     * micro-batch split is invisible and the batch scorer over the subset
     * IS the expected output — the stream_dsir_score composition argument. */
-  private[queries] def qualityGateStreamSql(tau: Double): String =
-    "WITH f AS (SELECT doc_id, " +
+  /** The f/q CTE pair scoring the streaming feed subset — shared by the
+    * quality-gate oracle and the at-ingest provenance funnel's oracle
+    * (one source of truth for the gate formula; NOTE the zero-length
+    * caveat in [[qualityScored]]: n_len = 0 divides to NULL in DuckDB,
+    * which the Spark side mirrors explicitly). */
+  private[queries] val qualityFeedCtes =
+    "f AS (SELECT doc_id, " +
       "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens, " +
       s"len(regexp_extract_all(lower(text), '$enPat'))::BIGINT AS stop_hits, " +
       "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::BIGINT AS n_punct, " +
@@ -89,7 +94,10 @@ object TextQueries {
       "q AS (SELECT doc_id, n_tokens, " +
       "0.4 * (stop_hits / n_tokens::DOUBLE) " +
       "+ 0.3 * LEAST(1.0, n_tokens / 100.0) " +
-      "+ 0.3 * (1.0 - n_punct / n_len::DOUBLE) AS quality FROM f) " +
+      "+ 0.3 * (1.0 - n_punct / n_len::DOUBLE) AS quality FROM f)"
+
+  private[queries] def qualityGateStreamSql(tau: Double): String =
+    s"WITH $qualityFeedCtes " +
       s"SELECT doc_id, n_tokens, quality FROM q WHERE quality >= $tau " +
       "ORDER BY doc_id"
 
