@@ -464,7 +464,21 @@ object ScaleSmoke {
       // (honestly linear in frames both sides of the commit).
       "pipeline_provenance", "pipeline_retention",
       "q_replay_runtime_prune", "q_replay_agg_pushdown",
-      "stream_replay_roundtrip")
+      "stream_replay_roundtrip",
+      // Round-16 continuation: time travel / the snapshot-history table
+      // read mult× frames through per-version pushed aggregates and the
+      // genesis snapshot (~linear in the snapshot's frames; the history
+      // table's min/max legs are metadata-only). The expiry roundtrip
+      // rebuilds + compacts + expires its throwaway slice per run
+      // (~linear in the slice). Curriculum is two bounded-shuffle passes
+      // (histogram + per-value window) over mult× docs (~linear);
+      // fertility serves the bpe_encode artifact and rolls it up by
+      // language (~flat beyond the artifact scan — the encode build is
+      // measured once like the other index families); stream_provenance
+      // composes the shared scorer + digest semi-join + LSH probe per
+      // batch (~linear in the batch like its constituent rows).
+      "q_replay_time_travel", "q_replay_snapshots", "q_replay_expire",
+      "pipeline_curriculum", "text_fertility")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),
@@ -539,7 +553,8 @@ object ScaleSmoke {
       streamRow("stream_lsh_dedup") :+ // ingest-dedup: stateless artifact probe
       streamRow("stream_ann_serve") :+ // streaming retrieval: stateless IVF probe
       streamRow("stream_dsir_score") :+ // data selection at ingest: stateless ratio probe
-      streamRow("stream_cdc_chunks") // chunking at ingest: stateless per-doc chunker
+      streamRow("stream_cdc_chunks") :+ // chunking at ingest: stateless per-doc chunker
+      streamRow("stream_provenance") // fate tagging at ingest: scorer + digest + LSH probes
 
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
