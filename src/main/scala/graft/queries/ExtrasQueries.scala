@@ -547,6 +547,38 @@ object ExtrasQueries {
         .orderBy(col("snapshot"))
     },
 
+    // The CATALOG plugin under the oracle gate: the same three-generation
+    // log addressed as a catalog TABLE (spark.sql.catalog.graft_replay =
+    // ReplayCatalog, root = the fixture scratch), read with Spark's OWN
+    // time-travel syntax — `VERSION AS OF 1` resolving through the
+    // snapshot chain via TableCatalog.loadTable(ident, version) — plus
+    // the current head by bare name. The last DSv2 ladder rung: no path,
+    // no option, pure SQL. ReplayCatalogSpec pins DDL, TIMESTAMP AS OF,
+    // and pushdown-through-catalog.
+    Q("q_replay_catalog",
+      "WITH dep AS (SELECT event_id AS off, value AS amount FROM events " +
+        "WHERE value > 0), " +
+        "thr AS (SELECT MAX(off) // 2 AS t FROM dep) " +
+        "SELECT 'head' AS snapshot, COUNT(*) AS n_frames, " +
+        "ROUND(SUM(amount), 2) AS total_amount FROM dep " +
+        "UNION ALL " +
+        "SELECT 'v1_genesis', COUNT(*), ROUND(SUM(amount), 2) " +
+        "FROM dep WHERE off < (SELECT t FROM thr) " +
+        "ORDER BY snapshot") { (s, d) =>
+      val dir = replayTtFor(s, d)
+      val tbl = new java.io.File(dir).getName
+      s.conf.set("spark.sql.catalog.graft_replay",
+        "graft.sources.replay.ReplayCatalog")
+      s.conf.set("spark.sql.catalog.graft_replay.root", scratchRoot)
+      s.sql(
+        "SELECT 'head' AS snapshot, COUNT(*) AS n_frames, " +
+          s"ROUND(SUM(amount), 2) AS total_amount FROM graft_replay.`$tbl` " +
+          "UNION ALL " +
+          "SELECT 'v1_genesis', COUNT(*), ROUND(SUM(amount), 2) " +
+          s"FROM graft_replay.`$tbl` VERSION AS OF 1 " +
+          "ORDER BY snapshot")
+    },
+
     // The SNAPSHOT-HISTORY metadata table (Iceberg's `.snapshots`
     // analog): one row per retained version — segment count from the
     // snapshot manifest (driver-side names only), frame count and offset

@@ -101,6 +101,44 @@ object ReplayLog {
     epochs.toSeq.sortBy(_._1).map { case (q, e) => s"#epoch:$q=$e" }.toVector ++
       names
 
+  /** `#committed:<unixMillis>` manifest header — the commit's wall-clock
+    * stamp, written by [[ReplayCommit.publish]] so snapshots are
+    * addressable by TIME as well as by version (`TIMESTAMP AS OF`
+    * through [[ReplayCatalog]]). Rides the ordinary `#` header channel:
+    * every parser that skips headers is unaffected, and the heal path's
+    * content-compare copies it verbatim (a healed snapshot keeps its
+    * original commit time). */
+  private val CommittedHeader = """#committed:(\d+)""".r
+
+  private[replay] def committedHeader(millis: Long): String =
+    s"#committed:$millis"
+
+  /** Commit wall-clock (millis) recorded in snapshot `v`, if the log
+    * predates commit stamping. */
+  def versionCommittedAt(dir: String, v: Long): Option[Long] = {
+    val f = new File(dir, versionFileName(v))
+    if (!f.isFile) None
+    else readLines(f).collectFirst { case CommittedHeader(ms) => ms.toLong }
+  }
+
+  /** Resolve the snapshot live AS OF wall-clock `micros`: the highest
+    * version committed at or before it. Pre-stamping snapshots count as
+    * committed at epoch 0 (always eligible — they are strictly older
+    * than any stamped commit). Loud when the timestamp predates the
+    * log's first commit. */
+  def resolveVersionAt(dir: String, micros: Long): Long = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"replay log $dir has no snapshots")
+    val eligible = vs.filter(v =>
+      versionCommittedAt(dir, v).getOrElse(0L) <= micros / 1000)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"replay log $dir: no snapshot committed at or before " +
+          s"timestamp ${micros / 1000} ms (earliest: " +
+          s"${versionCommittedAt(dir, vs.head).getOrElse(0L)} ms)")
+    eligible.max
+  }
+
   /** Atomically (tmp + POSIX rename) publish `lines` as `dir/name`. */
   private[replay] def writeAtomic(dir: String, name: String,
                                   lines: Seq[String]): Unit = {

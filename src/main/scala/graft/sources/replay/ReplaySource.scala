@@ -221,7 +221,8 @@ private[replay] object ReplayCommit {
     val epochs = epoch.foldLeft(ReplayLog.readEpochs(path)) {
       case (m, (q, e)) => m.updated(q, e)
     }
-    val lines = ReplayLog.manifestLines(live, epochs)
+    val lines = ReplayLog.committedHeader(System.currentTimeMillis()) +:
+      ReplayLog.manifestLines(live, epochs)
     ReplayLog.writeAtomic(path, ReplayLog.ManifestName, lines)
     val nextV = ReplayLog.versions(path).lastOption.getOrElse(0L) + 1
     ReplayLog.writeAtomic(path, ReplayLog.versionFileName(nextV), lines)
