@@ -279,6 +279,56 @@ object PipelineQueries {
         .orderBy(col("lang"), col("seq_id"))
     },
 
+    // Packing by REAL tokenizer counts — the production contract
+    // (sequence budgets are tokenizer tokens, not whitespace words):
+    // the same bounded-shard two-pass layout as pipeline_pack_sequences,
+    // but each doc's length is its n_bpe_tokens from the bpe_encode
+    // ARTIFACT (the fold chain never re-runs — one equi-join attaches
+    // the counts; docs with no [a-z]+ words carry no encode row and
+    // drop out identically on both engines). The oracle replays BPE
+    // train + encode + the identical prefix-sum packing, so a drifted
+    // tokenizer OR a drifted layout fails the hash.
+    Q("pipeline_pack_bpe",
+      s"WITH ${TextQueries.bpeDocCtes(3)}, " +
+        "enc AS (SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tok " +
+        "FROM d3 GROUP BY doc_id), " +
+        "t AS (SELECT e.doc_id, d.lang, e.n_tok FROM enc e " +
+        "JOIN documents d USING (doc_id)), " +
+        "c AS (SELECT lang, doc_id, n_tok, " +
+        "SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS before " +
+        "FROM t), " +
+        "s AS (SELECT lang, doc_id, n_tok, CAST(before // 2048 AS BIGINT) AS seq_id FROM c) " +
+        "SELECT lang, seq_id, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS seq_tokens " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val enc = Corpus.bpeEncode(docs, iters = 3)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+      val shardW = 128L
+      val t = docs.select(col("doc_id"), col("lang"))
+        .join(enc, Seq("doc_id"))
+        .withColumn("shard", expr(s"doc_id div $shardW"))
+      val wShard = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = t.withColumn("within",
+        sum(col("n_tok")).over(wShard) - col("n_tok"))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = t.groupBy(col("lang"), col("shard"))
+        .agg(sum(col("n_tok")).as("shard_tok"))
+        .withColumn("shard_off", sum(col("shard_tok")).over(wOff) - col("shard_tok"))
+        .select(col("lang"), col("shard"), col("shard_off"))
+      within.join(broadcast(offsets), Seq("lang", "shard"))
+        .withColumn("before", col("within") + col("shard_off"))
+        .withColumn("seq_id", expr("before div 2048"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("seq_tokens"))
+        .orderBy(col("lang"), col("seq_id"))
+    },
+
     // Document-boundary packing with span output — what a dataloader
     // actually consumes: one row per (doc, sequence) overlap carrying the
     // doc's token span [start_tok, end_tok) WITHIN the sequence, so loss

@@ -680,7 +680,7 @@ object TextQueries {
     * merge columns coalesced to a non-letter sentinel, so an exhausted
     * round is a no-op on both engines instead of emptying the oracle's
     * document set through a bare cross join. */
-  private def bpeDocCtes(iters: Int): String = {
+  private[queries] def bpeDocCtes(iters: Int): String = {
     val docRounds = (1 to iters).map { t =>
       s"d$t AS (SELECT doc_id, w, string_split(substr(list_reduce(list_prepend('', syms), " +
         "(acc, x) -> CASE WHEN ends_with(acc, '/' || COALESCE(m.a, chr(1))) " +
