@@ -547,6 +547,57 @@ object ExtrasQueries {
         .orderBy(col("snapshot"))
     },
 
+    // DELETE FROM under the oracle gate — the GDPR wallet-erasure
+    // lifecycle on a THROWAWAY log: the copy-on-write delete removes one
+    // wallet's frames from the live table (per-segment rewrite tasks,
+    // -g generation names so the pre-delete snapshot keeps its files),
+    // the in-query requires pin the lifecycle (pre-delete snapshot
+    // still serves the wallet = deletion is snapshot-isolated;
+    // expireSnapshots then reclaims the originals = the actual erasure
+    // point), and the surviving read is hash-checked against the
+    // oracle's events-minus-wallet replay. ReplayDeleteSpec pins the
+    // bounds-planned I/O (retention cut reads one boundary segment).
+    Q("q_replay_delete",
+      "WITH dep AS (SELECT event_id AS off, CAST(user_id AS VARCHAR) AS wallet_id, " +
+        "value AS amount FROM events WHERE value > 0 AND event_id % 5 = 2), " +
+        "victim AS (SELECT MIN(user_id) AS w FROM events " +
+        "WHERE value > 0 AND event_id % 5 = 2) " +
+        "SELECT wallet_id, COUNT(*) AS n_deposits, " +
+        "ROUND(SUM(amount), 2) AS total_amount FROM dep " +
+        "WHERE wallet_id <> CAST((SELECT w FROM victim) AS VARCHAR) " +
+        "GROUP BY 1 ORDER BY 1") { (s, d) =>
+      import graft.sources.replay.ReplayLog
+      val dir = s"$scratchRoot/replaydel_" + UUID.randomUUID().toString.replace("-", "")
+      val deps = Tables.events(s, d)
+        .filter(col("value") > 0 && col("event_id") % 5 === 2).select(
+          col("event_id").as("offset"),
+          expr("unix_micros(ts) div 1000000").as("ts_unix"),
+          col("user_id").cast("string").as("wallet_id"),
+          col("value").as("amount"))
+      ReplayLog.writeSegments(deps, dir, 2)
+      val victim = deps.agg(min(col("wallet_id").cast("long"))).head().getLong(0).toString
+      val tbl = new java.io.File(dir).getName
+      s.conf.set("spark.sql.catalog.graft_replay",
+        "graft.sources.replay.ReplayCatalog")
+      s.conf.set("spark.sql.catalog.graft_replay.root", scratchRoot)
+      s.sql(s"DELETE FROM graft_replay.`$tbl` WHERE wallet_id = '$victim'")
+      // Snapshot isolation: the pre-delete snapshot still serves the
+      // wallet; expiry reclaims the originals (the erasure point).
+      val vs = ReplayLog.versions(dir)
+      val preDelete = s.read.format("graft-replay")
+        .option("asOfVersion", (vs.last - 1).toString).load(dir)
+        .where(col("wallet_id") === victim).count()
+      require(preDelete > 0, "pre-delete snapshot lost the wallet")
+      val (expired, dropped) = ReplayLog.expireSnapshots(dir, keepLast = 1)
+      require(expired >= 1 && dropped >= 1,
+        s"expiry reclaimed nothing: ($expired, $dropped)")
+      s.read.format("graft-replay").load(dir)
+        .groupBy(col("wallet_id"))
+        .agg(count(lit(1)).as("n_deposits"),
+          round(sum(col("amount")), 2).as("total_amount"))
+        .orderBy(col("wallet_id"))
+    },
+
     // The CATALOG plugin under the oracle gate: the same three-generation
     // log addressed as a catalog TABLE (spark.sql.catalog.graft_replay =
     // ReplayCatalog, root = the fixture scratch), read with Spark's OWN

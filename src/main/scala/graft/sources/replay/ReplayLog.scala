@@ -44,12 +44,24 @@ object ReplayLog {
   final case class SegmentMeta(path: String, baseOffset: Long,
                                lastOffset: Long, minTs: Long, maxTs: Long)
 
+  /** Optional `-g<generation>` suffix: a DELETE's copy-on-write rewrite
+    * can reproduce a segment with IDENTICAL offset/ts bounds but fewer
+    * frames (an interior frame removed) — publishing it under the bare
+    * bounds name would overwrite the original file that the pre-delete
+    * snapshot still references, silently mutating history. The
+    * generation makes rewritten names distinct (the scaled-down version
+    * of Iceberg's per-file UUIDs); bare names parse unchanged. */
   private val SegName =
-    """seg-(\d{20})-(\d{20})-(-?\d+)-(-?\d+)\.rlog""".r
+    """seg-(\d{20})-(\d{20})-(-?\d+)-(-?\d+)(?:-g(\d+))?\.rlog""".r
 
   def segmentName(baseOffset: Long, lastOffset: Long,
                   minTs: Long, maxTs: Long): String =
     f"seg-$baseOffset%020d-$lastOffset%020d-$minTs%d-$maxTs%d$Extension"
+
+  def segmentName(baseOffset: Long, lastOffset: Long,
+                  minTs: Long, maxTs: Long, gen: Long): String =
+    if (gen <= 0) segmentName(baseOffset, lastOffset, minTs, maxTs)
+    else f"seg-$baseOffset%020d-$lastOffset%020d-$minTs%d-$maxTs%d-g$gen%d$Extension"
 
   /** The log's MANIFEST: one line per live segment file name, replaced
     * atomically (tmp + POSIX rename) by every commit. It is what makes
@@ -245,7 +257,7 @@ object ReplayLog {
     * the chain was broken outside [[expireSnapshots]]. */
   def segments(dir: String, asOf: Option[Long]): Seq[SegmentMeta] = {
     def parse(f: File): SegmentMeta = f.getName match {
-      case SegName(base, last, minTs, maxTs) =>
+      case SegName(base, last, minTs, maxTs, _) =>
         SegmentMeta(f.getPath, base.toLong, last.toLong,
           minTs.toLong, maxTs.toLong)
       case other => throw new IllegalStateException(

@@ -91,7 +91,27 @@ final class ReplayTable(path: String, maxSegmentsPerTrigger: Option[Int],
                         asOfVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM` — copy-on-write through [[ReplayDelete]]: untouched
+    * segments keep their files, bounds-covered segments drop with zero
+    * I/O (the retention cut), partial segments rewrite one Spark task
+    * each under `-g<gen>` names; pre-delete snapshots keep the old data
+    * until [[ReplayLog.expireSnapshots]] (the actual erasure point).
+    * Accepted predicates are exactly the scan's pushable set (plus the
+    * bare-truncate AlwaysTrue, which is metadata-only). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOfVersion.isEmpty && filters.forall {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case f => ReplayFilters.supported(f)
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOfVersion.isEmpty,
+      "graft-replay: cannot DELETE through an asOfVersion time-travel read")
+    ReplayDelete.run(org.apache.spark.sql.SparkSession.active, path, filters)
+  }
   override def name(): String =
     s"graft-replay:$path" + asOfVersion.map(v => s"@v$v").getOrElse("")
 
