@@ -79,6 +79,26 @@ class ReplayCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 10L)
   }
 
+  test("writeStream.toTable lands in a catalog table through the epoch-committed sink") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.st")
+    spark.sql(s"CREATE TABLE $cat.st.sunk")
+    val srcDir = s"$root/st/src"
+    ReplayLog.writeSegments(sample(1, 30), srcDir, 3)
+    val q = spark.readStream.format("graft-replay")
+      .option("maxSegmentsPerTrigger", "1").load(srcDir)
+      .where(col("amount") >= 15.0)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cat_sink_cp").toString)
+      .toTable(s"$cat.st.sunk")
+    try q.processAllAvailable() finally q.stop()
+    // 30 frames, amount = offset*1.5 >= 15 -> offsets 10..30 = 21 rows,
+    // readable back by catalog name and epoch-recorded in the manifest.
+    assert(spark.table(s"$cat.st.sunk").count() == 21L)
+    assert(spark.table(s"$cat.st.sunk")
+      .agg(min(col("offset"))).head().getLong(0) == 10L)
+  }
+
   test("rename and drop move/remove the log directory; fixed schema enforced") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ops")
     spark.sql(s"CREATE TABLE $cat.ops.a")
