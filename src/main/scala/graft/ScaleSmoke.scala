@@ -478,7 +478,13 @@ object ScaleSmoke {
       // composes the shared scorer + digest semi-join + LSH probe per
       // batch (~linear in the batch like its constituent rows).
       "q_replay_time_travel", "q_replay_snapshots", "q_replay_expire",
-      "pipeline_curriculum", "text_fertility")
+      "pipeline_curriculum", "text_fertility",
+      // Batch 2: the delete lifecycle rebuilds + deletes + expires its
+      // throwaway slice per run (~linear in the slice; the per-segment
+      // rewrite distributes); pack-by-BPE is the artifact equi-join +
+      // the bounded two-pass windows (~linear); the catalog read's plan
+      // is identical to the time-travel read (one resolution layer up).
+      "q_replay_delete", "q_replay_catalog", "pipeline_pack_bpe")
 
     def semanticAt(dir: String, k: Int): DataFrame =
       operators.Dedup.semanticDedup(sources.Tables.embeddings(spark, dir),

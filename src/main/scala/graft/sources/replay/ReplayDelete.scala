@@ -75,8 +75,7 @@ private[replay] object ReplayDelete {
       filters.forall(segmentAllMatch(_, seg))).toSet
     val partial = affected.filterNot(fully)
 
-    val gen = System.currentTimeMillis()
-    val rewritten: Seq[(String, Rewrite)] =
+    val rewrites: Seq[Rewrite] =
       if (partial.isEmpty) Seq.empty
       else {
         val fs = filters // Filters are serializable case classes
@@ -84,17 +83,25 @@ private[replay] object ReplayDelete {
           .parallelize(partial.map(_.path), partial.size)
           .flatMap(p => rewriteSegment(p, fs).toSeq)
           .collect().toSeq
-          .map(r => ReplayLog.segmentName(r.base, r.last, r.minTs, r.maxTs, gen) -> r)
       }
+    // Pick the generation so NO proposed name exists on disk: a
+    // same-millisecond re-delete with identical bounds would otherwise
+    // collide with a file an earlier snapshot may reference — deleting
+    // that file (the stray-clearing move the writer uses) would mutate
+    // history here, so bump instead. Single-writer per log, so the
+    // probe-then-use is race-free.
+    val dir = new File(path)
+    var gen = System.currentTimeMillis()
+    def names(g: Long) =
+      rewrites.map(r => ReplayLog.segmentName(r.base, r.last, r.minTs, r.maxTs, g))
+    while (names(gen).exists(n => new File(dir, n).exists())) gen += 1
+    val rewritten: Seq[(String, Rewrite)] = names(gen).zip(rewrites)
     // Same crash-safe order as ReplayCommit.publish: (1) rename staged
     // temps (unlisted = invisible), (2) atomic manifest replace = the
     // commit point, (3) snapshot. A crash before (2) leaves the
     // pre-delete log intact plus stray temps.
-    val dir = new File(path)
     rewritten.foreach { case (name, r) =>
       val dest = new File(dir, name)
-      if (dest.isFile && !dest.delete())
-        throw new IllegalStateException(s"cannot clear stray $dest")
       if (!new File(r.tmpPath).renameTo(dest))
         throw new IllegalStateException(s"cannot publish rewritten segment $dest")
     }
