@@ -53,12 +53,6 @@ object ExtrasQueries {
       path
     })
 
-  /** Probe-keys table for the runtime-pruning query: the top offset
-    * quartile of the log's keys, bucketed by a non-key attribute. Built
-    * ONCE per (JVM, sf dir) as parquet — the offset restriction lives in
-    * the table's CONTENT, not in any read-side predicate, so the only
-    * way the scan learns which segments matter is the runtime join-key
-    * filter. */
   /** Time-travel log per (JVM, sf dir): its OWN directory (appending to
     * the shared log would shift every other replay oracle), written in
     * three committed generations — genesis (offsets below the midpoint,
@@ -96,6 +90,12 @@ object ExtrasQueries {
       path
     })
 
+  /** Probe-keys table for the runtime-pruning query: the top offset
+    * quartile of the log's keys, bucketed by a non-key attribute. Built
+    * ONCE per (JVM, sf dir) as parquet — the offset restriction lives in
+    * the table's CONTENT, not in any read-side predicate, so the only
+    * way the scan learns which segments matter is the runtime join-key
+    * filter. */
   private val replayDimCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def replayDimFor(s: org.apache.spark.sql.SparkSession,

@@ -113,7 +113,18 @@ class ReplayCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirOf(ident)
     val ns = dir.getParentFile
     if (!ns.isDirectory) throw new NoSuchNamespaceException(ident.namespace())
-    if (!dir.mkdir()) throw new IllegalStateException(s"cannot create $dir")
+    // A pre-existing NON-EMPTY manifest-less dir is some other use of
+    // the name (a namespace with content) — refuse rather than convert
+    // it into a table. A pre-existing EMPTY dir is the debris of a
+    // CREATE that crashed between mkdir and the manifest write; the
+    // retry completes it (otherwise the name is bricked: CREATE fails
+    // on mkdir forever and DROP won't touch a non-table).
+    if (dir.isDirectory &&
+        Option(dir.listFiles()).getOrElse(Array.empty).nonEmpty)
+      throw new IllegalStateException(
+        s"cannot create table ${ident.name()}: $dir exists and is not empty")
+    if (!dir.isDirectory && !dir.mkdir())
+      throw new IllegalStateException(s"cannot create $dir")
     ReplayLog.writeAtomic(dir.getPath, ReplayLog.ManifestName,
       Seq(ReplayLog.committedHeader(System.currentTimeMillis())))
     loadTable(ident)

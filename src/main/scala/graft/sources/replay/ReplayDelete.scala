@@ -109,11 +109,7 @@ private[replay] object ReplayDelete {
     val untouched = all.map(s => new File(s.path).getName)
       .filterNot(affectedNames)
     val live = (untouched ++ rewritten.map(_._1)).sorted
-    val lines = ReplayLog.committedHeader(System.currentTimeMillis()) +:
-      ReplayLog.manifestLines(live, ReplayLog.readEpochs(path))
-    ReplayLog.writeAtomic(path, ReplayLog.ManifestName, lines)
-    val nextV = ReplayLog.versions(path).lastOption.getOrElse(0L) + 1
-    ReplayLog.writeAtomic(path, ReplayLog.versionFileName(nextV), lines)
+    ReplayLog.publishManifest(path, live, ReplayLog.readEpochs(path))
     // Affected originals stay on disk: the pre-delete snapshot (written
     // by the heal above if it wasn't already) references them.
   }

@@ -167,17 +167,27 @@ object ReplayLog {
     }
   }
 
-  /** Replace the manifest with `names` plus the streaming-sink epoch
-    * ledger as `#epoch:<queryId>=<maxEpoch>` header lines. Keeping the
-    * ledger INSIDE the manifest makes "segments published" and "epoch
-    * recorded" one atomic rename — a separate sidecar would leave a
-    * crash window where a replayed epoch re-publishes its segments
-    * (duplication) or an unrecorded epoch's data is lost. One line per
-    * query id (epochs per query are monotone, so the max is the whole
-    * ledger), so the header stays O(#queries), not O(#batches). */
-  private[replay] def writeManifest(dir: String, names: Seq[String],
-                                    epochs: Map[String, Long]): Unit =
-    writeAtomic(dir, ManifestName, manifestLines(names, epochs))
+  /** Publish `names` (+ the epoch ledger) as the new CURRENT manifest
+    * and record the same content as the next numbered snapshot — the
+    * single shared commit tail for the batch/streaming writers and
+    * DELETE. Keeping the ledger INSIDE the manifest makes "segments
+    * published" and "epoch recorded" one atomic rename — a separate
+    * sidecar would leave a crash window where a replayed epoch
+    * re-publishes its segments (duplication) or an unrecorded epoch's
+    * data is lost. One line per query id (epochs per query are
+    * monotone, so the max is the whole ledger), so the header stays
+    * O(#queries), not O(#batches). Every commit is #committed-stamped
+    * (TIMESTAMP AS OF addressing) — a bespoke manifest write that
+    * skipped the stamp or the snapshot would silently reopen the
+    * unversioned-commit bug class, so this is the only writer. */
+  private[replay] def publishManifest(dir: String, names: Seq[String],
+                                      epochs: Map[String, Long]): Unit = {
+    val lines = committedHeader(System.currentTimeMillis()) +:
+      manifestLines(names, epochs)
+    writeAtomic(dir, ManifestName, lines)
+    val nextV = versions(dir).lastOption.getOrElse(0L) + 1
+    writeAtomic(dir, versionFileName(nextV), lines)
+  }
 
   /** Heal the snapshot chain: if the CURRENT manifest's content is not
     * what the highest snapshot records (a crash between the commit

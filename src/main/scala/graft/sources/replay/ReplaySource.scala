@@ -207,32 +207,51 @@ private[replay] object ReplayCommit {
     val prior: Seq[String] =
       if (truncate) Seq.empty
       else ReplayLog.segments(path).map(s => new java.io.File(s.path).getName)
-    val added = messages.collect {
+    val priorSet = prior.toSet
+    // Names SNAPSHOTS still reference must never be overwritten: an
+    // overwrite/compaction that reproduces a retired segment's bounds
+    // with DIFFERENT content would silently mutate time-travel history
+    // through the bare bounds name — so such segments publish under a
+    // fresh `-g<generation>` name instead (the ReplayDelete move). Only
+    // a same-named file that is referenced by NOTHING (aborted-job
+    // debris) is cleared and replaced.
+    val referenced = priorSet ++ ReplayLog.retainedNames(path)
+    val staged = messages.collect {
       case ReplaySegmentCommit(tmp, base, last, minTs, maxTs) =>
-        val name = ReplayLog.segmentName(base, last, minTs, maxTs)
+        val bare = ReplayLog.segmentName(base, last, minTs, maxTs)
         // A name collision with the LIVE set means this append carries
         // offsets the log already holds — POSIX rename would silently
         // REPLACE the existing segment (rename(2) overwrites), so the
         // misuse must fail loudly instead: a log append carries fresh
         // offsets, like a topic partition.
-        if (prior.contains(name))
+        if (priorSet.contains(bare))
           throw new IllegalStateException(
-            s"graft-replay append collides with live segment $name — " +
+            s"graft-replay append collides with live segment $bare — " +
               "appended frames must carry offsets beyond the log's tail")
-        val dest = new java.io.File(dir, name)
-        // A same-named file outside the live set can only be debris from
-        // an earlier aborted job (the live-set collision was rejected
-        // above) — clear it so the rename publishes THIS task's staged
-        // frames, never inherits a file of unknown content. Any rename
-        // failure after that is a real commit failure: treating
-        // "dest already exists" as success would publish the stray and
-        // leak the actual data unpublished.
-        if (dest.isFile && !dest.delete())
-          throw new IllegalStateException(
-            s"cannot clear stray pre-existing segment $dest")
-        if (!new java.io.File(tmp).renameTo(dest))
-          throw new IllegalStateException(s"cannot publish segment $dest")
-        name
+        (tmp, base, last, minTs, maxTs, bare)
+    }
+    var gen = System.currentTimeMillis()
+    def finalName(s: (String, Long, Long, Long, Long, String)): String =
+      if (referenced.contains(s._6))
+        ReplayLog.segmentName(s._2, s._3, s._4, s._5, gen)
+      else s._6
+    while (staged.exists(s => referenced.contains(s._6) &&
+      new java.io.File(dir, finalName(s)).exists())) gen += 1
+    val added = staged.map { s =>
+      val name = finalName(s)
+      val dest = new java.io.File(dir, name)
+      // Unreferenced same-named file = debris from an earlier aborted
+      // job — clear it so the rename publishes THIS task's staged
+      // frames, never inherits a file of unknown content. Any rename
+      // failure after that is a real commit failure: treating "dest
+      // already exists" as success would publish the stray and leak the
+      // actual data unpublished.
+      if (dest.isFile && !dest.delete())
+        throw new IllegalStateException(
+          s"cannot clear stray pre-existing segment $dest")
+      if (!new java.io.File(s._1).renameTo(dest))
+        throw new IllegalStateException(s"cannot publish segment $dest")
+      name
     }
     if (added.distinct.size != added.size)
       throw new IllegalStateException(
@@ -241,11 +260,7 @@ private[replay] object ReplayCommit {
     val epochs = epoch.foldLeft(ReplayLog.readEpochs(path)) {
       case (m, (q, e)) => m.updated(q, e)
     }
-    val lines = ReplayLog.committedHeader(System.currentTimeMillis()) +:
-      ReplayLog.manifestLines(live, epochs)
-    ReplayLog.writeAtomic(path, ReplayLog.ManifestName, lines)
-    val nextV = ReplayLog.versions(path).lastOption.getOrElse(0L) + 1
-    ReplayLog.writeAtomic(path, ReplayLog.versionFileName(nextV), lines)
+    ReplayLog.publishManifest(path, live, epochs)
     if (truncate) {
       val keep = live.toSet ++ ReplayLog.retainedNames(path)
       Option(dir.listFiles()).getOrElse(Array.empty)

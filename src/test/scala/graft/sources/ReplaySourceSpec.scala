@@ -268,6 +268,27 @@ class ReplaySourceSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.format("graft-replay").load(dir).count() == 40L)
   }
 
+  test("an overwrite reproducing identical bounds cannot mutate snapshot history") {
+    val dir = freshDir(); writeLog(dir) // v1: 4 segments, offsets 1..40
+    val origSum = sample.agg(sum(col("amount"))).head().getDouble(0)
+    // Same offsets/ts, DIFFERENT content: the corrected-overwrite shape.
+    // Bare bounds names would collide with v1's files — the commit must
+    // publish under -g generation names, never replace referenced files.
+    sample.withColumn("amount", col("amount") * 2)
+      .repartitionByRange(4, col("offset"))
+      .sortWithinPartitions(col("offset"))
+      .write.format("graft-replay").mode("overwrite").save(dir)
+    val cur = spark.read.format("graft-replay").load(dir)
+    assert(cur.agg(sum(col("amount"))).head().getDouble(0) == origSum * 2)
+    val v1 = spark.read.format("graft-replay")
+      .option("asOfVersion", "1").load(dir)
+    assert(v1.agg(sum(col("amount"))).head().getDouble(0) == origSum,
+      "time travel to v1 must still serve the ORIGINAL content")
+    assert(ReplayLog.segments(dir)
+      .forall(s => new java.io.File(s.path).getName.contains("-g")),
+      "colliding overwrite segments must carry generation names")
+  }
+
   test("snapshot chain heals a crash between commit and snapshot write") {
     val dir = freshDir()
     ReplayLog.writeSegments(sample.where(col("offset") <= 20L), dir, 1)
