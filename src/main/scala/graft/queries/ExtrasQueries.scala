@@ -90,6 +90,66 @@ object ExtrasQueries {
       path
     })
 
+  /** Copy a prototype log directory file-by-file (KB-scale frames +
+    * manifest metadata — milliseconds, vs the Spark write jobs that
+    * built it). The queries exercising a DESTRUCTIVE lifecycle (DELETE,
+    * snapshot expiry) each run against a fresh copy of a once-per-JVM
+    * prototype: every run still executes the real operation under test
+    * while the fixture build is paid once — the artifact playbook
+    * applied to lifecycle fixtures. */
+  private def copyLog(proto: String, prefix: String): String = {
+    val dest = s"$scratchRoot/${prefix}_" + UUID.randomUUID().toString.replace("-", "")
+    new java.io.File(dest).mkdirs()
+    Option(new java.io.File(proto).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dest, f.getName).toPath)
+      }
+    dest
+  }
+
+  /** Prototype for q_replay_expire: the three-generation (write, append,
+    * compaction-overwrite) log, built once per (JVM, sf dir). */
+  private val replayExpProtoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def replayExpProtoFor(s: org.apache.spark.sql.SparkSession,
+                                d: String): String =
+    replayExpProtoCache.computeIfAbsent(d, { _ =>
+      import graft.sources.replay.ReplayLog
+      val path = s"$scratchRoot/replayexpp_" + UUID.randomUUID().toString.replace("-", "")
+      val deps = Tables.events(s, d)
+        .filter(col("value") > 0 && col("event_id") % 7 === 0).select(
+          col("event_id").as("offset"),
+          expr("unix_micros(ts) div 1000000").as("ts_unix"),
+          col("user_id").cast("string").as("wallet_id"),
+          col("value").as("amount"))
+      val thr = deps.agg(max(col("offset"))).head().getLong(0) / 2
+      ReplayLog.writeSegments(deps.filter(col("offset") < thr), path, 1)
+      ReplayLog.writeSegments(deps.filter(col("offset") >= thr), path, 1)
+      ReplayLog.compactSegments(s, path, target = 1)
+      path
+    })
+
+  /** Prototype for q_replay_delete: the 2-segment log plus its victim
+    * wallet (the slice's minimum), built once per (JVM, sf dir). */
+  private val replayDelProtoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def replayDelProtoFor(s: org.apache.spark.sql.SparkSession,
+                                d: String): (String, String) =
+    replayDelProtoCache.computeIfAbsent(d, { _ =>
+      import graft.sources.replay.ReplayLog
+      val path = s"$scratchRoot/replaydelp_" + UUID.randomUUID().toString.replace("-", "")
+      val deps = Tables.events(s, d)
+        .filter(col("value") > 0 && col("event_id") % 5 === 2).select(
+          col("event_id").as("offset"),
+          expr("unix_micros(ts) div 1000000").as("ts_unix"),
+          col("user_id").cast("string").as("wallet_id"),
+          col("value").as("amount"))
+      ReplayLog.writeSegments(deps, path, 2)
+      val victim = deps.agg(min(col("wallet_id").cast("long"))).head().getLong(0).toString
+      (path, victim)
+    })
+
   /** Probe-keys table for the runtime-pruning query: the top offset
     * quartile of the log's keys, bucketed by a non-key attribute. Built
     * ONCE per (JVM, sf dir) as parquet — the offset restriction lives in
@@ -567,15 +627,11 @@ object ExtrasQueries {
         "WHERE wallet_id <> CAST((SELECT w FROM victim) AS VARCHAR) " +
         "GROUP BY 1 ORDER BY 1") { (s, d) =>
       import graft.sources.replay.ReplayLog
-      val dir = s"$scratchRoot/replaydel_" + UUID.randomUUID().toString.replace("-", "")
-      val deps = Tables.events(s, d)
-        .filter(col("value") > 0 && col("event_id") % 5 === 2).select(
-          col("event_id").as("offset"),
-          expr("unix_micros(ts) div 1000000").as("ts_unix"),
-          col("user_id").cast("string").as("wallet_id"),
-          col("value").as("amount"))
-      ReplayLog.writeSegments(deps, dir, 2)
-      val victim = deps.agg(min(col("wallet_id").cast("long"))).head().getLong(0).toString
+      // Fresh COPY of the once-per-JVM prototype: the destructive
+      // lifecycle (DELETE + expire) runs for real every time, the
+      // fixture's Spark build jobs are paid once (see copyLog).
+      val (proto, victim) = replayDelProtoFor(s, d)
+      val dir = copyLog(proto, "replaydel")
       val tbl = new java.io.File(dir).getName
       s.conf.set("spark.sql.catalog.graft_replay",
         "graft.sources.replay.ReplayCatalog")
@@ -681,17 +737,10 @@ object ExtrasQueries {
         "COUNT(DISTINCT wallet_id) AS n_wallets, " +
         "ROUND(SUM(amount), 2) AS total_amount FROM dep") { (s, d) =>
       import graft.sources.replay.ReplayLog
-      val dir = s"$scratchRoot/replayexp_" + UUID.randomUUID().toString.replace("-", "")
-      val deps = Tables.events(s, d)
-        .filter(col("value") > 0 && col("event_id") % 7 === 0).select(
-          col("event_id").as("offset"),
-          expr("unix_micros(ts) div 1000000").as("ts_unix"),
-          col("user_id").cast("string").as("wallet_id"),
-          col("value").as("amount"))
-      val thr = deps.agg(max(col("offset"))).head().getLong(0) / 2
-      ReplayLog.writeSegments(deps.filter(col("offset") < thr), dir, 1)
-      ReplayLog.writeSegments(deps.filter(col("offset") >= thr), dir, 1)
-      ReplayLog.compactSegments(s, dir, target = 1)
+      // Fresh COPY of the once-per-JVM three-generation prototype: the
+      // expiry under test runs for real every time, the fixture's Spark
+      // build jobs are paid once (see copyLog).
+      val dir = copyLog(replayExpProtoFor(s, d), "replayexp")
       val (expired, dropped) = ReplayLog.expireSnapshots(dir, keepLast = 1)
       require(expired == 2 && dropped == 2,
         s"expire reclaimed ($expired versions, $dropped files), expected (2, 2)")
