@@ -182,8 +182,15 @@ object ExtrasQueries {
       "SELECT s_nationkey, COUNT(*) AS n_suppliers, " +
         "ROUND(SUM(s_acctbal), 2) AS total_acctbal " +
         "FROM supplier GROUP BY 1 ORDER BY 1") { (s, d) =>
-      val dir = s"$scratchRoot/frag_" + UUID.randomUUID().toString.replace("-", "")
-      Tables.supplier(s, d).repartition(32).write.parquet(dir)
+      // The 32-file spray is a once-per-JVM prototype; each run compacts
+      // a fresh file-copy of it (the compaction under test still runs
+      // for real — see copyLog).
+      val proto = layoutCache.computeIfAbsent(s"frag|$d", { _ =>
+        val p = s"$scratchRoot/fragp_" + UUID.randomUUID().toString.replace("-", "")
+        Tables.supplier(s, d).repartition(32).write.parquet(p)
+        p
+      })
+      val dir = copyLog(proto, "frag")
       val (before, after) = Maintenance.compactParquet(s, dir)
       require(after < before, s"compaction did not reduce files: $before -> $after")
       s.read.parquet(dir)
