@@ -28,6 +28,15 @@ object GraftFunctions {
       // Generator rung of the extension ladder: in-row pair expansion.
       registry.createOrReplaceTempFunction(
         "pair_combs", exprs => graft.plans.PairCombinations(exprs(0)), "built-in")
+      // Tokenizer hot loops as native expressions (replacing interpreted
+      // aggregate() HOF folds — graft.plans.TokenizerFolds).
+      registry.createOrReplaceTempFunction(
+        "greedy_segment",
+        exprs => graft.plans.TokenizerFolds.GreedySegment(exprs), "built-in")
+      registry.createOrReplaceTempFunction(
+        "bpe_merge_fold",
+        exprs => graft.plans.TokenizerFolds.BpeMergeFold(exprs(0), exprs(1), exprs(2)),
+        "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
       // O12 wire serde — the reference's five protobuf message types as

@@ -373,6 +373,7 @@ object Corpus {
     * 1-row broadcast merge; the corpus is never rescanned. Returns one row
     * per merge round: (it, a, b, n). */
   def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // Word-frequency table; letters-only lowercase words keep the symbol
     // alphabet closed under concatenation (and '/'-safe for the oracle's
     // string-accumulator fold).
@@ -404,13 +405,12 @@ object Corpus {
         .localCheckpoint() // 1 row; feeds both the output and the rewrite
       merges += best.select(lit(t.toLong).as("it"), col("a"), col("b"), col("n"))
       // Greedy non-overlapping merge: a freshly merged token (a||b) can
-      // never equal `a` (longer), so the fold cannot double-merge.
+      // never equal `a` (longer), so the fold cannot double-merge. Native
+      // bpe_merge_fold expression (plans.TokenizerFolds) — one array walk
+      // per word type instead of an interpreted aggregate() per element
+      // (round-16 optimization; TokenizerFoldsSpec pins native ≡ HOF).
       words = words.crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .select(expr(
-          "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
-            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = a AND x = b " +
-            "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b))) " +
-            "ELSE concat(acc, array(x)) END)").as("syms"), col("freq"))
+        .select(expr("bpe_merge_fold(syms, a, b)").as("syms"), col("freq"))
         .localCheckpoint() // stays foldWidth-wide: checkpoint preserves
                            // the upstream partitioning
     }
@@ -445,12 +445,10 @@ object Corpus {
         .select(col("doc_id"), col("w"), split(col("w"), "").as("syms"))
       ms.foreach { case (a, b) =>
         // a/b are lowercase-letter strings by construction (bpeTrain's
-        // [a-z]+ word filter), so literal splicing is safe.
-        words = words.withColumn("syms", expr(
-          s"aggregate(syms, CAST(array() AS array<string>), (acc, x) -> " +
-            s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b' " +
-            s"THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b')) " +
-            "ELSE concat(acc, array(x)) END)"))
+        // [a-z]+ word filter), so literal splicing is safe. Same native
+        // fold as the train loop.
+        words = words.withColumn("syms",
+          expr(s"bpe_merge_fold(syms, '$a', '$b')"))
       }
       words.groupBy(col("doc_id")).agg(
           count(lit(1)).as("n_words"),
@@ -794,7 +792,7 @@ object Corpus {
     * element-typed), so segmentations are engine-identical by
     * construction: the control flow is integer/string-exact, no floats
     * anywhere. */
-  private def greedyFoldExpr(maxLen: Int): String = {
+  private[graft] def greedyFoldExpr(maxLen: Int): String = {
     val pos = "cast(element_at(split(acc, '\\\\|'), 1) as int)"
     val ps = "element_at(split(acc, '\\\\|'), 2)"
     val whens = (maxLen to 2 by -1).map { l =>
@@ -812,14 +810,22 @@ object Corpus {
     * word, never per occurrence — word types are Heaps-law-bounded
     * (~|corpus|^0.5), so at 100 TB this is a vocabulary job, not a
     * corpus scan. */
+  /** The greedy fold as the NATIVE `greedy_segment` expression
+    * (plans.TokenizerFolds) — same control flow as [[greedyFoldExpr]]
+    * without per-step Catalyst interpretation or the string-accumulator
+    * re-splits (round-16 optimization; TokenizerFoldsSpec pins
+    * native ≡ HOF on the live word-type table). */
+  private def greedySegmentExpr(maxLen: Int): String =
+    s"greedy_segment(w, ${(2 to maxLen).map(l => s"v$l").mkString(", ")})"
+
   private def segmentUsage(words: DataFrame, vocab: DataFrame,
-                           maxLen: Int): DataFrame =
+                           maxLen: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(words.sparkSession)
     words.crossJoin(broadcast(vocabLists(vocab, maxLen)))
       .select(col("freq"),
-        explode(split(trim(expr(
-          s"element_at(split(${greedyFoldExpr(maxLen)}, '\\\\|'), 2)")), " "))
-          .as("piece"))
+        explode(expr(greedySegmentExpr(maxLen))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+  }
 
   /** Unigram-LM tokenizer TRAIN — the SentencePiece-style subword family
     * next to [[bpeTrain]]'s merge-based one. Hard-EM over a substring
@@ -923,8 +929,7 @@ object Corpus {
         .distinct()
         .crossJoin(broadcast(vocabLists(vocab, maxPieceLen)))
         .select(col("w"),
-          size(split(trim(expr(
-            s"element_at(split(${greedyFoldExpr(maxPieceLen)}, '\\\\|'), 2)")), " "))
+          size(expr(greedySegmentExpr(maxPieceLen)))
             .cast("long").as("n_pieces"))
     }
     // The ENCODED CORPUS is itself the tokenizer's production artifact:
