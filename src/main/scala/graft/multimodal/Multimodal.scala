@@ -57,6 +57,63 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit("fake/raw").as("format"))
 
+  // -------- per-partition PNG codec context (round-16 optimization) -----
+  //
+  // The images here are tiny (≤ 16×13), so the per-IMAGE fixed cost of
+  // `ImageIO.read`/`ImageIO.write` dominates: each call re-sniffs the
+  // reader/writer registry and allocates stream wrappers, and the registry
+  // walk serializes across the 32 executor threads (profiled: 29.7 task-s
+  // at 6.9 CPU-s on mm_scene_cuts — the gap is blocked threads). A single
+  // PNG reader/writer per PARTITION (the same once-per-task rule as the
+  // digest in decodePartition) goes through the identical PNGImageReader/
+  // PNGImageWriter, so the bytes and decoded pixels are bit-identical;
+  // only the per-call registry/stream overhead is gone. decodePartition
+  // deliberately KEEPS the sniffing path — it is the format-dispatch
+  // representative (mixed/corrupt tags are its contract).
+
+  private def newPngWriter(): javax.imageio.ImageWriter =
+    ImageIO.getImageWritersByFormatName("png").next()
+
+  private def newPngReader(): javax.imageio.ImageReader =
+    ImageIO.getImageReadersByFormatName("png").next()
+
+  /** Encode through a reused writer — same PNGImageWriter as
+    * `ImageIO.write(img, "png", bos)`, without the per-call registry walk
+    * and output-stream re-wrap. */
+  private def writePng(writer: javax.imageio.ImageWriter,
+                       img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(1024)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Decode through a reused reader — same PNGImageReader as
+    * `ImageIO.read`, without the per-call sniff (payloads on these paths
+    * are always our own PNG frames). */
+  private def readPng(reader: javax.imageio.ImageReader,
+                      payload: Array[Byte]): BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
+  /** Fresh TYPE_INT_RGB image + its backing int raster: filling the raster
+    * array directly stores exactly what setRGB stores for this type (the
+    * 24-bit RGB word — callers mask to 0xffffff), minus setRGB's per-pixel
+    * boxing through ColorModel.getDataElements. */
+  private def rgbImage(w: Int, h: Int): (BufferedImage, Array[Int]) = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    (img, px)
+  }
+
   /** Deterministic tiny-image dimensions per doc — the ground truth the
     * decode oracle recomputes from doc_id alone (primes keep w and h
     * decorrelated across ids). */
@@ -76,21 +133,20 @@ object Multimodal {
       // I/O. Memory-cached streams are strictly better here (static
       // setting, set executor-side where the partition runs).
       ImageIO.setUseCache(false)
+      val writer = newPngWriter()
       it.map { id =>
         val (w, h) = pngDims(id)
-        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val (img, px) = rgbImage(w, h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, (id * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff)
+            px(y * w + x) = (id * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff
             x += 1
           }
           y += 1
         }
-        val bos = new ByteArrayOutputStream()
-        ImageIO.write(img, "png", bos)
-        BinaryDoc(id, bos.toByteArray, "image/png")
+        BinaryDoc(id, writePng(writer, img), "image/png")
       }
     }.toDF()
   }
@@ -154,25 +210,24 @@ object Multimodal {
     import spark.implicits._
     widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
+      val writer = newPngWriter()
       it.map { id =>
         val src = if (id % 10 == 1) id - 1 else id
         val perturbed = id % 10 == 1
         val (w, h) = pngDims(src)
-        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val (img, px) = rgbImage(w, h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val base = (src * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff
             val v = if (perturbed && (x + y) % 7 == 0) base & 0xfefefe else base
-            img.setRGB(x, y, v)
+            px(y * w + x) = v
             x += 1
           }
           y += 1
         }
-        val bos = new ByteArrayOutputStream()
-        ImageIO.write(img, "png", bos)
-        BinaryDoc(id, bos.toByteArray, "image/png")
+        BinaryDoc(id, writePng(writer, img), "image/png")
       }
     }.toDF()
   }
@@ -221,9 +276,9 @@ object Multimodal {
     import spark.implicits._
     bin.as[BinaryDoc].mapPartitions { it =>
       ImageIO.setUseCache(false)
+      val reader = newPngReader()
       it.map { b =>
-        val img = ImageIO.read(new ByteArrayInputStream(b.payload))
-        (b.doc_id, aHash64(img))
+        (b.doc_id, aHash64(readPng(reader, b.payload)))
       }
     }.toDF("doc_id", "phash")
   }
@@ -240,27 +295,26 @@ object Multimodal {
     import spark.implicits._
     widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
+      val writer = newPngWriter()
       it.flatMap { id =>
         val nf = 4 + (id % 5).toInt
         val (w, h) = pngDims(id)
         (0 until nf).map { f =>
           val sc = if (f < nf / 2) 0L else 1L
           val src = id * 31 + sc
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val (img, px) = rgbImage(w, h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val base = (src * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff
               val v = if ((x + y + f) % 7 == 0) base & 0xfefefe else base
-              img.setRGB(x, y, v)
+              px(y * w + x) = v
               x += 1
             }
             y += 1
           }
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(img, "png", bos)
-          BinaryFrame(id, f, bos.toByteArray)
+          BinaryFrame(id, f, writePng(writer, img))
         }
       }
     }.toDF()
@@ -272,9 +326,9 @@ object Multimodal {
     import spark.implicits._
     frames.as[BinaryFrame].mapPartitions { it =>
       ImageIO.setUseCache(false)
+      val reader = newPngReader()
       it.map { b =>
-        val img = ImageIO.read(new ByteArrayInputStream(b.payload))
-        (b.doc_id, b.frame_idx, aHash64(img))
+        (b.doc_id, b.frame_idx, aHash64(readPng(reader, b.payload)))
       }
     }.toDF("doc_id", "frame_idx", "phash")
   }
@@ -289,6 +343,7 @@ object Multimodal {
     import spark.implicits._
     widened(docs).select(col("doc_id")).as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
+      val writer = newPngWriter()
       it.flatMap { id =>
         val src = if (id % 10 == 1) id - 1 else id
         val pert = id % 10 == 1
@@ -297,7 +352,7 @@ object Multimodal {
         (0 until nf).map { f =>
           val sc = if (f < nf / 2) 0L else 1L
           val seed = src * 31 + sc
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val (img, px) = rgbImage(w, h)
           var y = 0
           while (y < h) {
             var x = 0
@@ -305,14 +360,12 @@ object Multimodal {
               val base = (seed * 2654435761L + x * 7919 + y * 104729).toInt & 0xffffff
               val v0 = if ((x + y + f) % 7 == 0) base & 0xfefefe else base
               val v = if (pert && (x + y) % 5 == 0) v0 & 0xfefefe else v0
-              img.setRGB(x, y, v)
+              px(y * w + x) = v
               x += 1
             }
             y += 1
           }
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(img, "png", bos)
-          BinaryFrame(id, f, bos.toByteArray)
+          BinaryFrame(id, f, writePng(writer, img))
         }
       }
     }.toDF()
@@ -333,12 +386,19 @@ object Multimodal {
     * mismatched scene kills the pair). The only shuffles move (id,
     * 16-bit key) anchor rows and the candidate pairs; no all-pairs
     * stage, and the decode stays map-side in [[frameHashes]]. */
-  def videoDedupPairs(rawHashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def videoDedupPairs(rawHashes: DataFrame, maxHamming: Int = 6,
+                      stage: Boolean = true): DataFrame = {
     // The hash catalog is read FOUR times below (frame counts, anchor
-    // bands, both verify sides); stage it once so the per-frame decode
-    // behind it runs once, not per reference — the catalog is 3 longs per
-    // frame, the decode is the expensive part (measured 4× at sf0.1).
-    val hashes = rawHashes.localCheckpoint()
+    // bands, both verify sides); when it is a LIVE decode chain, stage it
+    // once so the per-frame decode runs once, not per reference — the
+    // catalog is 3 longs per frame, the decode is the expensive part
+    // (measured 4× at sf0.1). When the caller passes an ARTIFACT-backed
+    // catalog (mm_video_dedup serves the persisted frame table), pass
+    // stage=false: each reference is then a 1-task columnar re-scan,
+    // strictly cheaper than materializing 32 checkpoint block partitions
+    // per run and re-scanning those 8× (round-16 profile: the checkpoint
+    // stage plus block re-scans were ~10 of the query's ~25 task-seconds).
+    val hashes = if (stage) rawHashes.localCheckpoint() else rawHashes
     val nf = hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     // The frame count joins the blocking key: equal counts are already
     // REQUIRED by the verify predicate, so keying the buckets by nf is
@@ -526,16 +586,18 @@ object Multimodal {
       posexplode(array((0 until 4).map(b =>
         expr(s"shiftrightunsigned(phash, ${16 * b}) & 65535")): _*))
         .as(Seq("band_idx", "band")))
+    // Verify BEFORE the dedup exchange (guide §2.3): hamming is a pure
+    // function of the pair, so filtering first shrinks the distinct's
+    // shuffle from every band collision (~84k rows at sf0.1) to the
+    // verified matches (~6k) — identical output rows.
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("dup_a"), col("b.doc_id").as("dup_b"),
-        col("a.phash").as("ha"), col("b.phash").as("hb"))
-      .distinct()
-      .select(col("dup_a"), col("dup_b"),
-        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Continuous-ingest image dedup — the SERVED variant of [[phashPairs]],
@@ -561,15 +623,14 @@ object Multimodal {
     }
     val probe = banded(decodeAHash(spark,
       phashPngDocs(spark, docs.filter(col("doc_id") % 5 === 0))))
+    // Same verify-before-distinct ordering as [[phashPairs]] (§2.3).
     probe.as("a").join(idx.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band") === col("b.band"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"),
-        col("a.phash").as("ha"), col("b.phash").as("hb"))
-      .distinct()
-      .select(col("new_id"), col("dup_of"),
-        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Frame sampling, declaratively: one row per 256-byte "frame" of the

@@ -212,7 +212,9 @@ object MultimodalQueries {
           "dup_frames", graft.operators.Dedup.docFp(docs)) {
         Multimodal.frameHashes(s, Multimodal.videoDupFrameDocs(s, docs))
       }
-      Multimodal.videoDedupPairs(catalog, maxHamming = 6)
+      // stage=false: the catalog is an artifact parquet — per-reference
+      // 1-task columnar re-scans beat a per-run 32-partition checkpoint.
+      Multimodal.videoDedupPairs(catalog, maxHamming = 6, stage = false)
         .orderBy(col("dup_a"), col("dup_b"))
     },
 
