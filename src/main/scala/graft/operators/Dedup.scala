@@ -832,6 +832,10 @@ object Dedup {
     minhashed(hist, k, bands, rows)
       .select(col("doc_id"), col("sh"), col("bands"))
       .withColumn("fingerprint", lit(docFp(hist)))
+      // Advisory-sized output files (guide §6) — same rationale as
+      // IndexCache.cachedFrame: per-task KB files re-split every probe
+      // scan into a task per file.
+      .hint("rebalance")
       .write.mode("overwrite").parquet(path)
 
   /** Probe a NEW batch against an index table ((doc_id, sh, bands) rows):
@@ -942,6 +946,7 @@ object Dedup {
       .unionByName(minhashed(batch, k, bands, rows)
         .select(col("doc_id"), col("sh"), col("bands")))
       .withColumn("fingerprint", lit(docFp(hist.unionByName(batch))))
+      .hint("rebalance") // advisory-sized files, as in writeLshIndex
       .write.mode("overwrite").parquet(newPath)
   }
 

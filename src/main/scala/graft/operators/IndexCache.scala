@@ -280,7 +280,17 @@ object IndexCache {
       if (complete(p)) record(s"$kind.disk")
       else {
         val tmp = tmpSibling(p)
-        build.write.mode("overwrite").parquet(tmp.getPath)
+        // REBALANCE before the write (guide §6: coalesce on write): build
+        // plans ending in map-only stages inherit the build's task width
+        // and write one file per task — tiny artifacts came out as 32 KB-
+        // sized files, and Spark's size-based file packing (minPartitionNum
+        // defaults to core count) then re-split every SERVE scan into one
+        // task per file, taxing each artifact reference with up to a full
+        // round of task overheads. AQE sizes rebalanced partitions to the
+        // advisory target, so files come out advisory-sized at any scale
+        // (a 100-TB build gets many files, a 400-KB band table gets one);
+        // the one extra exchange runs only on the once-per-corpus build.
+        build.hint("rebalance").write.mode("overwrite").parquet(tmp.getPath)
         publish(tmp, new java.io.File(p))
         record(s"$kind.build")
       }
