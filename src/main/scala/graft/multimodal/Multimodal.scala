@@ -409,24 +409,28 @@ object Multimodal {
       .select(col("doc_id"), col("nf"), posexplode(array((0 until 4).map(b =>
         expr(s"shiftrightunsigned(phash, ${16 * b}) & 65535")): _*))
         .as(Seq("band_idx", "band")))
+    // nf rides along from the banding key (a.nf = b.nf is a join conjunct,
+    // so it is functional per pair) — re-joining the nf aggregate twice at
+    // the end re-computed and re-broadcast it for nothing (round-16 trim:
+    // two aggregate jobs + two broadcast jobs off the tail; the verify
+    // predicate nf_a = nf_b ∧ n_frames = nf_a collapses to n_frames = nf).
     val cand = banded.as("a").join(banded.as("b"),
         col("a.nf") === col("b.nf") &&
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("dup_a"), col("b.doc_id").as("dup_b"))
+      .select(col("a.doc_id").as("dup_a"), col("b.doc_id").as("dup_b"),
+        col("a.nf").as("nf"))
       .distinct()
     val ha = hashes.select(col("doc_id").as("dup_a"), col("frame_idx"),
       col("phash").as("pa"))
     val hb = hashes.select(col("doc_id").as("dup_b"), col("frame_idx"),
       col("phash").as("pb"))
     cand.join(ha, "dup_a").join(hb, Seq("dup_b", "frame_idx"))
-      .groupBy(col("dup_a"), col("dup_b"))
+      .groupBy(col("dup_a"), col("dup_b"), col("nf"))
       .agg(count(lit(1)).as("n_frames"),
         max(expr("bit_count(pa ^ pb)")).cast("long").as("max_hamming"))
-      .join(nf.select(col("doc_id").as("dup_a"), col("nf").as("nf_a")), "dup_a")
-      .join(nf.select(col("doc_id").as("dup_b"), col("nf").as("nf_b")), "dup_b")
-      .where(col("nf_a") === col("nf_b") && col("n_frames") === col("nf_a") &&
+      .where(col("n_frames") === col("nf") &&
         col("max_hamming") <= maxHamming)
       .select(col("dup_a"), col("dup_b"), col("n_frames"), col("max_hamming"))
   }
