@@ -39,7 +39,11 @@ object GraphQueries {
       lp.as("a").join(lp.as("b"),
           col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
         .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-    }.localCheckpoint()
+    }
+    // (No localCheckpoint on top: the artifact is already a compact
+    // columnar table, so each kernel iteration's re-read is a 1-task
+    // parquet scan — cheaper than materializing and re-scanning block
+    // partitions per run, same finding as mm_video_dedup's catalog.)
   }
 
   val all: Seq[Q] = Seq(
