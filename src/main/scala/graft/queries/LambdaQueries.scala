@@ -165,7 +165,11 @@ object LambdaQueries {
             .select(col("wallet_id"), col("tsec"), col("amount"), col("rn"))
         }.withColumn("n", lit(10))
       }
-      val anchor = anchorDf.localCheckpoint()
+      // No checkpoint on top of the artifact read: each recursion round's
+      // broadcast re-resolves a 1-task columnar scan of the tiny anchor
+      // artifact — cheaper than materializing block partitions per run
+      // (the same finding as coEdges / mm_video_dedup's catalog).
+      val anchor = anchorDf
       val view = s"graft_rec_anchor_${anchorSeq.incrementAndGet()}"
       anchor.createOrReplaceTempView(view)
       // BROADCAST(d): the anchor is ≤ 10 rows/wallet, so each of the 10
