@@ -37,6 +37,13 @@ object GraftFunctions {
         "bpe_merge_fold",
         exprs => graft.plans.TokenizerFolds.BpeMergeFold(exprs(0), exprs(1), exprs(2)),
         "built-in")
+      // MinHash signing hot loop (k keyed md5 minima in one shingle pass).
+      registry.createOrReplaceTempFunction("minhash_sig", {
+        case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(k, _)) =>
+          graft.plans.MinhashSig(child, k.asInstanceOf[Number].intValue())
+        case e => throw new IllegalArgumentException(
+          s"minhash_sig expects (shingles, k literal), got ${e.size} args")
+      }, "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
       // O12 wire serde — the reference's five protobuf message types as

@@ -65,8 +65,17 @@ object TextFunctions {
 
   /** MinHash signature: for each of k hash functions, the minimum keyed-md5
     * over the shingle set. Returns array<string> of length k (nulls when the
-    * shingle set is empty). */
+    * shingle set is empty). Runs as the native `minhash_sig` expression
+    * (graft.plans.MinhashSig — one shingle pass, no interpreted lambdas);
+    * [[minhashSignatureHof]] keeps the original HOF formulation for the
+    * equality spec. Callers must have [[GraftFunctions.register]]ed the
+    * session ([[graft.sources.Tables.load]] does). */
   def minhashSignature(shingleSet: Column, k: Int): Column =
+    call_function("minhash_sig", shingleSet, lit(k))
+
+  /** The interpreted-HOF formulation `minhash_sig` replaced — retained as
+    * the executable spec of its semantics (MinhashSigSpec pins equality). */
+  private[graft] def minhashSignatureHof(shingleSet: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleSet, s => keyedMd5(i, s))))
 

@@ -71,6 +71,7 @@ object Dedup {
     * artifact build (which derives its own banding downstream and would
     * otherwise pay k discarded band digests per document). */
   def signed(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // minhash_sig
     // Signing is the expensive per-document step (k keyed md5s per
     // shingle) — spread it across every executor thread regardless of how
     // narrow the source scan arrived (at real scale the source is already
