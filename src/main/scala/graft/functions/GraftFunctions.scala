@@ -37,6 +37,14 @@ object GraftFunctions {
         "bpe_merge_fold",
         exprs => graft.plans.TokenizerFolds.BpeMergeFold(exprs(0), exprs(1), exprs(2)),
         "built-in")
+      // Distinct word n-gram shingles in one token pass (the projection
+      // fronting every dedup signing / corpus n-gram scan).
+      registry.createOrReplaceTempFunction("word_shingles", {
+        case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(n, _)) =>
+          graft.plans.WordShingles(child, n.asInstanceOf[Number].intValue())
+        case e => throw new IllegalArgumentException(
+          s"word_shingles expects (tokens, n literal), got ${e.size} args")
+      }, "built-in")
       // MinHash signing hot loop (k keyed md5 minima in one shingle pass).
       registry.createOrReplaceTempFunction("minhash_sig", {
         case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(k, _)) =>

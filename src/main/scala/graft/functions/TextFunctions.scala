@@ -25,7 +25,16 @@ object TextFunctions {
     * linear shingle pass into elements × full-text work (measured 36× on
     * char shingles at sf0.1). A separate projection binds it once per row,
     * and CollapseProject keeps multi-referenced non-trivial aliases. */
-  def shinglesFromTokens(t: Column, n: Int): Column = {
+  def shinglesFromTokens(t: Column, n: Int): Column =
+    // Native single-pass expression (graft.plans.WordShingles); the
+    // original HOF chain stays below as [[shinglesFromTokensHof]], the
+    // executable spec WordShinglesSpec pins equality against. Callers
+    // must have GraftFunctions.register'ed the session (Tables.load does).
+    call_function("word_shingles", t, lit(n))
+
+  /** The interpreted-HOF formulation `word_shingles` replaced — retained
+    * as the executable spec of its semantics. */
+  private[graft] def shinglesFromTokensHof(t: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(t) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
