@@ -8,10 +8,11 @@ import org.apache.spark.sql.SparkSession
   * MemoryStream→RocksDB topology per run and single samples swing 2-3×
   * with host load (PERF.md), so medians are the signal.
   *
-  * Output: one JSON line with the per-query medians, then a SHORT
-  * total-only JSON line. The short line is printed last so a tail capture
-  * that truncates the big line still gets a parseable total; both lines
-  * carry the same "metric":"total" value (sum of per-query medians).
+  * Output: one JSON line with per-query medians + forensics, one with
+  * per-query medians only, then a SHORT total-only JSON line. The short
+  * line is printed last so a tail capture that truncates the big lines
+  * still gets a parseable total; all lines carry the same
+  * "metric":"total" value (sum of per-query medians).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -189,6 +190,16 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"aqe":$aqeOn,${failedJson}"queries":$qs,$forensicsJson,$calib,"sf":"$sfDir"}"""
     println(fullLine)
+    // Per-query medians WITHOUT the forensics blob (round-17 verdict item:
+    // the driver could not build its per-query table from stdout). A
+    // 302-entry map is ~8 KB and thus cannot ride the final line — the
+    // driver's 2000-char stdout-tail capture must end with a COMPLETE
+    // JSON line or its parse nulls out entirely (BENCH_r12.json proved
+    // that failure mode) — so the map gets its own line here, ahead of
+    // the truncation-proof summary, for any consumer that reads more
+    // than the tail. Additions-only: the full line and the final short
+    // line are unchanged in shape.
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,$failedJson"nqueries":${names.size},"aqe":$aqeOn,"queries":$qs,"sf":"$sfDir"}""")
     // Short, truncation-proof summary LAST. The driver's BENCH_r*.json
     // keeps only a ~2000-char stdout tail; round 12's "short" line still
     // carried the forensics blob and outgrew it (BENCH_r12.json parsed:

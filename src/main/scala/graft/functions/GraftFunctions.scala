@@ -52,6 +52,25 @@ object GraftFunctions {
         case e => throw new IllegalArgumentException(
           s"minhash_sig expects (shingles, k literal), got ${e.size} args")
       }, "built-in")
+      // Quality/language feature counts in one byte pass each (replacing
+      // the per-row java.util.regex scans — graft.plans.TextFeatureCounts).
+      registry.createOrReplaceTempFunction("ws_token_count",
+        e => graft.plans.TextFeatureCounts.WsTokenCount(e(0)), "built-in")
+      registry.createOrReplaceTempFunction("punct_count",
+        e => graft.plans.TextFeatureCounts.PunctCount(e(0)), "built-in")
+      registry.createOrReplaceTempFunction("marker_count", {
+        case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(w, _)) =>
+          graft.plans.TextFeatureCounts.MarkerCount(child,
+            w.toString.split('|').toSeq)
+        case e => throw new IllegalArgumentException(
+          s"marker_count expects (text, words literal), got ${e.size} args")
+      }, "built-in")
+      registry.createOrReplaceTempFunction("ascii_count", {
+        case Seq(child, org.apache.spark.sql.catalyst.expressions.Literal(w, _)) =>
+          graft.plans.TextFeatureCounts.AsciiCount(child, w.toString)
+        case e => throw new IllegalArgumentException(
+          s"ascii_count expects (text, chars literal), got ${e.size} args")
+      }, "built-in")
       spark.udf.register("balance_stats",
         org.apache.spark.sql.functions.udaf(BalanceStatsAgg))
       // O12 wire serde — the reference's five protobuf message types as

@@ -152,7 +152,38 @@ object TextFunctions {
     "fr" -> "\\b(le|la|les|et|est|pas|une|pour|que|dans)\\b",
     "es" -> "\\b(el|los|las|y|es|no|una|por|con|para)\\b")
 
-  /** Marker-hit count for one language pattern (non-overlapping matches). */
+  /** Marker-hit count for one language pattern (non-overlapping matches).
+    * Runs as the native `marker_count` byte scan over the lowered text
+    * (graft.plans.TextFeatureCounts — every langMarkers pattern is a
+    * \b(word|…)\b alternation of \w-only words, where a match is exactly
+    * a maximal \w-run equal to one alternative); [[langScoreHof]] keeps
+    * the regex formulation for the equality spec. */
   def langScore(text: Column, pattern: String): Column =
+    if (pattern.matches("""\\b\((\w+\|)*\w+\)\\b""")) {
+      val words = pattern.stripPrefix("\\b(").stripSuffix(")\\b")
+      call_function("marker_count", lower(text), lit(words))
+    } else langScoreHof(text, pattern) // non-alternation pattern: regex path
+
+  /** The regexp_count formulation `marker_count` replaced — retained as
+    * the executable spec of its semantics (TextFeatureCountsSpec). */
+  private[graft] def langScoreHof(text: Column, pattern: String): Column =
     regexp_count(lower(text), lit(pattern)).cast("long")
+
+  /** Whitespace-token count ≡ size(tokens(text)).cast("long") — the
+    * counting-only sites skip materializing the token array AND the regex
+    * split (native byte pass; TextFeatureCountsSpec pins equality). */
+  def wsTokenCount(text: Column): Column =
+    call_function("ws_token_count", text)
+
+  private[graft] def wsTokenCountHof(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** Non-[a-zA-Z0-9\s] code-point count ≡
+    * regexp_count(text, "[^a-zA-Z0-9\\s]").cast("long") (native byte
+    * pass; TextFeatureCountsSpec pins equality). */
+  def punctCount(text: Column): Column =
+    call_function("punct_count", text)
+
+  private[graft] def punctCountHof(text: Column): Column =
+    regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("long")
 }

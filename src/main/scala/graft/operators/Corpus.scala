@@ -301,8 +301,12 @@ object Corpus {
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
         lit(1.0).as("x0"),
         round(least(length(col("text")), lit(2000)) / 2000.0, 6).as("x1"),
-        round((len - length(regexp_replace(col("text"), " ", ""))) / len, 6).as("x2"),
-        round(length(regexp_replace(col("text"), "[^0-9]", "")) / len, 6).as("x3"))
+        // Native byte-scan counts ≡ the regexp_replace length diffs
+        // (TextFeatureCountsSpec pins both): space count and digit count
+        // without materializing a stripped copy of the text per row.
+        round(call_function("ascii_count", col("text"), lit(" ")) / len, 6).as("x2"),
+        round(call_function("ascii_count", col("text"), lit("0123456789")) / len, 6)
+          .as("x3"))
   }
 
   def qualityLrTrain(docs: DataFrame, iters: Int, lr: Double = 1.0): DataFrame = {
@@ -1034,7 +1038,8 @@ object Corpus {
         .groupBy(col("train_id").as("doc_id"))
         .agg(max(col("n_shared")).cast("double").as("ct_score"))
       val base = docs
-        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.wsTokenCount(col("text")))
         .withColumn("stop_hits",
           graft.functions.TextFunctions.langScore(col("text"), enPat))
         .withColumn("ratio",

@@ -471,9 +471,9 @@ object DedupQueries {
       }
       val q = docs.where(length(col("text")) > 0)
         .select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          wsTokenCount(col("text")).as("n_tokens"),
           langScore(col("text"), enPat).as("stop_hits"),
-          regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+          punctCount(col("text")).as("n_punct"),
           length(col("text")).cast("long").as("n_len"))
         .select(col("doc_id"),
           (lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))

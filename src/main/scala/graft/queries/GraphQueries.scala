@@ -181,22 +181,23 @@ object GraphQueries {
         "(SELECT COUNT(*) FROM f2) AS reach2, " +
         "(SELECT COUNT(*) FROM f3) AS reach3") { (s, d) =>
       val ed = coEdges(s, d, "1995-01-01", "1995-06-30")
-      // Frontier tables here are ≤ |V| of the windowed graph (~2k rows) —
-      // coalesce before each eager checkpoint so per-hop job overhead is
-      // one task, not shuffle-partitions tasks. (At cluster scale the
-      // coalesce target follows frontier SIZE — AQE's size-based
-      // coalesce, not a constant.) visited stays a shallow union of
-      // checkpointed frontiers (≤ 3 deep), no checkpoint needed.
+      // Frontier width is left to AQE's size-based coalesce: each
+      // frontier ends in a distinct/except exchange, so the checkpointed
+      // width follows frontier SIZE at any scale (tiny hop → 1 task here,
+      // a dense 100-TB hop → many) instead of the former hard-coded
+      // `coalesce(1)`, which would serialize a dense hop behind one task.
+      // visited stays a shallow union of checkpointed frontiers (≤ 3
+      // deep), no checkpoint needed.
       val s0 = ed.where(col("src") % 1000 === 0)
         .select(col("src").as("node")).distinct()
-        .coalesce(1).localCheckpoint()
+        .localCheckpoint()
       var visited = s0
       var frontier = s0
       val reach = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       for (_ <- 1 to 3) {
         val next = ed.join(frontier, ed("src") === frontier("node"))
           .select(ed("dst").as("node")).distinct()
-        frontier = next.except(visited).coalesce(1).localCheckpoint()
+        frontier = next.except(visited).localCheckpoint()
         visited = visited.unionByName(frontier)
         reach += visited
       }

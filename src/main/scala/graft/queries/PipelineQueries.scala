@@ -75,7 +75,7 @@ object PipelineQueries {
         .select(col("id_b").as("doc_id")).distinct()
       docs
         .withColumn("stop_hits", langScore(col("text"), enPat))
-        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_tokens", wsTokenCount(col("text")))
         .where(col("stop_hits") / col("n_tokens").cast("double") >= 0.05 &&
           col("n_tokens") >= 20)
         .join(dupIds, Seq("doc_id"), "left_anti")
@@ -112,7 +112,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val gated = docs
         .withColumn("stop_hits", langScore(col("text"), enPat))
-        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_tokens", wsTokenCount(col("text")))
         .where(col("stop_hits") / col("n_tokens").cast("double") >= 0.05 &&
           col("n_tokens") >= 20)
       val deduped = gated
@@ -145,7 +145,7 @@ object PipelineQueries {
       Tables.documents(s, d)
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+          sum(wsTokenCount(col("text"))).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"),
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"),
@@ -189,9 +189,9 @@ object PipelineQueries {
       val f = Tables.documents(s, d)
         .where(length(col("text")) > 0)
         .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          wsTokenCount(col("text")).as("n_tokens"),
           langScore(col("text"), enPat).as("stop_hits"),
-          regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+          punctCount(col("text")).as("n_punct"),
           length(col("text")).cast("long").as("n_len"))
         .select(col("doc_id"), col("lang"),
           (lit(0.4) * (col("stop_hits") / col("n_tokens").cast("double"))
@@ -391,8 +391,8 @@ object PipelineQueries {
         "FROM s, b GROUP BY 1 ORDER BY 1") { (s, d) =>
       val f = Tables.documents(s, d).select(
         col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+        wsTokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
         length(col("text")).cast("long").as("n_len"))
       val scored = f.select(col("doc_id"),
         (lit(0.5) * least(lit(1.0), col("n_tokens") / lit(100.0))
@@ -763,7 +763,7 @@ object PipelineQueries {
     val t = docs
       .where(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tok"),
+        wsTokenCount(col("text")).as("n_tok"),
         expr(s"doc_id div $shardW").as("shard"))
     // Pass 1: cumsum inside the bounded (lang, shard) range sub-shard.
     val wShard = Window.partitionBy(col("lang"), col("shard"))

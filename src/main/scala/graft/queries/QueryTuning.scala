@@ -40,9 +40,19 @@ object QueryTuning {
     "q_triangle_count", "q_session_window", "sim_fusion_lift",
     "q_xml_source", "pipeline_span_corruption")
 
+  /** Round-17 default: OFF. The profile is a local[32]-only measurement
+    * aid (per-query config fork in the harness, not an engine
+    * optimization), so the DEFAULT bench/verify path now times the
+    * production configuration — draws are comparable across rounds with
+    * no forks. Opt back in for local tail-profiling only via
+    * `SPARK_GRAFT_LOCAL_PROFILE=1`. Measured cost of retiring it:
+    * ~+0.5–0.8 s of ~110 s (round-16 A/B), accepted. */
+  private lazy val enabled: Boolean =
+    sys.env.get("SPARK_GRAFT_LOCAL_PROFILE").contains("1")
+
   /** Run `body` under `name`'s profile, restoring session conf after. */
   def withProfile[T](spark: SparkSession, name: String)(body: => T): T =
-    if (!noAqe.contains(name)) body
+    if (!enabled || !noAqe.contains(name)) body
     else {
       val key = "spark.sql.adaptive.enabled"
       val prev = spark.conf.get(key)

@@ -57,10 +57,10 @@ object TextQueries {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      wsTokenCount(col("text")).as("n_tokens"),
       length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
       langScore(col("text"), enPat).as("stop_hits"),
-      regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+      punctCount(col("text")).as("n_punct"),
       length(col("text")).cast("long").as("n_len"))
     def overLen(e: org.apache.spark.sql.Column) =
       when(col("n_len") === 0, lit(null)).otherwise(e)
@@ -159,7 +159,7 @@ object TextQueries {
         "length(text)::BIGINT AS n_len FROM documents ORDER BY doc_id") { (s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("ws_tokens"),
+          wsTokenCount(col("text")).as("ws_tokens"),
           regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
             .cast("long").as("bpe_tokens"),
           length(col("text")).cast("long").as("n_len"))
@@ -398,9 +398,9 @@ object TextQueries {
         "FROM z ORDER BY doc_id") { (s, d) =>
       val f = Tables.documents(s, d).select(
         col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        wsTokenCount(col("text")).as("n_tokens"),
         langScore(col("text"), enPat).as("stop_hits"),
-        regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long").as("n_punct"),
+        punctCount(col("text")).as("n_punct"),
         length(col("text")).cast("long").as("n_len"))
       val z = lit(4.0) * (col("stop_hits") / col("n_tokens").cast("double")) -
         lit(6.0) * (col("n_punct") / col("n_len").cast("double")) +
