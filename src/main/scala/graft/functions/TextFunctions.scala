@@ -105,9 +105,13 @@ object TextFunctions {
     * band-collide, so the guard is load-bearing); the oracle's NULL for the
     * same case is threshold-filtered identically. */
   def jaccard(a: Column, b: Column): Column = {
-    val union = size(array_union(a, b))
+    // |A∪B| = |A| + |B| − |A∩B| for distinct-element arrays (every caller
+    // passes shingle sets, distinct by construction) — skips materializing
+    // the union array per pair; JaccardIdentitySpec pins ≡ array_union.
+    val ic = size(array_intersect(a, b))
+    val union = size(a) + size(b) - ic
     when(union === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+      .otherwise(ic.cast("double") / union)
   }
 
   /** Polynomial rolling hash (mod 1e9+7, base 31) over the characters of a

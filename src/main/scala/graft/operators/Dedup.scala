@@ -212,6 +212,12 @@ object Dedup {
         j => md5(concat_ws("|",
           slice(col("sig"), j * col("rw") + 1, col("rw"))).cast("binary"))))
         .as(Seq("j", "bh")))
+      // Materialize the band digests ONCE: the self-join otherwise runs
+      // the (doc × config × band) md5 Generate chain on BOTH sides
+      // (plans/r17/dedup_band_sweep_before.txt nodes 1-6 vs 7-12 — no
+      // exchange reuse across a broadcast side). One checkpoint job buys
+      // back a full digest pass at any scale.
+      .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.nb") === col("y.nb") && col("x.j") === col("y.j") &&
           col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
@@ -1086,6 +1092,9 @@ object Dedup {
     var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      // Load-bearing (re-A/B'd r17 after the artifact REBALANCE change:
+      // removing it costs +2 jobs and +0.5 task-s — the distinct re-runs
+      // under both the signature action and round 1's star joins).
       .localCheckpoint()
     // Hash-sum in decimal(38,0) space — a sum of long hashes overflows
     // int64 (ANSI mode throws); decimal sums are exact and order-free.

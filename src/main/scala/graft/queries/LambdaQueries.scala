@@ -168,7 +168,11 @@ object LambdaQueries {
       // No checkpoint on top of the artifact read: each recursion round's
       // broadcast re-resolves a 1-task columnar scan of the tiny anchor
       // artifact — cheaper than materializing block partitions per run
-      // (the same finding as coEdges / mm_video_dedup's catalog).
+      // (the same finding as coEdges / mm_video_dedup's catalog; the r17
+      // re-A/B measured the checkpointed variant inside the same window's
+      // noise band — medians 2.3–2.6 s both ways — so the simpler plan
+      // stands and the per-iteration planning floor is Spark's recursive
+      // CTE machinery, not the anchor subtree).
       val anchor = anchorDf
       val view = s"graft_rec_anchor_${anchorSeq.incrementAndGet()}"
       anchor.createOrReplaceTempView(view)
